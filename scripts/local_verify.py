@@ -52,9 +52,16 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         eq = got.equals(exp)
         if not eq:
-            # find first differing cell for diagnostics
-            diff = (got != exp)
+            dt_g, dt_e = dict(got.dtypes), dict(exp.dtypes)
+            if dt_g != dt_e:
+                print(f"FAIL {name}: dtypes spark={dt_g} oracle={dt_e}")
+                continue
+            diff = (got != exp) & ~(got.isna() & exp.isna())
             cells = diff.to_numpy().nonzero()
+            if len(cells[0]) == 0:
+                print(f"FAIL {name}: equals()=False but no differing cells "
+                      f"(NaN/precision?) dtypes={dt_g}")
+                continue
             i, j = cells[0][0], cells[1][0]
             c = got.columns[j]
             print(f"FAIL {name}: first diff row {i} col {c}: "

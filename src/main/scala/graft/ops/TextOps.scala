@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and near-duplicate primitives for large-scale training-data
+  * pipelines. All pure Catalyst expressions (higher-order array functions +
+  * built-in hashes) — no UDFs — so every op is codegen'd, pushdown-friendly,
+  * and cheap to fan out over 100 TB of documents.
+  *
+  * Hash choice: md5 (not xxhash64) because the correctness oracle (DuckDB)
+  * must reproduce every value bit-for-bit; md5 is the strongest hash both
+  * engines share. At pure-production scale xxhash64 halves the cost — swap
+  * `hashExpr` there.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as an array column (empty when < n words). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character k-gram array (for rolling-hash-style fingerprints). */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Seeded shingle hash — the minhash building block. */
+  def seededHash(seed: Int, shingle: Column): Column =
+    md5(concat(lit(s"$seed|"), shingle))
+
+  /** Explode a doc table into DISTINCT (id, shingle) rows — the shared
+    * input of minhash signatures and exact-jaccard verification. One
+    * narrow pass; the distinct is a shuffle on (id, shingle). */
+  def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(wordShingles(col(text), n)).as("shingle"))
+      .distinct()
+
+  /** k-column MinHash signature per id: m_s = min over shingles of
+    * md5("s|" + shingle). One hash-aggregate (map-side partial min →
+    * final), k hashes per shingle — linear in corpus size. */
+  def minhashSignature(shingles: DataFrame, id: String, k: Int): DataFrame =
+    shingles.groupBy(col(id))
+      .agg(min(seededHash(0, col("shingle"))).as("m0"),
+        (1 until k).map(s => min(seededHash(s, col("shingle"))).as(s"m$s")): _*)
+
+  /** LSH band rows (band_id, band_key) from a k-signature with bands of
+    * `r` consecutive minhashes. Docs sharing any band key are candidate
+    * near-duplicate pairs. */
+  def lshBands(sig: DataFrame, id: String, k: Int, r: Int): DataFrame = {
+    val bandStructs = (0 until k / r).map { b =>
+      struct(lit(b).as("band"),
+        concat((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("key"))
+    }
+    sig.select(col(id), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing an LSH band key. The join is
+    * a shuffle on (band, key); at 100 TB add a hot-bucket cap (drop keys
+    * with > maxBucket members — standard LSH practice, they are almost
+    * always boilerplate) before self-joining. */
+  def lshCandidatePairs(bands: DataFrame, id: String,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case Some(m) =>
+        val sizes = bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__bn")).where(col("__bn") <= m)
+          .drop("__bn")
+        bands.join(sizes, Seq("band", "key"))
+      case None => bands
+    }
+    val a = pruned.select(col("band"), col("key"), col(id).as("doc_a"))
+    val b = pruned.select(col("band"), col("key"), col(id).as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact jaccard on candidate pairs: |A∩B| via a shingle-equijoin
+    * restricted to candidates, |A∪B| from per-doc set sizes. Only
+    * candidate pairs pay the set-intersection cost. */
+  def jaccardOnCandidates(cand: DataFrame, shingles: DataFrame, id: String): DataFrame = {
+    val sa = shingles.select(col(id).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(id).as("doc_b"), col("shingle"))
+    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over the DISTINCT words of a doc, as aggregate
+    * expressions: bit j of md5(word)'s first 4 hex chars votes ±1; the
+    * sign of the vote sum sets bit j of the fingerprint. Returns the
+    * aggregate Column (use inside groupBy(id).agg). 16 bits keeps the
+    * oracle SQL tractable; widen with more hex chars for production. */
+  def simhash16(word: Column): Column = {
+    val bitCols = (0 until 16).map { j =>
+      val h = j / 4 + 1 // hex char position (1-based)
+      val s = j % 4     // bit within that hex char
+      val v = conv(substring(md5(word), h, 1), 16, 10).cast("int")
+      val bit = shiftright(v, s).bitwiseAND(lit(1))
+      val vote = when(bit === 1, 1).otherwise(-1)
+      when(sum(vote) >= 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Rolling-hash document fingerprint: minimum md5 over character
+    * k-gram shingles (winnowing with window = whole doc). Computed fully
+    * inside one row via array_min∘transform — no explode, no shuffle. */
+  def charFingerprint(text: Column, k: Int): Column =
+    array_min(transform(charShingles(text, k), s => md5(s)))
+
+  /** Token count under a BPE-ish regex (letter runs / digit runs / single
+    * other non-space chars). `expr` because the Scala functions API has no
+    * regexp_extract_all binding; the SQL function is the same codegen'd
+    * Catalyst expression. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeishTokenCountOf(colName: String): Column =
+    size(expr(s"regexp_extract_all(lower(`$colName`), '$bpeishPattern', 0)"))
+
+  /** Stopword ratio: fraction of tokens found in `stop`. */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val w = words(text)
+    val hits = size(filter(w, x => x.isInCollection(stop)))
+    hits.cast("double") / size(w)
+  }
+
+  /** N-gram-heuristic language ID: stopword-marker scoring. With a real
+    * corpus the marker lists are per-language frequency profiles; the
+    * synthetic corpus is English-ish, so the heuristic reduces to an
+    * English-vs-other decision at `threshold`. */
+  def langIdHeuristic(text: Column, threshold: Double = 0.05,
+      markers: Seq[String] = Seq("the", "a")): Column =
+    when(stopwordRatio(text, markers) >= threshold, lit("en")).otherwise(lit("other"))
+}

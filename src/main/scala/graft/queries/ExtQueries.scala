@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{EventOps, TextOps}
+import graft.sources.Tables
+import graft.functions.VectorOps
+
+/** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
+  * §2 "north-star extension operators"): dedup (exact / MinHash+LSH /
+  * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
+  * force + LSH-bucketed ANN), text analysis (lang-ID, quality, tokens,
+  * fingerprints), multimodal binary columns. Every query is oracle-paired;
+  * the MinHash/SimHash SQL is generated from the same (k, bands, bits)
+  * parameters the Spark side uses, so the two can't drift.
+  */
+object ExtQueries {
+
+  private val K = 8        // minhash signature width
+  private val R = 2        // minhashes per LSH band -> 4 bands
+  private val SHINGLE_N = 2 // word n-gram shingle size
+
+  /** DuckDB CTEs producing DISTINCT (doc_id, shingle) word n-grams —
+    * mirror of TextOps.shingleRows. */
+  private def shingleCtes(n: Int): String = {
+    val concat = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 2}, 1))) AS i FROM words),
+       |sh AS (SELECT DISTINCT doc_id, $concat AS shingle FROM idx)""".stripMargin
+  }
+
+  private def sigCte(k: Int): String = {
+    val mins = (0 until k).map(s => s"min(md5('$s|' || shingle)) AS m$s").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private def bandCte(k: Int, r: Int): String = {
+    val rows = (0 until k / r).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"m$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  /** DuckDB 8-dim sign-bucket expression — mirror of VectorOps.signBucket. */
+  private def bucketSql(dims: Int): String =
+    (0 until dims)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  // ------------------------------------------------------------------ q18
+  /** Exact text dedup, first-wins by doc_id on md5(text). Duplicates are
+    * injected in-query (mirroring the reference's duplicate model,
+    * producer.py:162-166) since the corpus has none. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dupes = d.where(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val all = d.unionByName(dupes).withColumn("text_hash", md5(col("text")))
+    EventOps.dedupFirstWins(all, Seq("text_hash"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+  private val q18Sql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id, md5(text) AS text_hash FROM all_docs
+      |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q19
+  /** MinHash signatures (k=8, word-2-gram shingles): one hash-agg pass. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(
+      Tables.documents(spark, dir), "doc_id", "text", SHINGLE_N)
+    TextOps.minhashSignature(sh, "doc_id", K).orderBy(col("doc_id"))
+  }
+  private val q19Sql =
+    s"""WITH ${shingleCtes(SHINGLE_N)},
+       |${sigCte(K)}
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q20
+  /** MinHash + LSH near-dup pairs: band-bucket candidates (4 bands × r=2),
+    * then EXACT jaccard on candidates only, keep >= 0.5. The full
+    * shingle×shingle join never happens — only LSH survivors pay it. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = TextOps.shingleRows(docs, "doc_id", "text", SHINGLE_N)
+    val sig = TextOps.minhashSignature(sh, "doc_id", K)
+    val cand = TextOps.lshCandidatePairs(TextOps.lshBands(sig, "doc_id", K, R), "doc_id")
+    TextOps.jaccardOnCandidates(cand, sh, "doc_id")
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q20Sql =
+    s"""WITH ${shingleCtes(SHINGLE_N)},
+       |${sigCte(K)},
+       |${bandCte(K, R)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 4) AS jaccard
+       |FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------ q21
+  /** 16-bit SimHash fingerprints over distinct words. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(TextOps.simhash16(col("word")).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+  private val q21Sql = {
+    val bits = (0 until 16).map { j =>
+      val h = j / 4 + 1; val s = j % 4
+      s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT doc_id, $bits AS simhash16 FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ q22
+  /** n-gram Jaccard similarity on adjacent doc pairs (doc_id, doc_id+1) —
+    * the windowless exact-jaccard operator; pairs with empty intersection
+    * drop out (inner-join semantics, same in the oracle). */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(
+      Tables.documents(spark, dir), "doc_id", "text", SHINGLE_N)
+    val cand = sh.select(col("doc_id").as("doc_a")).distinct()
+      .join(sh.select(col("doc_id").as("doc_b")).distinct(),
+        col("doc_a") + 1 === col("doc_b"))
+    TextOps.jaccardOnCandidates(cand, sh, "doc_id")
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+  private val q22Sql =
+    s"""WITH ${shingleCtes(SHINGLE_N)},
+       |inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh sa JOIN sh sb ON sa.doc_id + 1 = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 4) AS jaccard
+       |FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+       |ORDER BY doc_a""".stripMargin
+
+  // ------------------------------------------------------------------ q23
+  /** Brute-force k-NN (k=3) for probe vectors vec_id < 5: broadcast the
+    * probes, one map-side pass over the corpus, per-probe top-k window.
+    * The scale baseline every ANN variant is judged against. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private val q23Sql =
+    """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+      |  FROM embeddings WHERE vec_id < 5)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe) DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id,
+      |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe), 4) AS cos_sim
+      |FROM embeddings CROSS JOIN probes
+      |WHERE vec_id <> probe_id
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------------------------ q24
+  /** LSH-bucketed ANN: sign-bucket on the first 8 dims (256 buckets), then
+    * search only within the probe's bucket. The scale path: the bucket id
+    * is a narrow int computed map-side; the candidate join shuffles
+    * corpus-size/256 rows per probe instead of corpus-size. */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+    val probes = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private val q24Sql =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
+       |  FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, e AS probe, bucket FROM b WHERE vec_id < 50)
+       |SELECT probe_id,
+       |       row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY list_cosine_similarity(e, probe) DESC, vec_id) AS rn,
+       |       vec_id AS neighbor_id,
+       |       round(list_cosine_similarity(e, probe), 4) AS cos_sim
+       |FROM b JOIN probes USING (bucket)
+       |WHERE vec_id <> probe_id
+       |QUALIFY rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
+  // ------------------------------------------------------------------ q25
+  /** Heuristic language-ID (stopword-marker scoring), aggregated per true
+    * lang label — doubles as a confusion summary of the heuristic. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("pred", TextOps.langIdHeuristic(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"))
+      .orderBy(col("lang"))
+  }
+  private val q25Sql =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.05
+      |         THEN 'en' ELSE 'other' END AS pred
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------ q26
+  /** Per-document quality scoring: word count, chars-per-word, stopword
+    * ratio, and a bounded composite score — all exact-int-derived doubles
+    * so the 4-dp rounding is engine-stable. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val nWords = size(w)
+    val swRatio = TextOps.stopwordRatio(col("text"), Seq("the", "a"))
+    val score = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - swRatio) * 0.5
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(col("n_chars").cast("double") / nWords, 4).as("chars_per_word"),
+        round(swRatio, 4).as("stopword_ratio"),
+        round(score, 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+  private val q26Sql =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS sw
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |       round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word,
+      |       round(sw, 4) AS stopword_ratio,
+      |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 + (1.0 - sw) * 0.5, 4) AS quality_score
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q27
+  /** Token counting per language: whitespace tokens + BPE-ish regex
+    * tokens, aggregated per lang. */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.words(col("text"))).as("ws_tokens"),
+        TextOps.bpeishTokenCountOf("text").as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+  private val q27Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------ q28
+  /** Rolling-hash fingerprint: min-md5 over char 8-grams, computed fully
+    * within the row (array_min ∘ transform — no explode, no shuffle). */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.charFingerprint(col("text"), 8).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+  private val q28Sql =
+    """SELECT doc_id,
+      |       list_aggregate(list_transform(range(1, greatest(length(text) - 6, 1)),
+      |         i -> md5(substr(text, i, 8))), 'min') AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q29
+  /** Multimodal column plumbing: text bytes stand in for image/audio
+    * payloads as an opaque BINARY column; "decode" is the clearly-marked
+    * deterministic stub (graft.multimodal.Multimodal has the
+    * mapPartitions-batched variant). Schema/partitioning/lineage are real. */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    val nBytes = length(blob)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("image/fake").as("mime"),
+        nBytes.as("n_bytes"),
+        (lit(64) + pmod(nBytes, lit(576))).as("width"),
+        (lit(64) + pmod(col("doc_id") * 37, lit(416))).as("height"),
+        (lit(1) + pmod(nBytes, lit(29))).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+  private val q29Sql =
+    """SELECT doc_id, 'image/fake' AS mime,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       64 + octet_length(encode(text)) % 576 AS width,
+      |       64 + (doc_id * 37) % 416 AS height,
+      |       1 + octet_length(encode(text)) % 29 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q30
+  /** Embedding-cosine near-dup: top-20 same-bucket pairs by cosine (the
+    * corpus has no >0.5-cosine pairs, so a threshold would return empty;
+    * top-k keeps the op observable at every scale factor). */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+  private val q30Sql =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |       round(list_cosine_similarity(a.e, c.e), 4) AS cos_sim
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |ORDER BY cos_sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[Decl] = Seq(
+    Decl("q18_dedup_exact", q18, Some(q18Sql)),
+    Decl("q19_minhash_signature", q19, Some(q19Sql)),
+    Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
+    Decl("q21_simhash", q21, Some(q21Sql)),
+    Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
+    Decl("q23_knn_bruteforce", q23, Some(q23Sql)),
+    Decl("q24_ann_lsh_bucketed", q24, Some(q24Sql)),
+    Decl("q25_lang_id", q25, Some(q25Sql)),
+    Decl("q26_quality_score", q26, Some(q26Sql)),
+    Decl("q27_token_count", q27, Some(q27Sql)),
+    Decl("q28_fingerprint", q28, Some(q28Sql)),
+    Decl("q29_multimodal_meta", q29, Some(q29Sql)),
+    Decl("q30_embedding_neardup", q30, Some(q30Sql)))
+}
