@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed in batches via `mapPartitions`.
+  *
+  * The actual byte decoding (JPEG decode, audio resample, video frame
+  * extraction) is STUBBED — the image/audio libraries are not in this
+  * container — behind [[StubCodec]], a deterministic fake. Everything
+  * around it is real and load-bearing: the binary schema, the batched
+  * iteration shape (decode codecs amortize per-batch setup, exactly like
+  * an Arrow-batched pandas UDF), the partition sizing, and the typed
+  * output schema.
+  *
+  * Scale notes: binary payloads dominate row size → keep
+  * `spark.sql.files.maxPartitionBytes` low enough that a partition of
+  * blobs fits in executor memory, and never collect; metadata-only
+  * projections must not read the blob column (parquet column pruning
+  * gives this for free — verified in MultimodalSpec).
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, content: Array[Byte], mime: String)
+  case class MediaMeta(doc_id: Long, mime: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** The clearly-marked decode stub: deterministic pseudo-metadata from
+    * the byte payload. A real deployment replaces `decode` with the codec
+    * call; the signature (batch in, batch out) is the contract. */
+  object StubCodec {
+    def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+      // ??? <- real codec goes here; deterministic fake for tests:
+      batch.map { r =>
+        val n = r.content.length
+        MediaMeta(r.doc_id, r.mime, n,
+          width = 64 + n % 576,
+          height = 64 + (r.doc_id * 37 % 416).toInt,
+          n_frames = 1 + n % 29)
+      }
+  }
+
+  /** Wrap a text/doc table as media records: the text bytes stand in for
+    * an image payload (same shape a real ingest would produce: id + blob +
+    * mime + metadata columns). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"),
+      lit("image/fake").as("mime"))
+
+  /** Batched decode over partitions: groups each partition's iterator into
+    * `batchSize` chunks (the Arrow-batch shape) and runs the codec once
+    * per chunk. No shuffle; output is a typed Dataset. */
+  def decodeBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => StubCodec.decode(batch))
+    }
+  }
+
+  /** Frame sampling plan for video-ish payloads: every `everyN`-th frame
+    * index up to the (stub-decoded) frame count — the Spark-side plumbing
+    * (explode of a per-row index array) is the real part. */
+  def sampleFrames(meta: Dataset[MediaMeta], everyN: Int): DataFrame =
+    meta.toDF().select(col("doc_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.model.EventModel
+import graft.ops.EventOps
+
+/** Streaming side of the reference pipeline as Structured Streaming
+  * (reference EP1: run_toy_example.py:21-49 — an infinite loop of
+  * per-record Lambda calls with Redis dedup at 278 ev/s, compacted every
+  * 60 s). Spark-first recomposition:
+  *
+  *   records (Kinesis-mock JSON strings) → envelope decode → event-time ts
+  *   → keyed dedup → enrichment → partitioned sink, 60 s trigger.
+  *
+  * Dedup modes (SURVEY.md §2 row 6):
+  *  - PARITY: `dropDuplicates("event_uuid")` — unbounded state, exactly
+  *    the reference's process-lifetime Redis set;
+  *  - SCALE: `withWatermark + dropDuplicatesWithinWatermark` — bounded
+  *    state, the 100 TB posture (pair with the RocksDB state store:
+  *    `spark.sql.streaming.stateStore.providerClass=
+  *    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
+  */
+object StreamingPipeline {
+
+  /** Decode a stream (or batch) of Kinesis-mock record strings into staged
+    * events: envelope fields + event-time `ts` + type/subtype/ISO
+    * enrichment (toy_lambda_function.py:44-62). */
+  def decodeRecords(records: DataFrame, recordCol: String = "record"): DataFrame = {
+    val decoded = records
+      .withColumn("event", EventOps.decodeEnvelope(col(recordCol)))
+      .select(col("event.*"))
+      .withColumn("ts", timestamp_seconds(col("created_at")))
+    EventOps.withEventTypeSubtype(decoded)
+      .withColumn("created_datetime", EventOps.createdDatetime(col("created_at")))
+  }
+
+  /** Keyed exact dedup on the stream. `watermark=None` reproduces the
+    * reference's unbounded Redis-set state; `Some("10 minutes")` bounds
+    * state for production. First occurrence wins in both (micro-batch
+    * arrival order, matching the reference's arrival-order Redis check). */
+  def dedup(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark match {
+      case Some(delay) =>
+        events.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark(Seq("event_uuid"))
+      case None =>
+        events.dropDuplicates(Seq("event_uuid"))
+    }
+
+  /** Full pipeline: records → decode → dedup. */
+  def pipeline(records: DataFrame, watermark: Option[String] = Some("10 minutes")): DataFrame =
+    dedup(decodeRecords(records), watermark)
+
+  /** Partitioned streaming file sink with the reference's 60 s cadence
+    * (run_toy_example.py:25). Time partitions derive from EVENT time; the
+    * reference's processing-time partitioning (toy_lambda_function.py:9-19)
+    * would put late events in wrong partitions silently. */
+  def sink(events: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[Row] = {
+    EventOps.withTimePartitions(events, col("ts"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("year", "month", "day", "hour")
+      .trigger(trigger)
+  }
+}

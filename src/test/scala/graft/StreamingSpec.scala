@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.pipeline.EventGen
+import graft.streaming.StreamingPipeline
+
+/** Streaming parity (reference EP1: per-record Lambda + process-lifetime
+  * Redis dedup set), driven synchronously through MemoryStream. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def envelopedStrings(n: Long): Seq[String] =
+    EventGen.enveloped(EventGen.events(spark, n)).as[String].collect().toSeq
+
+  test("unbounded dedup (reference parity): within- and cross-batch " +
+    "duplicates are dropped, enrichment lands") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingPipeline.pipeline(
+      mem.toDF().select($"value".as("record")), watermark = None)
+    val q = out.writeStream.format("memory").queryName("stream_out")
+      .outputMode("append").start()
+    try {
+      val batch = envelopedStrings(100)
+      mem.addData(batch ++ batch.take(10)) // within-batch dups
+      q.processAllAvailable()
+      assert(spark.table("stream_out").count() === 100)
+
+      mem.addData(batch.take(20)) // cross-batch dups (Redis-set semantics)
+      q.processAllAvailable()
+      assert(spark.table("stream_out").count() === 100)
+
+      val cols = spark.table("stream_out").columns.toSet
+      assert(Set("event_uuid", "event_type", "event_subtype",
+        "created_datetime", "ts").subsetOf(cols))
+      // 3-part payment names split per reference semantics
+      val pay = spark.table("stream_out")
+        .where($"event_name" === "payment:order:completed")
+      assert(pay.isEmpty ||
+        pay.select("event_subtype").distinct().as[String].head() == "order")
+    } finally q.stop()
+  }
+
+  test("watermarked dedup (scale posture) drops in-window duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingPipeline.pipeline(
+      mem.toDF().select($"value".as("record")),
+      watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      val batch = envelopedStrings(50)
+      mem.addData(batch ++ batch) // exact duplicates, same event time
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() === 50)
+    } finally q.stop()
+  }
+}

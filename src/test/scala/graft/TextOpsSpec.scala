@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("wordShingles: n-grams, short docs yield empty array") {
+    val df = Seq("a b c d", "a").toDF("text")
+    val got = df.select(TextOps.wordShingles($"text", 2).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq("a b", "b c", "c d"), Seq()))
+  }
+
+  test("charShingles: sliding k-grams over characters") {
+    val got = Seq("abcdef").toDF("text")
+      .select(TextOps.charShingles($"text", 4).as("s"))
+      .as[Seq[String]].head()
+    assert(got === Seq("abcd", "bcde", "cdef"))
+  }
+
+  test("minhash signature: identical docs get identical signatures; " +
+    "disjoint docs differ") {
+    val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, "doc_id", "text", 2)
+    val sig = TextOps.minhashSignature(sh, "doc_id", 4).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("lsh candidate pairs surface the identical pair") {
+    val df = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, "doc_id", "text", 2)
+    val sig = TextOps.minhashSignature(sh, "doc_id", 8)
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.lshBands(sig, "doc_id", 8, 2), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    val j = TextOps.jaccardOnCandidates(
+      pairs.toSeq.toDF("doc_a", "doc_b"), sh, "doc_id")
+      .where($"doc_a" === 1 && $"doc_b" === 2)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("hot-bucket cap drops oversized buckets") {
+    // 5 docs all sharing one band key via identical text
+    val df = (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, "doc_id", "text", 2)
+    val bands = TextOps.lshBands(TextOps.minhashSignature(sh, "doc_id", 4), "doc_id", 4, 2)
+    assert(TextOps.lshCandidatePairs(bands, "doc_id").count() === 10) // C(5,2)
+    assert(TextOps.lshCandidatePairs(bands, "doc_id", maxBucket = Some(4)).count() === 0)
+  }
+
+  test("simhash16: equal word sets collide; word order irrelevant") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sim = df.select($"doc_id", explode(TextOps.words($"text")).as("word"))
+      .distinct().groupBy($"doc_id")
+      .agg(TextOps.simhash16($"word").as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(sim(1L) === sim(2L))
+    assert(sim.values.forall(h => h >= 0 && h < 65536))
+  }
+
+  test("charFingerprint: permutation-sensitive, substring-stable") {
+    val fp = Seq((1L, "the quick brown fox jumps"), (2L, "quick brown fox jumps the"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.charFingerprint($"text", 8).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L).length === 32 && fp(2L).length === 32)
+  }
+
+  test("stopwordRatio and langIdHeuristic") {
+    val df = Seq("the cat sat on the mat", "lorem ipsum dolor sit amet").toDF("text")
+    val got = df.select(
+      round(TextOps.stopwordRatio($"text", Seq("the", "a")), 4).as("r"),
+      TextOps.langIdHeuristic($"text").as("pred"))
+      .as[(Double, String)].collect().toSeq
+    assert(got === Seq((0.3333, "en"), (0.0, "other")))
+  }
+
+  test("bpeish token count: letter runs, digit runs, single symbols") {
+    val got = Seq("ab12 cd!e").toDF("text")
+      .select(TextOps.bpeishTokenCountOf("text").as("n")).as[Int].head()
+    assert(got === 5) // ab|12|cd|!|e
+  }
+}
