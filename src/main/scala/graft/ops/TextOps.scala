@@ -38,6 +38,28 @@ object TextOps {
   def seededHash(seed: Int, shingle: Column): Column =
     md5(concat(lit(s"$seed|"), shingle))
 
+  /** Per-row DISTINCT shingle set as an array column. This is the scale
+    * shape: the set is derived inside the row (array_distinct ∘ transform)
+    * — no explode, no shuffle, no recomputation when reused across minhash
+    * / jaccard / fingerprint consumers. Shingle sets of normal documents
+    * are a few hundred strings; fall back to [[shingleRows]] only for
+    * pathological multi-MB docs. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(wordShingles(text, n))
+
+  /** MinHash signature columns computed from a shingle-set array, fully
+    * map-side: m_s = array_min(md5("s|" + shingle)). k passes over an
+    * in-row array vs a k-hash shuffle — O(k·|set|) per row, zero exchange. */
+  def minhashFromSet(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map(s =>
+      array_min(transform(shingles, x => seededHash(s, x))).as(s"m$s"))
+
+  /** Exact jaccard between two shingle-set arrays, in-row. */
+  def jaccardFromSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** Explode a doc table into DISTINCT (id, shingle) rows — the shared
     * input of minhash signatures and exact-jaccard verification. One
     * narrow pass; the distinct is a shuffle on (id, shingle). */

@@ -72,11 +72,18 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q19
-  /** MinHash signatures (k=8, word-2-gram shingles): one hash-agg pass. */
+  /** MinHash signatures (k=8, word-2-gram shingles). Fully map-side: the
+    * shingle set and all k minima are computed inside the row — the only
+    * exchange in the plan is the output ORDER BY. */
   private def q19(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(
-      Tables.documents(spark, dir), "doc_id", "text", SHINGLE_N)
-    TextOps.minhashSignature(sh, "doc_id", K).orderBy(col("doc_id"))
+    // Two stages on purpose: the shingle set materializes into the spread
+    // exchange (computed once), and the 8 md5-minima then run from the
+    // materialized column, 32-way parallel — otherwise the set expression
+    // inlines into every minhash column (8x recompute).
+    val withSh = Tables.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh")))
+    withSh.select(col("doc_id") +: TextOps.minhashFromSet(col("sh"), K): _*)
+      .orderBy(col("doc_id"))
   }
   private val q19Sql =
     s"""WITH ${shingleCtes(SHINGLE_N)},
@@ -88,13 +95,27 @@ object ExtQueries {
     * then EXACT jaccard on candidates only, keep >= 0.5. The full
     * shingle×shingle join never happens — only LSH survivors pay it. */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = TextOps.shingleRows(docs, "doc_id", "text", SHINGLE_N)
-    val sig = TextOps.minhashSignature(sh, "doc_id", K)
+    // Materialize (doc_id, shingle_set, signature) ONCE: the band
+    // self-join and both jaccard set-lookups are all consumers of this
+    // table, and without materialization each plan branch re-derives the
+    // md5-heavy signature expressions from the parquet scan (4 scans).
+    // persist() makes every branch read the shared InMemoryRelation —
+    // the signature table is ~1% the corpus size. At 100 TB the same op
+    // writes the signature table to storage once and joins against it
+    // (see TextOps scaladoc); in-memory cache is the single-job form.
+    val sig = Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh")))
+      .select(col("doc_id") +: col("sh") +: TextOps.minhashFromSet(col("sh"), K): _*)
+      .persist()
     val cand = TextOps.lshCandidatePairs(TextOps.lshBands(sig, "doc_id", K, R), "doc_id")
-    TextOps.jaccardOnCandidates(cand, sh, "doc_id")
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    // candidates are rare -> broadcast them back onto the signature table
+    // (map-side joins); jaccard is then in-row on the two set arrays
+    val withSets = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .join(broadcast(cand), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+    val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
+    withSets.where(j >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
   private val q20Sql =
@@ -117,7 +138,7 @@ object ExtQueries {
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words. */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
       .distinct()
       .groupBy(col("doc_id"))
@@ -138,13 +159,15 @@ object ExtQueries {
     * the windowless exact-jaccard operator; pairs with empty intersection
     * drop out (inner-join semantics, same in the oracle). */
   private def q22(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(
-      Tables.documents(spark, dir), "doc_id", "text", SHINGLE_N)
-    val cand = sh.select(col("doc_id").as("doc_a")).distinct()
-      .join(sh.select(col("doc_id").as("doc_b")).distinct(),
-        col("doc_a") + 1 === col("doc_b"))
-    TextOps.jaccardOnCandidates(cand, sh, "doc_id")
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = docs.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("sh").as("sb"))
+    val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
+    a.join(b, "doc_a") // one shuffle join on doc id; jaccard in-row
+      .where(size(array_intersect(col("sa"), col("sb"))) >= 1) // oracle's inner-join-on-shingle semantics
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy(col("doc_a"))
   }
   private val q22Sql =
@@ -163,8 +186,8 @@ object ExtQueries {
     * probes, one map-side pass over the corpus, per-probe top-k window.
     * The scale baseline every ANN variant is judged against. */
   private def q23(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val probes = emb.where(col("vec_id") < 5)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -196,9 +219,11 @@ object ExtQueries {
     * is a narrow int computed map-side; the candidate join shuffles
     * corpus-size/256 rows per probe instead of corpus-size. */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
       .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
-    val probes = emb.where(col("vec_id") < 50)
+    val probes = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+      .where(col("vec_id") < 50)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
         col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
@@ -258,7 +283,7 @@ object ExtQueries {
     val swRatio = TextOps.stopwordRatio(col("text"), Seq("the", "a"))
     val score = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
       (lit(1.0) - swRatio) * 0.5
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), nWords.as("n_words"),
         round(col("n_chars").cast("double") / nWords, 4).as("chars_per_word"),
         round(swRatio, 4).as("stopword_ratio"),
@@ -281,7 +306,7 @@ object ExtQueries {
   /** Token counting per language: whitespace tokens + BPE-ish regex
     * tokens, aggregated per lang. */
   private def q27(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"),
         size(TextOps.words(col("text"))).as("ws_tokens"),
         TextOps.bpeishTokenCountOf("text").as("bpe_tokens"))
@@ -301,7 +326,7 @@ object ExtQueries {
   /** Rolling-hash fingerprint: min-md5 over char 8-grams, computed fully
     * within the row (array_min ∘ transform — no explode, no shuffle). */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         TextOps.charFingerprint(col("text"), 8).as("fingerprint"))
       .orderBy(col("doc_id"))
@@ -320,7 +345,7 @@ object ExtQueries {
   private def q29(spark: SparkSession, dir: String): DataFrame = {
     val blob = col("text").cast("binary")
     val nBytes = length(blob)
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), lit("image/fake").as("mime"),
         nBytes.as("n_bytes"),
         (lit(64) + pmod(nBytes, lit(576))).as("width"),

@@ -217,10 +217,18 @@ object Queries {
     val li = Tables.lineitem(spark, dir)
     val revenue = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
-    li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity"), 0).cast("long").as("sum_qty"),
-        count(lit(1)).as("n_rows"),
-        asDouble(round(sum(revenue), 2)).as("revenue"))
+    // Re-aggregation: one normal 2-key pass over the fact table (map-side
+    // partial combine), then ROLLUP over the handful of result cells —
+    // instead of letting Expand triple the fact table through the
+    // aggregate. Decimal sums of sums are exact, so results are identical.
+    val cells = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity"), 0).as("q"),
+        count(lit(1)).as("n"),
+        sum(revenue).as("r"))
+    cells.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("q")).cast("long").as("sum_qty"),
+        sum(col("n")).as("n_rows"),
+        asDouble(round(sum(col("r")), 2)).as("revenue"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_rows"), col("revenue"))
@@ -263,7 +271,7 @@ object Queries {
     * record template, then decodes it back; the oracle computes the
     * original fields directly (roundtrip ≡ identity). */
   private def q13(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+    val ev = Tables.spread(Tables.events(spark, dir)).select(
       col("event_id"),
       md5(col("event_id").cast("string")).as("event_uuid"),
       concat(col("event_type"), lit(":done")).as("event_name"),
@@ -324,8 +332,8 @@ object Queries {
     * arithmetic, rounded to 4dp. The probe is a 1-row broadcast — at
     * scale this is a map-only pass over the embedding table. */
   private def q15(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val probe = emb.where(col("vec_id") === 0)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val probe = Tables.embeddings(spark, dir).where(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
     emb.crossJoin(broadcast(probe))
       .select(col("vec_id"),

@@ -39,6 +39,16 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Fan a small-but-compute-heavy input out to all cores. The local test
+    * files are single-row-group parquet (the row group is the minimum scan
+    * split), so expression-heavy per-row work (md5 shingling, json
+    * encode/decode, cosine) would otherwise run on ONE task regardless of
+    * `maxPartitionBytes`. On a real multi-row-group/multi-file 100 TB
+    * table the scan parallelizes itself and this exchange is unnecessary —
+    * it costs one pass over the (tiny) projected input here. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
