@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{EventOps, TextOps}
 import graft.sources.Tables
-import graft.functions.VectorOps
+import graft.functions.{CosineSimilarity, VectorOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
   * §2 "north-star extension operators"): dedup (exact / MinHash+LSH /
@@ -193,7 +193,7 @@ object ExtQueries {
       .orderBy(col("cos").desc, col("vec_id"))
     emb.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", VectorOps.cosine(col("embedding"), col("probe")))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -230,7 +230,7 @@ object ExtQueries {
       .orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", VectorOps.cosine(col("embedding"), col("probe")))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -373,7 +373,7 @@ object ExtQueries {
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorOps.cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+        round(CosineSimilarity.cosineSim(spark, col("ea"), col("eb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }

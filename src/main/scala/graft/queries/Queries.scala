@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.model.EventModel
 import graft.ops.EventOps
 import graft.sources.Tables
-import graft.functions.VectorOps
+import graft.functions.{CosineSimilarity, VectorOps}
 
 /** One declared query per operator row of SURVEY.md §2, each paired with
   * ANSI SQL that DuckDB runs on the same parquet tables (the driver's
@@ -337,7 +337,7 @@ object Queries {
       .select(col("embedding").as("probe"))
     emb.crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("probe")), 4).as("cos_sim"))
+        round(CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -412,5 +412,5 @@ object Queries {
     Decl("q16_props_json", q16, Some(q16Sql)),
     Decl("q17_hourly_counts", q17, Some(q17Sql)))
 
-  def all: Seq[Decl] = core ++ ExtQueries.all
+  def all: Seq[Decl] = core ++ ExtQueries.all ++ WindowQueries.all
 }
