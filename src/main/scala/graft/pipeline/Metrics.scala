@@ -48,6 +48,23 @@ class Metrics {
     ingestionErrors.addAndGet(row.getAs[Long]("null_keys"))
   }
 
+  /** Streaming-side feed: absorbs the named observation from every
+    * micro-batch progress event (reference parity: the per-invocation
+    * counter `+=` in run_toy_example.py:33-36, but listener-driven).
+    * Attach with `spark.streams.addListener(metrics.streamingListener())`
+    * on a stream built over [[observed]]. */
+  def streamingListener(name: String = "cw"): org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        lambdaInvocations.incrementAndGet()
+        val om = e.progress.observedMetrics
+        if (om.containsKey(name)) absorb(om.get(name))
+      }
+    }
+
   /** Storage gauge scan (reference: toy_lambda_function.py:71-81 — a
     * glob+getsize walk; here the Hadoop FS equivalent, gauge SET not
     * accumulated). */
