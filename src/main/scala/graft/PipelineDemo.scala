@@ -37,12 +37,14 @@ object PipelineDemo {
     println(s"[demo] produced ${records.length} enveloped records " +
       s"(${records.length - n} injected duplicates)")
 
-    // 2. streaming ingest: decode -> watermarked dedup -> staging NDJSON
+    // 2. streaming ingest: decode -> watermarked dedup -> staging NDJSON,
+    //    with per-micro-batch observed metrics fed to the CloudWatch-parity
+    //    listener (reference: run_toy_example.py:33-36's counter updates)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.streams.addListener(metrics.streamingListener())
     val mem = MemoryStream[String]
-    val staged = StreamingPipeline.pipeline(
-      mem.toDF().select($"value".as("record")), watermark = Some("10 minutes"))
-    metrics.lambdaInvocations.incrementAndGet()
+    val staged = metrics.observed(StreamingPipeline.pipeline(
+      mem.toDF().select($"value".as("record")), watermark = Some("10 minutes")))
     val q = graft.ops.EventOps.withTimePartitions(staged, $"ts")
       .writeStream.format("json")
       .option("path", s"$work/staging")
@@ -63,7 +65,10 @@ object PipelineDemo {
     println(s"[demo] compacted hour 16: $written rows " +
       s"($dups residual duplicate keys found in staging)")
 
-    // 4. metrics report (reference: mock_cloudwatch.py:38-54)
+    // 4. metrics report (reference: mock_cloudwatch.py:38-54).
+    // ingested_events arrives via the streaming listener; compaction adds
+    // the processed rows on top, mirroring the reference's double-count
+    // of lambda-ingest + glue-read (intentional parity).
     metrics.duplicatesPrevented.set(records.length - stagedN)
     println(metrics.report("Demo pipeline metrics"))
 
