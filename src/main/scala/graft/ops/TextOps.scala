@@ -142,6 +142,24 @@ object TextOps {
     bitCols.reduce(_ + _)
   }
 
+  /** In-row 16-bit SimHash over a distinct-word array column: 16
+    * `aggregate` passes over the (small) array replace the
+    * explode→distinct→groupBy double shuffle of the row-based form.
+    * Integer vote sums are order-independent, so this is value-identical
+    * to [[simhash16]] and the same oracle SQL. */
+  def simhash16InRow(distinctWords: Column): Column = {
+    val bits = (0 until 16).map { j =>
+      val h = j / 4 + 1
+      val s = j % 4
+      val voteSum = aggregate(distinctWords, lit(0), (acc, w) => {
+        val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
+        acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+      })
+      when(voteSum >= 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Rolling-hash document fingerprint: minimum md5 over character
     * k-gram shingles (winnowing with window = whole doc). Computed fully
     * inside one row via array_min∘transform — no explode, no shuffle. */

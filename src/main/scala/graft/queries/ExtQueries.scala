@@ -54,10 +54,14 @@ object ExtQueries {
     * injected in-query (mirroring the reference's duplicate model,
     * producer.py:162-166) since the corpus has none. */
   private def q18(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val dupes = d.where(pmod(col("doc_id"), lit(10)) === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-    val all = d.unionByName(dupes).withColumn("text_hash", md5(col("text")))
+    // duplicate injection via explode of per-row offsets: one scan (a
+    // UNION of the table with a filtered self would scan twice)
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(when(pmod(col("doc_id"), lit(10)) === 0,
+          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L)))).as("off"))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        md5(col("text")).as("text_hash"))
     EventOps.dedupFirstWins(all, Seq("text_hash"), Seq(col("doc_id")))
       .select(col("doc_id"), col("text_hash"))
       .orderBy(col("doc_id"))
@@ -136,13 +140,14 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------ q21
-  /** 16-bit SimHash fingerprints over distinct words. */
+  /** 16-bit SimHash fingerprints over distinct words — fully in-row
+    * (distinct word set + 16 vote sums inside the row; the only shuffles
+    * are the spread and the output sort). */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
-    Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(TextOps.simhash16(col("word")).as("simhash16"))
+    val withWords = Tables.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(TextOps.words(col("text"))).as("dw")))
+    withWords
+      .select(col("doc_id"), TextOps.simhash16InRow(col("dw")).as("simhash16"))
       .orderBy(col("doc_id"))
   }
   private val q21Sql = {

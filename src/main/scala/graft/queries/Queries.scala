@@ -194,13 +194,15 @@ object Queries {
   // ------------------------------------------------------------------ q10
   /** Semi/anti join (EXISTS / NOT EXISTS) — one row with both counts. */
   private def q10(spark: SparkSession, dir: String): DataFrame = {
+    // one-pass spelling of EXISTS + NOT EXISTS: a single left join against
+    // the distinct key set answers both counts (separate semi+anti
+    // branches would scan both tables twice)
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select(col("o_custkey"))
-    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("customers_with_orders"))
-    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("customers_without_orders"))
-    withO.crossJoin(withoutO)
+    val oKeys = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    c.join(broadcast(oKeys), c("c_custkey") === oKeys("o_custkey"), "left")
+      .agg(
+        count(when(col("o_custkey").isNotNull, 1)).as("customers_with_orders"),
+        count(when(col("o_custkey").isNull, 1)).as("customers_without_orders"))
   }
   private val q10Sql =
     """SELECT
