@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{EventOps, TextOps}
+
+/** Property-based checks (SURVEY.md §5 item 3). ScalaCheck props are run
+  * directly (Test.check) — Spark calls inside properties use small
+  * driver-built DataFrames, so each trial is milliseconds. */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def check(p: Prop, trials: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen = Gen.nonEmptyListOf(
+    Gen.oneOf("spark", "data", "join", "the", "a", "row", "merge", "key"))
+
+  test("shingle count law: |shingles_n(w)| == max(0, |w| - n + 1)") {
+    check(Prop.forAll(wordGen, Gen.choose(1, 4)) { (ws, n) =>
+      val text = ws.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(size(TextOps.wordShingles($"text", n))).as[Int].head()
+      got == math.max(0, ws.length - n + 1)
+    }, trials = 20)
+  }
+
+  test("jaccard laws: j(a,a)=1, symmetry, bounds") {
+    check(Prop.forAll(wordGen, wordGen) { (wa, wb) =>
+      val df = Seq((wa.mkString(" "), wb.mkString(" "))).toDF("ta", "tb")
+        .select(TextOps.shingleSet($"ta", 1).as("a"),
+          TextOps.shingleSet($"tb", 1).as("b"))
+      val (jaa, jab, jba) = df.select(
+        TextOps.jaccardFromSets($"a", $"a"),
+        TextOps.jaccardFromSets($"a", $"b"),
+        TextOps.jaccardFromSets($"b", $"a")).as[(Double, Double, Double)].head()
+      jaa == 1.0 && jab == jba && jab >= 0.0 && jab <= 1.0
+    }, trials = 20)
+  }
+
+  test("simhash: in-row and row-exploded implementations agree") {
+    check(Prop.forAll(Gen.nonEmptyListOf(wordGen.map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val inRow = docs.select($"doc_id",
+        TextOps.simhash16InRow(array_distinct(TextOps.words($"text"))).as("h"))
+      val rowBased = docs
+        .select($"doc_id", explode(TextOps.words($"text")).as("word"))
+        .distinct().groupBy($"doc_id")
+        .agg(TextOps.simhash16($"word").as("h"))
+      inRow.exceptAll(rowBased).isEmpty && rowBased.exceptAll(inRow).isEmpty
+    }, trials = 10)
+  }
+
+  test("envelope roundtrip survives hostile payload strings") {
+    val hostile = Gen.oneOf(
+      """quote " inside""", "back\\slash", "new\nline", "tab\there",
+      "unicode: é中文😀", "{\"json\": [1,2]}",
+      "   ", "a:b:c", "")
+    check(Prop.forAll(Gen.listOfN(3, hostile)) { payloads =>
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (s"u-$i", p) }.toDF("event_uuid", "payload")
+      val rt = df.select(EventOps.decodeEnvelope(
+        EventOps.encodeEnvelope(struct($"event_uuid", $"payload"), $"event_uuid"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_uuid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.StringType)))).as("e"))
+        .select($"e.event_uuid", $"e.payload")
+      val orig = df.select($"event_uuid", $"payload")
+      rt.exceptAll(orig).isEmpty && orig.exceptAll(rt).isEmpty
+    }, trials = 10)
+  }
+
+  test("time-partition strings always parse back to the truncated minute") {
+    check(Prop.forAll(Gen.choose(0L, 4102444800L)) { epoch =>
+      val df = Seq(epoch).toDF("e").select(timestamp_seconds($"e").as("ts"))
+      val r = EventOps.withTimePartitions(df, $"ts")
+        .select(concat_ws("-", $"year", $"month", $"day", $"hour", $"minute"),
+          date_format($"ts", "yyyy-MM-dd-HH-mm"))
+        .as[(String, String)].head()
+      r._1 == r._2 // zero-padded components reassemble the minute exactly
+    }, trials = 20)
+  }
+}
