@@ -38,11 +38,18 @@ object EventGen {
     * events/second (the reference's design point is 278/s,
     * run_toy_example.py:23). */
   def events(spark: SparkSession, n: Long, t0: Double = 1.71e9,
+      rate: Double = 278.0): DataFrame =
+    eventsFromIds(spark.range(n).toDF(), t0, rate)
+
+  /** Event projection over ANY `id`-column relation — the same expression
+    * set serves `spark.range` (batch tests) and the streaming `rate`
+    * source (`value` renamed to `id`): one narrow map stage either way. */
+  def eventsFromIds(ids: DataFrame, t0: Double = 1.71e9,
       rate: Double = 278.0): DataFrame = {
     val id = col("id")
     val pick = pmod(xxhash64(id, lit(42)), lit(eventNames.size)).cast("int")
     val nameArr = array(eventNames.map(lit): _*)
-    spark.range(n).select(
+    ids.select(
       md5(concat(lit("uuid-"), id)).as("event_uuid"),
       (lit(t0) + id.cast("double") / rate).as("created_at"),
       element_at(nameArr, pick + 1).as("event_name"),

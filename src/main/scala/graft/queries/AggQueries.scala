@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Aggregation-surface completions (SURVEY.md §2 Part B "Aggregations"):
+  * CUBE, pivot, exact interpolated percentiles, and approximate sketches
+  * (HLL distinct / approximate percentile — no oracle by design: sketch
+  * algorithms differ across engines, so the driver records the weaker
+  * rows-only check for q34). */
+object AggQueries {
+
+  // ------------------------------------------------------------------ q34
+  /** Approximate sketches: HyperLogLog distinct counts + approximate
+    * percentile per event type. Deterministic per engine but not across
+    * engines → deliberately NO oracle SQL (rows-only check). At 100 TB
+    * these replace exact distincts: no shuffle-wide exact state, fixed
+    * sketch memory. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------------------------------ q35
+  /** CUBE over (returnflag, linestatus) — all four grouping sets, via the
+    * same re-aggregation shape as q11 (cube over pre-aggregated cells). */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    cells.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+  }
+  private val q35Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ------------------------------------------------------------------ q36
+  /** Pivot: daily event counts, one column per event type. Explicit value
+    * list keeps the output schema static (a dynamic pivot would need a
+    * driver-side distinct pass — SURVEY §5 determinism rules). */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+  }
+  private val q36Sql = {
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n       ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ q37
+  /** Exact interpolated percentiles (median, p90) — Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation
+    * definition. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+      .orderBy(col("event_type"))
+  }
+  private val q37Sql =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(min(value), 2) AS min_v,
+      |       round(max(value), 2) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[Decl] = Seq(
+    Decl("q34_approx_sketches", q34, None), // rows-only: engine-specific sketches
+    Decl("q35_cube", q35, Some(q35Sql)),
+    Decl("q36_pivot", q36, Some(q36Sql)),
+    Decl("q37_percentiles", q37, Some(q37Sql)))
+}

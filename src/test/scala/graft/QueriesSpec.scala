@@ -6,11 +6,13 @@ import graft.queries.Queries
   * contract (column names are what the driver hash-compares on). */
 class QueriesSpec extends SparkSpecBase {
 
-  test("registry: every query has oracle SQL and unique name") {
+  test("registry: unique names; oracle SQL for all but declared " +
+    "rows-only sketch queries") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size === names.size)
-    assert(Queries.all.forall(_.sql.isDefined))
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    val rowsOnly = Queries.all.filter(_.sql.isEmpty).map(_.name).toSet
+    assert(rowsOnly === Set("q34_approx_sketches")) // sketches differ across engines
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
   Queries.all.foreach { d =>
