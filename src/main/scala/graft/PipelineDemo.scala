@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.pipeline.{BatchPipeline, EventGen, Metrics}
+import graft.pipeline.{EventGen, Metrics}
 import graft.streaming.StreamingPipeline
 
 /** Executable end-to-end demo of the reference pipeline parity
@@ -37,33 +37,25 @@ object PipelineDemo {
     println(s"[demo] produced ${records.length} enveloped records " +
       s"(${records.length - n} injected duplicates)")
 
-    // 2. streaming ingest: decode -> watermarked dedup -> staging NDJSON,
-    //    with per-micro-batch observed metrics fed to the CloudWatch-parity
-    //    listener (reference: run_toy_example.py:33-36's counter updates)
+    // 2+3. EP1 orchestration: streaming decode -> watermarked dedup ->
+    //      minute-partitioned staging; every micro-batch re-compacts the
+    //      hours it touched into language-partitioned parquet
+    //      (StreamingPipeline.startIngestWithCompaction)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.streams.addListener(metrics.streamingListener())
     val mem = MemoryStream[String]
-    val staged = metrics.observed(StreamingPipeline.pipeline(
-      mem.toDF().select($"value".as("record")), watermark = Some("10 minutes")))
-    val q = graft.ops.EventOps.withTimePartitions(staged, $"ts")
-      .writeStream.format("json")
-      .option("path", s"$work/staging")
-      .option("checkpointLocation", s"$work/ckpt")
-      .partitionBy("year", "month", "day", "hour", "minute")
-      .start()
+    val q = StreamingPipeline.startIngestWithCompaction(
+      mem.toDF().select($"value".as("record")),
+      s"$work/staging", s"$work/processed", s"$work/ckpt", metrics)
     mem.addData(records)
     q.processAllAvailable()
     q.stop()
     val stagedN = spark.read.schema(
       graft.model.EventModel.stagedEventSchema).json(s"$work/staging").count()
     println(s"[demo] staged $stagedN events after streaming dedup")
-
-    // 3. hourly batch compaction (reference: toy_glue.py:19-75)
-    val (dups, written) = BatchPipeline.compactHour(
-      spark, s"$work/staging", s"$work/processed",
-      "2024", "03", "09", "16", metrics)
-    println(s"[demo] compacted hour 16: $written rows " +
-      s"($dups residual duplicate keys found in staging)")
+    val compacted = spark.read.parquet(s"$work/processed/year=2024/month=03/day=09/hour=16")
+    println(s"[demo] compacted hour 16: ${compacted.count()} rows " +
+      s"(batch_duplicates=${metrics.batchDuplicates.get})")
 
     // 4. metrics report (reference: mock_cloudwatch.py:38-54).
     // ingested_events arrives via the streaming listener; compaction adds
@@ -72,8 +64,7 @@ object PipelineDemo {
     metrics.duplicatesPrevented.set(records.length - stagedN)
     println(metrics.report("Demo pipeline metrics"))
 
-    val langs = spark.read
-      .parquet(s"$work/processed/year=2024/month=03/day=09/hour=16")
+    val langs = compacted
       .groupBy("language_id").count().orderBy($"language_id")
     langs.show(30, false)
     println(s"[demo] output at $work/processed")

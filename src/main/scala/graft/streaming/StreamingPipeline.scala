@@ -54,6 +54,45 @@ object StreamingPipeline {
   def pipeline(records: DataFrame, watermark: Option[String] = Some("10 minutes")): DataFrame =
     dedup(decodeRecords(records), watermark)
 
+  /** Full EP1 orchestration (reference: run_toy_example.py:21-49's
+    * ∞ loop — ingest 60 s, then run the Glue batch): every micro-batch
+    * appends to minute-partitioned staging NDJSON, then re-compacts
+    * exactly the hours that batch touched into language-partitioned
+    * parquet. `foreachBatch` + dynamic partition overwrite makes the
+    * compaction idempotent per hour; the touched-hours collect is a
+    * handful of tuples, not data. */
+  def startIngestWithCompaction(records: org.apache.spark.sql.DataFrame,
+      stagingDir: String, processedDir: String, checkpointDir: String,
+      metrics: graft.pipeline.Metrics = new graft.pipeline.Metrics,
+      watermark: Option[String] = Some("10 minutes"),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): org.apache.spark.sql.streaming.StreamingQuery = {
+    val staged = metrics.observed(graft.ops.EventOps.withTimePartitions(
+      pipeline(records, watermark), col("ts")))
+    staged.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            batch.write.mode("append")
+              .partitionBy("year", "month", "day", "hour", "minute")
+              .json(stagingDir)
+            val hours = batch.select("year", "month", "day", "hour")
+              .distinct().collect()
+            hours.foreach { h =>
+              graft.pipeline.BatchPipeline.compactHour(
+                batch.sparkSession, stagingDir, processedDir,
+                h.getString(0), h.getString(1), h.getString(2), h.getString(3),
+                metrics)
+            }
+          } finally batch.unpersist()
+        } // empty micro-batch: reference logs "No records" and skips
+          // (toy_lambda_function.py:66-69)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Partitioned streaming file sink with the reference's 60 s cadence
     * (run_toy_example.py:25). Time partitions derive from EVENT time; the
     * reference's processing-time partitioning (toy_lambda_function.py:9-19)

@@ -57,4 +57,36 @@ class StreamingSpec extends SparkSpecBase {
       assert(spark.table("wm_out").count() === 50)
     } finally q.stop()
   }
+
+  test("foreachBatch orchestration: staging + per-hour compaction per " +
+    "micro-batch (EP1 loop parity)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staging = tmpDir("orch_staging")
+    val processed = tmpDir("orch_processed")
+    val ckpt = tmpDir("orch_ckpt")
+    val mem = MemoryStream[String]
+    val q = StreamingPipeline.startIngestWithCompaction(
+      mem.toDF().select($"value".as("record")), staging, processed, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      val batch = envelopedStrings(300)
+      mem.addData(batch ++ batch.take(30)) // with duplicates
+      q.processAllAvailable()
+      // staged NDJSON exists, minute-partitioned
+      val stagedN = spark.read
+        .schema(graft.model.EventModel.stagedEventSchema)
+        .json(staging).count()
+      assert(stagedN === 300) // streaming dedup upstream of staging
+      // compacted parquet for the touched hour, language-partitioned
+      val hourDir = new java.io.File(
+        s"$processed/year=2024/month=03/day=09/hour=16")
+      assert(hourDir.isDirectory)
+      assert(spark.read.parquet(hourDir.toString).count() === 300)
+
+      mem.addData(batch.take(50)) // replayed events, second micro-batch
+      q.processAllAvailable()
+      assert(spark.read.parquet(hourDir.toString).count() === 300,
+        "cross-batch dedup + idempotent re-compaction must hold")
+    } finally q.stop()
+  }
 }
