@@ -54,8 +54,10 @@ object RateDemo {
       Trigger.ProcessingTime("5 seconds"))
     // NOTE: never processAllAvailable() on a rate source — it produces new
     // rows every second, so "all available" never settles. Sleep + stop.
+    // stop() interrupts a mid-flight micro-batch when the offered rate
+    // exceeds capacity — that interruption is expected, not a failure.
     Thread.sleep(seconds * 1000L)
-    q.stop()
+    try q.stop() catch { case _: InterruptedException => }
     val out = spark.read.parquet(s"$work/out")
     val n = out.count()
     println(s"[rate] ingested $n events in ~${seconds}s " +
