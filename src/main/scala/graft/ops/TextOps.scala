@@ -181,6 +181,14 @@ object TextOps {
     hits.cast("double") / size(w)
   }
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumeric (keeping spaces), collapse whitespace runs. Pure
+    * per-row expression; hash the result for the exact-dedup key. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+      " +", " ")
+
   /** N-gram-heuristic language ID: stopword-marker scoring. With a real
     * corpus the marker lists are per-language frequency profiles; the
     * synthetic corpus is English-ish, so the heuristic reduces to an

@@ -70,7 +70,49 @@ object TextRankQueries {
       |SELECT label, dim, round(avg(v), 4) AS c
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ q40
+  /** Canonical normalization + exact dedup on the normalized hash (the
+    * curation pipeline's stage 1 — graft.pipeline.CurationPipeline). */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.CurationPipeline.exactDedup(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), md5(TextOps.normalizeText(col("text"))).as("norm_hash"))
+      .orderBy(col("doc_id"))
+  }
+  private val q40Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |        ' +', ' ', 'g')) AS norm_hash
+      |  FROM documents)
+      |SELECT doc_id, norm_hash FROM h
+      |QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q41
+  /** describe()-style summary statistics per group (count / mean / sample
+    * stddev / min / max). */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 2).as("mean_v"),
+        round(stddev_samp(col("value")), 2).as("sd_v"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+      .orderBy(col("event_type"))
+  }
+  private val q41Sql =
+    """SELECT event_type, count(*) AS n,
+      |       round(avg(value), 2) AS mean_v,
+      |       round(stddev_samp(value), 2) AS sd_v,
+      |       round(min(value), 2) AS min_v,
+      |       round(max(value), 2) AS max_v
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q38_tfidf_topk", q38, Some(q38Sql)),
-    Decl("q39_label_centroids", q39, Some(q39Sql)))
+    Decl("q39_label_centroids", q39, Some(q39Sql)),
+    Decl("q40_normalize_dedup", q40, Some(q40Sql)),
+    Decl("q41_summary_stats", q41, Some(q41Sql)))
 }

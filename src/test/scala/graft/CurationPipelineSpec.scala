@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CurationPipeline
+import graft.sources.Tables
+
+class CurationPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("full curation funnel: exact dups, low-quality, and near-dups " +
+    "drop in their own stages; tokens accounted") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    // inject: an exact dup (different id), a trivial low-quality doc, and
+    // a near-dup (one word changed in a long doc)
+    val base = docs.where($"doc_id" === 1).select($"text").as[String].head()
+    val nearDup = base.split(" ").toSeq.updated(0, "zzz").mkString(" ")
+    val injected = docs.unionByName(Seq(
+      (900001L, base),          // exact dup of doc 1
+      (900002L, "tiny doc"),    // fails minWords
+      (900003L, nearDup)        // near-dup of doc 1
+    ).toDF("doc_id", "text"))
+
+    val (curated, report) = CurationPipeline.curate(injected)
+    val r = report.head()
+    val input = r.getAs[Long]("input_docs")
+    assert(input === docs.count() + 3)
+    assert(r.getAs[Long]("after_exact_dedup") === input - 1) // exact dup gone
+    assert(r.getAs[Long]("after_quality") <= input - 2)      // tiny doc gone
+    val survivors = curated.select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(900001L), "exact dup must drop")
+    assert(!survivors.contains(900002L), "low-quality must drop")
+    assert(!survivors.contains(900003L), "near-dup must drop (higher id)")
+    assert(survivors.contains(1L), "original survives every stage")
+    assert(r.getAs[Long]("total_ws_tokens") > 0)
+  }
+
+  test("curation is idempotent: curating curated output drops nothing") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val (curated, _) = CurationPipeline.curate(docs)
+    val n1 = curated.count()
+    val (again, _) = CurationPipeline.curate(curated.select($"doc_id", $"text"))
+    assert(again.count() === n1)
+  }
+}
