@@ -89,4 +89,37 @@ class StreamingSpec extends SparkSpecBase {
         "cross-batch dedup + idempotent re-compaction must hold")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: purchase joins clicks within the " +
+    "preceding hour, watermarked state on both sides") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(1710000000000L + min * 60000L)
+
+    val c = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.toDF().toDF("p_user_id", "purchase_ts")
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = p.join(c,
+      expr("""user_id = p_user_id AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (1L, ts(30)), (2L, ts(0)))
+      purchases.addData((1L, ts(45)), (2L, ts(90)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("user_id", "click_ts", "purchase_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      // user 1: both clicks within the hour before ts(45);
+      // user 2: click at ts(0) is OUTSIDE [ts(30), ts(90)] - excluded
+      assert(got === Set(
+        (1L, ts(0), ts(45)),
+        (1L, ts(30), ts(45))))
+    } finally q.stop()
+  }
 }
