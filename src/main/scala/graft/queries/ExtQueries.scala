@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{EventOps, TextOps}
 import graft.sources.Tables
-import graft.functions.{CosineSimilarity, VectorOps}
+import graft.functions.{CosineSimilarity, MinHashSignature, VectorOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
   * §2 "north-star extension operators"): dedup (exact / MinHash+LSH /
@@ -86,7 +86,9 @@ object ExtQueries {
     // inlines into every minhash column (8x recompute).
     val withSh = Tables.spread(Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh")))
-    withSh.select(col("doc_id") +: TextOps.minhashFromSet(col("sh"), K): _*)
+    val sig = MinHashSignature.minhashSig(spark, col("sh"), K)
+    withSh.select(col("doc_id") +:
+        (0 until K).map(i => element_at(sig, i + 1).as(s"m$i")): _*)
       .orderBy(col("doc_id"))
   }
   private val q19Sql =
@@ -107,9 +109,11 @@ object ExtQueries {
     // the signature table is ~1% the corpus size. At 100 TB the same op
     // writes the signature table to storage once and joins against it
     // (see TextOps scaladoc); in-memory cache is the single-job form.
+    val sigArr = MinHashSignature.minhashSig(spark, col("sh"), K)
     val sig = Tables.spread(Tables.documents(spark, dir)
         .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh")))
-      .select(col("doc_id") +: col("sh") +: TextOps.minhashFromSet(col("sh"), K): _*)
+      .select(col("doc_id") +: col("sh") +:
+        (0 until K).map(i => element_at(sigArr, i + 1).as(s"m$i")): _*)
       .persist()
     val cand = TextOps.lshCandidatePairs(TextOps.lshBands(sig, "doc_id", K, R), "doc_id")
     // candidates are rare -> broadcast them back onto the signature table
