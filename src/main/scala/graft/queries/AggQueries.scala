@@ -92,9 +92,29 @@ object AggQueries {
       |       round(max(value), 2) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------ q42
+  /** Skew-proof salted aggregation (graft.ops.SkewOps): two-phase
+    * sum/count, deterministically salted on event_id. The oracle is the
+    * DIRECT group-by — the salted plan must be value-identical (sums ride
+    * DECIMAL so re-association cannot change them). */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.SkewOps.saltedSumCount(
+      Tables.events(spark, dir), Seq("event_type"),
+      saltFrom = col("event_id"),
+      valueCol = col("value").cast("decimal(18,2)"), buckets = 16)
+      .select(col("event_type"), col("n"),
+        col("s").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q42Sql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q34_approx_sketches", q34, None), // rows-only: engine-specific sketches
     Decl("q35_cube", q35, Some(q35Sql)),
     Decl("q36_pivot", q36, Some(q36Sql)),
-    Decl("q37_percentiles", q37, Some(q37Sql)))
+    Decl("q37_percentiles", q37, Some(q37Sql)),
+    Decl("q42_salted_agg", q42, Some(q42Sql)))
 }
