@@ -59,6 +59,43 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, mime: String, width: Int,
+      height: Int, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Batched resize: same mapPartitions batch shape as decode; the pixel
+    * work is the stub (here: truncate bytes to the target "resolution" —
+    * deterministic), the schema/batching/lineage are real. */
+  def resizeBatched(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        // ??? <- real resampling kernel; deterministic fake:
+        val n = math.min(r.content.length, targetW * targetH / 64 + 1)
+        ResizedMedia(r.doc_id, r.mime, targetW, targetH, r.content.take(n))
+      })
+    }
+  }
+
+  /** Batched feature extraction: blob → fixed-width float vector (the
+    * embedding-model call is the stub — a deterministic byte-histogram
+    * projection; output shape matches the embeddings table's
+    * `array<float>` so downstream ANN ops compose directly). */
+  def extractFeaturesBatched(spark: SparkSession, media: DataFrame,
+      dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        // ??? <- real encoder; deterministic fake (byte histogram mod dim):
+        val v = new Array[Float](dim)
+        r.content.foreach(b => v(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
+        val norm = math.sqrt(v.map(x => x * x).sum).toFloat
+        MediaFeatures(r.doc_id, if (norm == 0f) v else v.map(_ / norm))
+      })
+    }
+  }
+
   /** Frame sampling plan for video-ish payloads: every `everyN`-th frame
     * index up to the (stub-decoded) frame count — the Spark-side plumbing
     * (explode of a per-row index array) is the real part. */

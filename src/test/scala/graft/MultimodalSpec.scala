@@ -38,4 +38,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,mime:string>"),
       s"blob column must not be read for metadata-only queries:\n$plan")
   }
+
+  test("batched resize and feature extraction keep shape and compose " +
+    "with ANN ops") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf0001).limit(50))
+    val resized = Multimodal.resizeBatched(spark, media, 224, 224)
+    assert(resized.count() === 50)
+    assert(resized.head().width === 224)
+    val feats = Multimodal.extractFeaturesBatched(spark, media, dim = 64)
+    assert(feats.count() === 50)
+    val v = feats.head().features
+    assert(v.length === 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5) // normalized
+    // composes with the cosine expression downstream
+    val df = feats.toDF()
+    val sim = df.as("a").crossJoin(df.as("b"))
+      .select(graft.functions.CosineSimilarity.cosineSim(spark,
+        $"a.features", $"b.features").as("c"))
+    assert(sim.agg(max($"c")).head().getDouble(0) <= 1.0 + 1e-9)
+  }
 }
