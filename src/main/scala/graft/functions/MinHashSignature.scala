@@ -45,7 +45,12 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MinHashSignature.compute($a, $k);")
+      // compute() returns null for an empty shingle array — propagate it as
+      // SQL NULL or downstream codegen dereferences a null ArrayData (NPE)
+      s"""
+         |${ev.value} = graft.functions.MinHashSignature.compute($a, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -104,8 +109,20 @@ object MinHashSignature {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig(shingles, k): k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig(shingles, k): k must be a literal, not a column")
+        }
+        MinHashSignature(exprs.head, k)
+      },
       "built-in")
   }
 }

@@ -30,14 +30,23 @@ object Multimodal {
     * the byte payload. A real deployment replaces `decode` with the codec
     * call; the signature (batch in, batch out) is the contract. */
   object StubCodec {
+    // shared with q29's column-level spelling and its oracle SQL — one
+    // source of truth for the fake-decode formulas
+    val FakeMime = "image/fake"
+    val BaseDim = 64
+    val WidthMod = 576
+    val HeightMul = 37
+    val HeightMod = 416
+    val FrameMod = 29
+
     def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
       // ??? <- real codec goes here; deterministic fake for tests:
       batch.map { r =>
         val n = r.content.length
         MediaMeta(r.doc_id, r.mime, n,
-          width = 64 + n % 576,
-          height = 64 + (r.doc_id * 37 % 416).toInt,
-          n_frames = 1 + n % 29)
+          width = BaseDim + n % WidthMod,
+          height = BaseDim + (r.doc_id * HeightMul % HeightMod).toInt,
+          n_frames = 1 + n % FrameMod)
       }
   }
 
@@ -46,7 +55,7 @@ object Multimodal {
     * mime + metadata columns). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("content"),
-      lit("image/fake").as("mime"))
+      lit(StubCodec.FakeMime).as("mime"))
 
   /** Batched decode over partitions: groups each partition's iterator into
     * `batchSize` chunks (the Arrow-batch shape) and runs the codec once

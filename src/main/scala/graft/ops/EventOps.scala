@@ -61,9 +61,12 @@ object EventOps {
 
   /** Epoch-seconds double → ISO-8601 string `created_datetime` (reference:
     * toy_lambda_function.py:60-62). Deviation (documented in SURVEY.md §7):
-    * the reference uses the machine-local timezone; we pin UTC for
-    * reproducibility. Python `isoformat()` emits microseconds only when
-    * non-zero; we always emit 6 digits for a fixed-width, sortable value.
+    * the reference uses the machine-local timezone; this renders in the
+    * session timezone, so callers MUST set
+    * `spark.sql.session.timeZone=UTC` for reproducible output (every main
+    * and test session in this repo does). Python `isoformat()` emits
+    * microseconds only when non-zero; we always emit 6 digits for a
+    * fixed-width, sortable value.
     */
   def createdDatetime(createdAt: Column): Column =
     date_format(timestamp_seconds(createdAt), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")

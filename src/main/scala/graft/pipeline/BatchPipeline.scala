@@ -44,7 +44,23 @@ object BatchPipeline {
   def compactHour(spark: SparkSession, stagingDir: String, processedDir: String,
       year: String, month: String, day: String, hour: String,
       metrics: Metrics = new Metrics, numPartitions: Int = 2): (Long, Long) = {
+    // dynamic overwrite only for THIS write; restore the caller's setting
+    // (leaving it flipped would silently change every later partitioned
+    // overwrite in the session)
+    val prevOverwriteMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try compactHourInner(spark, stagingDir, processedDir,
+      year, month, day, hour, metrics, numPartitions)
+    finally prevOverwriteMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def compactHourInner(spark: SparkSession, stagingDir: String,
+      processedDir: String, year: String, month: String, day: String,
+      hour: String, metrics: Metrics, numPartitions: Int): (Long, Long) = {
 
     // Schema-bound read (the reference binds a schema inferred from a raw
     // 500-event sample, toy_glue.py:34-38, which silently drops the Lambda

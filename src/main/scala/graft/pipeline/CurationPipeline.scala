@@ -43,7 +43,9 @@ object CurationPipeline {
   }
 
   /** Stage 3: MinHash+LSH near-dup removal — drops the higher-id doc of
-    * every verified (jaccard >= threshold) candidate pair. */
+    * every verified (jaccard >= threshold) candidate pair. The drop-id set
+    * (tiny) is materialized eagerly so the big signature cache can be
+    * released before returning. */
   def nearDedup(docs: DataFrame, cfg: Config, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val sig = docs
@@ -51,14 +53,20 @@ object CurationPipeline {
       .select(col(id) +: col("__sh") +:
         TextOps.minhashFromSet(col("__sh"), cfg.minhashK): _*)
       .persist()
-    val cand = TextOps.lshCandidatePairs(
-      TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id)
-    val verified = sig.select(col(id).as("doc_a"), col("__sh").as("sa"))
-      .join(broadcast(cand), "doc_a")
-      .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
-      .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= cfg.jaccardThreshold)
-    val drop = verified.select(col("doc_b").as(id)).distinct()
-    docs.join(drop, Seq(id), "left_anti")
+    try {
+      val cand = TextOps.lshCandidatePairs(
+        TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id)
+      val verified = sig.select(col(id).as("doc_a"), col("__sh").as("sa"))
+        .join(broadcast(cand), "doc_a")
+        .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
+        .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= cfg.jaccardThreshold)
+      // materialize the (ids-only, tiny) drop set while sig is cached, so
+      // the big signature cache can be released; the anti-join stays
+      // distributed — never a driver-side id list
+      val drop = verified.select(col("doc_b").as(id)).distinct().persist()
+      drop.count()
+      docs.join(drop, Seq(id), "left_anti")
+    } finally sig.unpersist()
   }
 
   /** Stage 4: token accounting columns. */
@@ -67,12 +75,16 @@ object CurationPipeline {
       .withColumn("bpe_tokens", TextOps.bpeishTokenCountOf(text))
 
   /** The full chain + a one-row funnel report (input → exact-deduped →
-    * quality-passed → near-deduped, with the surviving token budget). */
+    * quality-passed → near-deduped, with the surviving token budget).
+    * Stage outputs are cached so the funnel counts and the caller's
+    * consumption of `curated` evaluate each stage once (not 4-5×); the
+    * caches are job-scoped — call `spark.catalog.clearCache()` or
+    * unpersist when running many curations in one long session. */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val exact = exactDedup(docs)
-    val quality = qualityGate(exact, cfg)
+    val exact = exactDedup(docs).persist()
+    val quality = qualityGate(exact, cfg).persist()
     val near = nearDedup(quality, cfg)
-    val curated = withTokenCounts(near)
+    val curated = withTokenCounts(near).persist()
     val report = docs.agg(count(lit(1)).as("input_docs"))
       .crossJoin(exact.agg(count(lit(1)).as("after_exact_dedup")))
       .crossJoin(quality.agg(count(lit(1)).as("after_quality")))

@@ -86,6 +86,7 @@ object ExtQueries {
     // inlines into every minhash column (8x recompute).
     val withSh = Tables.spread(Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh")))
+      .where(size(col("sh")) > 0) // oracle's sig CTE omits shingle-less docs
     val sig = MinHashSignature.minhashSig(spark, col("sh"), K)
     withSh.select(col("doc_id") +:
         (0 until K).map(i => element_at(sig, i + 1).as(s"m$i")): _*)
@@ -352,14 +353,15 @@ object ExtQueries {
     * deterministic stub (graft.multimodal.Multimodal has the
     * mapPartitions-batched variant). Schema/partitioning/lineage are real. */
   private def q29(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal.StubCodec._
     val blob = col("text").cast("binary")
     val nBytes = length(blob)
     Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), lit("image/fake").as("mime"),
+      .select(col("doc_id"), lit(FakeMime).as("mime"),
         nBytes.as("n_bytes"),
-        (lit(64) + pmod(nBytes, lit(576))).as("width"),
-        (lit(64) + pmod(col("doc_id") * 37, lit(416))).as("height"),
-        (lit(1) + pmod(nBytes, lit(29))).as("n_frames"))
+        (lit(BaseDim) + pmod(nBytes, lit(WidthMod))).as("width"),
+        (lit(BaseDim) + pmod(col("doc_id") * HeightMul, lit(HeightMod))).as("height"),
+        (lit(1) + pmod(nBytes, lit(FrameMod))).as("n_frames"))
       .orderBy(col("doc_id"))
   }
   private val q29Sql =

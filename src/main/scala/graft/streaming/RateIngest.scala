@@ -58,13 +58,20 @@ object RateDemo {
     // exceeds capacity — that interruption is expected, not a failure.
     Thread.sleep(seconds * 1000L)
     try q.stop() catch { case _: InterruptedException => }
-    val out = spark.read.parquet(s"$work/out")
-    val n = out.count()
+    // zero committed micro-batches (very short run / slow machine) leaves
+    // only _spark_metadata behind -> read would fail schema inference
+    val out =
+      try spark.read.parquet(s"$work/out")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.emptyDataFrame }
+    val n = if (out.columns.isEmpty) 0L else out.count()
     println(s"[rate] ingested $n events in ~${seconds}s " +
       s"(~${n / math.max(seconds, 1)}/s vs design ${rate}/s)")
-    out.groupBy("event_type").count().orderBy(desc("count")).show(5, false)
-    println(s"[rate] partitions: " + out.select("year", "month", "day", "hour")
-      .distinct().count())
+    if (n > 0) {
+      out.groupBy("event_type").count().orderBy(desc("count")).show(5, false)
+      println(s"[rate] partitions: " + out.select("year", "month", "day", "hour")
+        .distinct().count())
+    }
     spark.stop()
   }
 }

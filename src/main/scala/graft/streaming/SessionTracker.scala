@@ -42,12 +42,22 @@ object SessionTracker {
         sorted.foreach { e =>
           val t = e.ts.getTime
           open match {
-            case Some(s) if t - s.last < gapMs =>
-              open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-            case Some(s) =>
+            // forward extension within the gap, OR an in-watermark late
+            // event inside/adjacent to the open interval: merge, extending
+            // the start backward when needed
+            case Some(s) if t >= s.start - gapMs && t - s.last < gapMs =>
+              open = Some(s.copy(start = math.min(s.start, t),
+                last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) if t > s.last =>
               closed += ClosedSession(userId, new Timestamp(s.start),
                 new Timestamp(s.last), s.n)
               open = Some(OpenSession(t, t, 1))
+            case Some(_) =>
+              // late event more than a gap BEFORE the open session: its own
+              // already-over session (earlier neighbors have left state;
+              // exact retro-merging would need unbounded buffering)
+              closed += ClosedSession(userId, new Timestamp(t),
+                new Timestamp(t), 1)
             case None =>
               open = Some(OpenSession(t, t, 1))
           }

@@ -26,4 +26,16 @@ class MinHashSignatureSpec extends SparkSpecBase {
     assert(got(0).getSeq[String](0).length === 4)
     assert(got(1).isNullAt(0))
   }
+
+  test("codegen path: parquet-backed empty shingle array yields NULL " +
+    "(regression: generated code must set isNull, not return null array)") {
+    val dir = tmpDir("mh_parquet")
+    Seq(Seq("a b", "b c"), Seq.empty[String]).toDF("sh")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir) // file-backed -> no LocalRelation folding
+    val got = back.select(MinHashSignature.minhashSig(spark, $"sh", 4).as("s"))
+      .collect()
+    assert(got.count(_.isNullAt(0)) === 1)
+    assert(got.count(r => !r.isNullAt(0) && r.getSeq[String](0).length == 4) === 1)
+  }
 }

@@ -42,4 +42,25 @@ class SessionTrackerSpec extends SparkSpecBase {
       assert(closed.contains(ClosedSession(1, ts(125), ts(140), 2)))
     } finally q.stop()
   }
+
+  test("in-watermark late event before session start merges and extends " +
+    "the start backward") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = SessionTracker.track(mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, ts(100)))
+      q.processAllAvailable() // watermark -> min 70
+      mem.addData(UserEvent(1, ts(85))) // late but >= watermark, within gap of start
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, ts(200))) // closes the extended session
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").as[ClosedSession].collect().toSet
+      assert(closed.contains(ClosedSession(1, ts(85), ts(100), 2)),
+        s"expected backward-extended session, got $closed")
+    } finally q.stop()
+  }
 }
