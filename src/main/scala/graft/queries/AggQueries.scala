@@ -111,10 +111,40 @@ object AggQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ q43
+  /** Custom KMV distinct-count sketch (graft.functions.KMVSketch, a
+    * TypedImperativeAggregate). Deterministic md5-based sketch → unlike
+    * HLL (q34) the ESTIMATE itself is oracle-matched: DuckDB ranks the
+    * same hashes and applies the same (k-1)/frac(kth) formula. */
+  private val KMV_K = 256
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("exact_distinct"),
+        round(graft.functions.KMVSketch.kmvDistinct(spark,
+          col("event_id").cast("string"), KMV_K), 4).as("kmv_estimate"))
+      .orderBy(col("event_type"))
+  }
+  private val q43Sql = {
+    val frac = (0 until 13)
+      .map(j => s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * POW(16, ${12 - j})")
+      .mkString(" + ")
+    s"""WITH hashed AS (SELECT DISTINCT event_type, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+       |ranked AS (SELECT event_type, h,
+       |       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |       count(*) OVER (PARTITION BY event_type) AS cnt FROM hashed)
+       |SELECT event_type, cnt AS exact_distinct,
+       |       round(CASE WHEN cnt < $KMV_K THEN CAST(cnt AS DOUBLE)
+       |                  ELSE ($KMV_K - 1) / (($frac) / POW(16, 13)) END, 4) AS kmv_estimate
+       |FROM ranked WHERE rn = $KMV_K OR (cnt < $KMV_K AND rn = 1)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val all: Seq[Decl] = Seq(
     Decl("q34_approx_sketches", q34, None), // rows-only: engine-specific sketches
     Decl("q35_cube", q35, Some(q35Sql)),
     Decl("q36_pivot", q36, Some(q36Sql)),
     Decl("q37_percentiles", q37, Some(q37Sql)),
-    Decl("q42_salted_agg", q42, Some(q42Sql)))
+    Decl("q42_salted_agg", q42, Some(q42Sql)),
+    Decl("q43_kmv_sketch", q43, Some(q43Sql)))
 }
