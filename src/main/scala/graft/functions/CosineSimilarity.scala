@@ -101,15 +101,37 @@ object CosineSimilarity {
   }
 }
 
-/** SparkSessionExtensions hook: `spark.sql("SELECT cosine_sim(a, b)")`.
-  * Register with `.withExtensions(new GraftExtensions)` or
+/** SparkSessionExtensions hook for ALL graft custom functions
+  * (`cosine_sim`, `minhash_sig`, `kmv_distinct`). Register with
+  * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case l if l.foldable => l.eval() match {
+      case i: Int => i
+      case l2: Long => l2.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn: k must be a literal")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, intLit(exprs(1), "minhash_sig"))))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KMVSketch].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) =>
+        KMVSketch(exprs.head, intLit(exprs(1), "kmv_distinct"))
+          .toAggregateExpression()))
   }
 }
 

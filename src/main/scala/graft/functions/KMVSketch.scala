@@ -50,7 +50,7 @@ case class KMVSketch(child: Expression, k: Int,
   override def update(buf: java.util.TreeSet[String],
       input: InternalRow): java.util.TreeSet[String] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, KMVSketch.md5Hex(v.toString))
+    if (v != null) insert(buf, Digests.md5Hex(v.toString))
     buf
   }
 
@@ -94,21 +94,6 @@ case class KMVSketch(child: Expression, k: Int,
 }
 
 object KMVSketch {
-  private val HEX = "0123456789abcdef".toCharArray
-
-  def md5Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(s.getBytes("UTF-8"))
-    val hex = new Array[Char](32)
-    var b = 0
-    while (b < 16) {
-      hex(2 * b) = HEX((dig(b) >> 4) & 0xf)
-      hex(2 * b + 1) = HEX(dig(b) & 0xf)
-      b += 1
-    }
-    new String(hex)
-  }
-
   /** Column entry point via the function registry. */
   def kmvDistinct(spark: SparkSession, value: Column, k: Int): Column = {
     register(spark)

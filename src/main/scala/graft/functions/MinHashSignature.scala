@@ -57,8 +57,6 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 object MinHashSignature {
-  private val HEX = "0123456789abcdef".toCharArray
-
   /** One pass: for every shingle, k digests of ("s|" ++ shingleBytes);
     * minima tracked as hex strings. Empty input → array of k nulls is
     * wrong for containsNull=false; return null (matches array_min of an
@@ -68,7 +66,7 @@ object MinHashSignature {
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Digests.md5()
     val prefixes = Array.tabulate(k)(s => (s.toString + "|").getBytes)
     val mins = new Array[String](k)
     var i = 0
@@ -79,15 +77,7 @@ object MinHashSignature {
         md.reset()
         md.update(prefixes(s))
         md.update(sh)
-        val dig = md.digest()
-        val hex = new Array[Char](32)
-        var b = 0
-        while (b < 16) {
-          hex(2 * b) = HEX((dig(b) >> 4) & 0xf)
-          hex(2 * b + 1) = HEX(dig(b) & 0xf)
-          b += 1
-        }
-        val hx = new String(hex)
+        val hx = Digests.toHex(md.digest())
         if (mins(s) == null || hx.compareTo(mins(s)) < 0) mins(s) = hx
         s += 1
       }

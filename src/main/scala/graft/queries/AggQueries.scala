@@ -129,7 +129,8 @@ object AggQueries {
     val frac = (0 until 13)
       .map(j => s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * POW(16, ${12 - j})")
       .mkString(" + ")
-    s"""WITH hashed AS (SELECT DISTINCT event_type, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+    s"""WITH hashed AS (SELECT DISTINCT event_type, md5(CAST(event_id AS VARCHAR)) AS h
+       |  FROM events WHERE event_id IS NOT NULL),
        |ranked AS (SELECT event_type, h,
        |       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
        |       count(*) OVER (PARTITION BY event_type) AS cnt FROM hashed)
