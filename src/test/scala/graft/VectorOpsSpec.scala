@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.pipeline.EventGen
+import graft.sources.Tables
+
+class VectorOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dot / l2Norm / l2Sq on known vectors") {
+    val df = Seq((Array(3f, 4f), Array(1f, 2f))).toDF("a", "b")
+    val (dot, na, d2) = df.select(
+      VectorOps.dot($"a", $"b"), VectorOps.l2Norm($"a"),
+      VectorOps.l2Sq($"a", $"b")).as[(Double, Double, Double)].head()
+    assert(dot === 11.0) // 3*1 + 4*2
+    assert(na === 5.0)   // sqrt(9+16)
+    assert(d2 === 8.0)   // (3-1)^2 + (4-2)^2
+  }
+
+  test("signBucket: bit i set iff dim i non-negative; k dims -> [0, 2^k)") {
+    val df = Seq(Array(1f, -1f, 0f, -2f)).toDF("v")
+    val b = df.select(VectorOps.signBucket($"v", 4)).as[Int].head()
+    assert(b === (1 | 4)) // dims 0 and 2 (zero counts as >= 0)
+    val all = Tables.embeddings(spark, sf0001)
+      .select(VectorOps.signBucket($"embedding", 8).as("b"))
+    val (lo, hi) = all.agg(min($"b"), max($"b")).as[(Int, Int)].head()
+    assert(lo >= 0 && hi < 256)
+  }
+
+  test("EventGen taxonomy: 36 names, 3-part payment names generated") {
+    assert(EventGen.eventNames.size === 36)
+    assert(EventGen.eventNames.count(_.split(":").length == 3) === 2)
+    val names = EventGen.events(spark, 5000)
+      .select("event_name").distinct().as[String].collect().toSet
+    assert(names.subsetOf(EventGen.eventNames.toSet))
+    assert(names.contains("payment:order:completed"))
+  }
+
+  test("Tables.spread raises partition count to default parallelism") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(docs.rdd.getNumPartitions === 1) // single-row-group local file
+    assert(Tables.spread(docs).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+}
