@@ -110,9 +110,36 @@ object TextRankQueries {
       |       round(max(value), 2) AS max_v
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ q44
+  /** Deterministic stratified sampling (graft.ops.Sampling): downsample
+    * hot classes by a hash-threshold on the row id — reproducible and
+    * oracle-matched (same md5-fraction computed in SQL). */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Sampling.stratifiedSample(
+      Tables.events(spark, dir), col("event_id"), col("event_type"),
+      Map("click" -> 0.1, "view" -> 0.25))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("event_type"))
+  }
+  private val q44Sql = {
+    val frac = (0 until 13)
+      .map(j => s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * POW(16, ${12 - j})")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+       |kept AS (
+       |  SELECT event_type FROM hashed
+       |  WHERE (($frac) / POW(16, 13)) <
+       |        CASE event_type WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.25 ELSE 1.0 END)
+       |SELECT event_type, count(*) AS n_sampled
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[Decl] = Seq(
     Decl("q38_tfidf_topk", q38, Some(q38Sql)),
     Decl("q39_label_centroids", q39, Some(q39Sql)),
     Decl("q40_normalize_dedup", q40, Some(q40Sql)),
-    Decl("q41_summary_stats", q41, Some(q41Sql)))
+    Decl("q41_summary_stats", q41, Some(q41Sql)),
+    Decl("q44_stratified_sample", q44, Some(q44Sql)))
 }

@@ -43,4 +43,19 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(Tables.spread(docs).rdd.getNumPartitions ===
       spark.sparkContext.defaultParallelism)
   }
+
+  test("deterministic sampling: reproducible, class fractions respected") {
+    import graft.ops.Sampling
+    val ev = Tables.events(spark, sf0001)
+    val s1 = Sampling.deterministicSample(ev, $"event_id", 0.3)
+    val s2 = Sampling.deterministicSample(ev, $"event_id", 0.3)
+    assert(s1.count() === s2.count()) // same input -> same sample
+    val n = ev.count().toDouble
+    assert(math.abs(s1.count() / n - 0.3) < 0.1)
+    val strat = Sampling.stratifiedSample(ev, $"event_id", $"event_type",
+      Map("click" -> 0.0)) // drop clicks entirely
+    assert(strat.where($"event_type" === "click").count() === 0)
+    assert(strat.where($"event_type" === "view").count() ===
+      ev.where($"event_type" === "view").count())
+  }
 }
