@@ -87,19 +87,42 @@ object TextOps {
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing an LSH band key. The join is
-    * a shuffle on (band, key); at 100 TB add a hot-bucket cap (drop keys
-    * with > maxBucket members — standard LSH practice, they are almost
-    * always boilerplate) before self-joining. */
+  /** Default hot-bucket cap: a band key shared by more than this many
+    * docs is near-certainly boilerplate (standard LSH practice), and an
+    * uncapped key makes the candidate self-join quadratic in its size —
+    * the one shape that kills this plan at 100 TB. 64 keeps ≤ 2016
+    * pairs per bucket while being far above any honest near-dup
+    * cluster in the synthetic corpus. */
+  val DefaultMaxBucket = 64
+
+  /** Drop rows whose bucket (the tuple of `keys` values) holds more than
+    * `max` rows. One extra aggregation on the (narrow) key columns; the
+    * kept-keys set joins back as a broadcast-able semi-side. The drop is
+    * observable without an extra pass via the `metric` observe() metric
+    * (`dropped_buckets` / `dropped_rows`) on the bucket-size subplan —
+    * read it from QueryExecution.observedMetrics or a listener. */
+  def capHotBuckets(df: DataFrame, keys: Seq[String], max: Int,
+      metric: String = "hot_buckets"): DataFrame = {
+    val kcols = keys.map(col)
+    val sizes = df.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("__bn"))
+      .observe(metric,
+        sum(when(col("__bn") > max, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("__bn") > max, col("__bn")).otherwise(0L)).as("dropped_rows"))
+      .where(col("__bn") <= max)
+      .drop("__bn")
+    df.join(sizes, keys)
+  }
+
+  /** Distinct candidate pairs (a < b) sharing an LSH band key, with a
+    * hot-bucket cap: keys with > maxBucket members are dropped before
+    * the self-join (they are almost always boilerplate, and each
+    * contributes O(n²) candidates). */
   def lshCandidatePairs(bands: DataFrame, id: String,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val pruned = maxBucket match {
-      case Some(m) =>
-        val sizes = bands.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__bn")).where(col("__bn") <= m)
-          .drop("__bn")
-        bands.join(sizes, Seq("band", "key"))
-      case None => bands
+      case Some(m) => capHotBuckets(bands, Seq("band", "key"), m, "lsh_hot_buckets")
+      case None    => bands
     }
     val a = pruned.select(col("band"), col("key"), col(id).as("doc_a"))
     val b = pruned.select(col("band"), col("key"), col(id).as("doc_b"))

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{EventOps, TextOps}
+import graft.ops.{Caches, EventOps, TextOps}
 
 /** End-to-end training-data curation: the extension operators composed the
   * way a 100 TB corpus job would chain them — each stage a pure
@@ -43,11 +43,24 @@ object CurationPipeline {
   }
 
   /** Stage 3: MinHash+LSH near-dup removal — drops the higher-id doc of
-    * every verified (jaccard >= threshold) candidate pair. The drop-id set
-    * (tiny) is materialized eagerly so the big signature cache can be
-    * released before returning. */
+    * every verified (jaccard >= threshold) candidate pair. The drop-id
+    * set is materialized eagerly (while the signature table is cached) so
+    * BOTH caches can be released before returning: a drop set within
+    * `maxLocalDropIds` becomes a driver-local relation (ids only — a
+    * curation drop set is orders of magnitude smaller than its corpus)
+    * feeding a broadcast anti-join; a larger one stays a distributed
+    * cached table whose handle `curate()` (or the caller, via
+    * [[nearDedupStaged]]) unpersists after consuming the result. The
+    * multi-job / 100 TB form writes the drop set to storage instead. */
   def nearDedup(docs: DataFrame, cfg: Config, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text"): DataFrame =
+    nearDedupStaged(docs, cfg, id, text)._1
+
+  /** [[nearDedup]] plus a cleanup handle releasing any cache the drop set
+    * still holds — call it after the returned DataFrame is consumed. */
+  def nearDedupStaged(docs: DataFrame, cfg: Config, id: String = "doc_id",
+      text: String = "text",
+      maxLocalDropIds: Int = 1 << 20): (DataFrame, () => Unit) = {
     val sig = docs
       .select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("__sh"))
       .select(col(id) +: col("__sh") +:
@@ -60,12 +73,14 @@ object CurationPipeline {
         .join(broadcast(cand), "doc_a")
         .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
         .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= cfg.jaccardThreshold)
-      // materialize the (ids-only, tiny) drop set while sig is cached, so
-      // the big signature cache can be released; the anti-join stays
-      // distributed — never a driver-side id list
-      val drop = verified.select(col("doc_b").as(id)).distinct().persist()
-      drop.count()
-      docs.join(drop, Seq(id), "left_anti")
+      val drop = verified.select(col("doc_b").as(id)).distinct()
+      Caches.localize(drop, maxLocalDropIds) match {
+        case Some(local) =>
+          (docs.join(broadcast(local), Seq(id), "left_anti"), () => ())
+        case None =>
+          val d = drop.persist(); d.count()
+          (docs.join(d, Seq(id), "left_anti"), () => { d.unpersist(); () })
+      }
     } finally sig.unpersist()
   }
 
@@ -76,21 +91,30 @@ object CurationPipeline {
 
   /** The full chain + a one-row funnel report (input → exact-deduped →
     * quality-passed → near-deduped, with the surviving token budget).
-    * Stage outputs are cached so the funnel counts and the caller's
-    * consumption of `curated` evaluate each stage once (not 4-5×); the
-    * caches are job-scoped — call `spark.catalog.clearCache()` or
-    * unpersist when running many curations in one long session. */
+    * Intermediate stages are cached only while this call runs: `curated`
+    * is materialized eagerly and the report row collected locally, then
+    * every stage cache is released. The one cache that survives is
+    * `curated` itself — the returned deliverable — which the caller
+    * releases with `curated.unpersist()` when done. */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
     val exact = exactDedup(docs).persist()
     val quality = qualityGate(exact, cfg).persist()
-    val near = nearDedup(quality, cfg)
+    val (near, nearCleanup) = nearDedupStaged(quality, cfg)
     val curated = withTokenCounts(near).persist()
-    val report = docs.agg(count(lit(1)).as("input_docs"))
-      .crossJoin(exact.agg(count(lit(1)).as("after_exact_dedup")))
-      .crossJoin(quality.agg(count(lit(1)).as("after_quality")))
-      .crossJoin(curated.agg(count(lit(1)).as("after_near_dedup"),
-        sum(col("ws_tokens")).as("total_ws_tokens"),
-        sum(col("bpe_tokens")).as("total_bpe_tokens")))
-    (curated, report)
+    try {
+      val report = docs.agg(count(lit(1)).as("input_docs"))
+        .crossJoin(exact.agg(count(lit(1)).as("after_exact_dedup")))
+        .crossJoin(quality.agg(count(lit(1)).as("after_quality")))
+        .crossJoin(curated.agg(count(lit(1)).as("after_near_dedup"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens")))
+      // one-row funnel: collect it locally so the stage caches it reads
+      // can be dropped before returning
+      val localReport = Caches.localize(report, maxRows = 1)
+        .getOrElse(sys.error("funnel report must be one row"))
+      (curated, localReport)
+    } finally {
+      exact.unpersist(); quality.unpersist(); nearCleanup()
+    }
   }
 }

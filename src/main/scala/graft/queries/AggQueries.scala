@@ -6,26 +6,52 @@ import graft.sources.Tables
 
 /** Aggregation-surface completions (SURVEY.md §2 Part B "Aggregations"):
   * CUBE, pivot, exact interpolated percentiles, and approximate sketches
-  * (HLL distinct / approximate percentile — no oracle by design: sketch
-  * algorithms differ across engines, so the driver records the weaker
-  * rows-only check for q34). */
+  * (HLL distinct / approximate percentile — sketch values are
+  * engine-specific, so q34's oracle checks exact counts plus boolean
+  * error-bound assertions instead of raw sketch values). */
 object AggQueries {
 
   // ------------------------------------------------------------------ q34
   /** Approximate sketches: HyperLogLog distinct counts + approximate
-    * percentile per event type. Deterministic per engine but not across
-    * engines → deliberately NO oracle SQL (rows-only check). At 100 TB
-    * these replace exact distincts: no shuffle-wide exact state, fixed
-    * sketch memory. */
+    * percentile per event type. Sketch VALUES are engine-specific (HLL++
+    * here vs DuckDB's HLL), so the oracle-matched output carries the
+    * exact counts plus BOOLEAN bound assertions: each HLL estimate must
+    * land within ±3·rsd of the exact distinct count (a ~99.7% interval;
+    * floor of 2 absolute for tiny groups where quantization dominates),
+    * and the approximate p50 (accuracy 1000 → rank error ≤ 0.1%) must
+    * land between the exact p40 and p60. The oracle emits the same exact
+    * counts with literal TRUEs — a drifting sketch flips a boolean and
+    * fails the hash compare. At 100 TB these sketches replace exact
+    * distincts: no shuffle-wide exact state, fixed sketch memory. */
   private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    def hllOk(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(approx - exact) <= greatest(lit(3 * rsd) * exact, lit(2.0))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("event_id")).as("exact_events"),
+        approx_count_distinct(col("user_id"), rsd = rsd).as("approx_users"),
+        approx_count_distinct(col("event_id"), rsd = rsd).as("approx_events"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+        expr("percentile(value, 0.4)").as("p40"),
+        expr("percentile(value, 0.6)").as("p60"))
+      .select(col("event_type"), col("exact_users"), col("exact_events"),
+        hllOk(col("approx_users"), col("exact_users")).as("hll_users_in_bound"),
+        hllOk(col("approx_events"), col("exact_events")).as("hll_events_in_bound"),
+        (col("approx_p50") >= col("p40") && col("approx_p50") <= col("p60"))
+          .as("p50_in_bound"))
       .orderBy(col("event_type"))
   }
+  private val q34Sql =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       count(DISTINCT event_id) AS exact_events,
+      |       TRUE AS hll_users_in_bound,
+      |       TRUE AS hll_events_in_bound,
+      |       TRUE AS p50_in_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------ q35
   /** CUBE over (returnflag, linestatus) — all four grouping sets, via the
@@ -142,7 +168,7 @@ object AggQueries {
   }
 
   val all: Seq[Decl] = Seq(
-    Decl("q34_approx_sketches", q34, None), // rows-only: engine-specific sketches
+    Decl("q34_approx_sketches", q34, Some(q34Sql)),
     Decl("q35_cube", q35, Some(q35Sql)),
     Decl("q36_pivot", q36, Some(q36Sql)),
     Decl("q37_percentiles", q37, Some(q37Sql)),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{EventOps, TextOps}
+import graft.ops.{Caches, EventOps, TextOps}
 import graft.sources.Tables
 import graft.functions.{CosineSimilarity, MinHashSignature, VectorOps}
 
@@ -116,23 +116,37 @@ object ExtQueries {
       .select(col("doc_id") +: col("sh") +:
         (0 until K).map(i => element_at(sigArr, i + 1).as(s"m$i")): _*)
       .persist()
-    val cand = TextOps.lshCandidatePairs(TextOps.lshBands(sig, "doc_id", K, R), "doc_id")
-    // candidates are rare -> broadcast them back onto the signature table
-    // (map-side joins); jaccard is then in-row on the two set arrays
-    val withSets = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
-      .join(broadcast(cand), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-    val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
-    withSets.where(j >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    try {
+      val cand = TextOps.lshCandidatePairs(
+        TextOps.lshBands(sig, "doc_id", K, R), "doc_id",
+        maxBucket = Some(TextOps.DefaultMaxBucket))
+      // candidates are rare -> broadcast them back onto the signature table
+      // (map-side joins); jaccard is then in-row on the two set arrays
+      val withSets = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+        .join(broadcast(cand), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
+      val pairs = withSets.where(j >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+      // Materialize the (tiny) verified-pair list so the signature cache
+      // is released before returning — a lazily-returned DataFrame would
+      // pin the ~1%-of-corpus cache for the session lifetime. Falls back
+      // to the still-cached plan only if the pair list is improbably huge.
+      Caches.localize(pairs, maxRows = 1 << 20).getOrElse {
+        val p = pairs.persist(); p.count(); p
+      }
+    } finally sig.unpersist()
   }
   private val q20Sql =
     s"""WITH ${shingleCtes(SHINGLE_N)},
        |${sigCte(K)},
        |${bandCte(K, R)},
+       |bsz AS (SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, key)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
        |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
@@ -227,7 +241,13 @@ object ExtQueries {
   /** LSH-bucketed ANN: sign-bucket on the first 8 dims (256 buckets), then
     * search only within the probe's bucket. The scale path: the bucket id
     * is a narrow int computed map-side; the candidate join shuffles
-    * corpus-size/256 rows per probe instead of corpus-size. */
+    * corpus-size/256 rows per probe instead of corpus-size.
+    *
+    * Deliberately NOT hot-bucket-capped (unlike the pair ops q20/q30):
+    * probe→corpus matching is linear in bucket size — a hot bucket costs
+    * at most what brute force (q23) pays for those probes, never
+    * quadratic — and dropping the probe's own bucket would return zero
+    * neighbors for exactly the probes that have the most candidates. */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.spread(Tables.embeddings(spark, dir))
       .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
@@ -377,8 +397,13 @@ object ExtQueries {
     * corpus has no >0.5-cosine pairs, so a threshold would return empty;
     * top-k keeps the op observable at every scale factor). */
   private def q30(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+    // hot-bucket cap: within-bucket pairing is quadratic in bucket size,
+    // so a degenerate bucket (e.g. all-zero embeddings) is dropped rather
+    // than paid — mirrored in the oracle SQL below.
+    val emb = TextOps.capHotBuckets(
+      Tables.embeddings(spark, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8)),
+      Seq("bucket"), TextOps.DefaultMaxBucket, "ann_hot_buckets")
     val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("bucket"))
@@ -389,8 +414,10 @@ object ExtQueries {
       .limit(20)
   }
   private val q30Sql =
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
-       |  FROM embeddings)
+    s"""WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
+       |  FROM embeddings),
+       |sz AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |b AS (SELECT b0.* FROM b0 JOIN sz USING (bucket))
        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
        |       round(list_cosine_similarity(a.e, c.e), 4) AS cos_sim
        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id

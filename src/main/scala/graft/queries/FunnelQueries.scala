@@ -32,7 +32,7 @@ object FunnelQueries {
       .where(col("is_click") === 0)
       .withColumn("attributed",
         when(col("last_click_ts").isNotNull &&
-          col("ts").cast("long") - col("last_click_ts").cast("long") <= 3600,
+          unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <= 3600000000L,
           1L).otherwise(0L))
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("purchases"),

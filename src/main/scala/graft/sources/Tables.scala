@@ -33,22 +33,31 @@ object Tables {
     * documented `nanosAsLong` escape hatch) and convert with integer
     * division (a double division would lose precision: 2024 epoch-nanos
     * ≈ 1.7e18 > 2^53). The generator emits whole microseconds, so the
-    * `div 1000` truncation is exact. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    * `div 1000` truncation is exact.
+    *
+    * The nanos flag is passed as a per-read datasource option (file-source
+    * options merge into the scan's hadoop conf), NOT `spark.conf.set` — a
+    * session-wide set would silently change nanos semantics for every
+    * later parquet read in the same session. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schemas("events"))
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
-  /** Fan a small-but-compute-heavy input out to all cores. The local test
-    * files are single-row-group parquet (the row group is the minimum scan
-    * split), so expression-heavy per-row work (md5 shingling, json
-    * encode/decode, cosine) would otherwise run on ONE task regardless of
-    * `maxPartitionBytes`. On a real multi-row-group/multi-file 100 TB
-    * table the scan parallelizes itself and this exchange is unnecessary —
-    * it costs one pass over the (tiny) projected input here. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Fan a small-but-compute-heavy input out to all cores — but ONLY when
+    * the scan itself is under-parallel. The local test files are
+    * single-row-group parquet (the row group is the minimum scan split),
+    * so expression-heavy per-row work (md5 shingling, json encode/decode,
+    * cosine) would otherwise run on ONE task regardless of
+    * `maxPartitionBytes`. A real multi-row-group/multi-file 100 TB table
+    * already scans at ≥ defaultParallelism, and repartitioning it would be
+    * a pointless full shuffle of the fact table — so the exchange is
+    * gated on the planned scan partition count and becomes a no-op there. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -6,13 +6,12 @@ import graft.queries.Queries
   * contract (column names are what the driver hash-compares on). */
 class QueriesSpec extends SparkSpecBase {
 
-  test("registry: unique names; oracle SQL for all but declared " +
-    "rows-only sketch queries") {
+  test("registry: unique names; every declared query is oracle-paired") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size === names.size)
     val rowsOnly = Queries.all.filter(_.sql.isEmpty).map(_.name).toSet
-    assert(rowsOnly === Set("q34_approx_sketches")) // sketches differ across engines
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
+    assert(rowsOnly === Set.empty[String]) // q34 carries bound-assertions SQL
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
   Queries.all.foreach { d =>

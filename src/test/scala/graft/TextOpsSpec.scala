@@ -56,6 +56,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.lshCandidatePairs(bands, "doc_id", maxBucket = Some(4)).count() === 0)
   }
 
+  test("skewed corpus: default cap keeps candidates bounded, honest " +
+    "near-dups survive, drops are observable") {
+    // 1000 identical boilerplate docs (one hot band key per band) plus one
+    // honest near-dup pair — uncapped this self-join is C(1000,2)·bands
+    // candidates; capped it must surface ONLY the honest pair.
+    val boiler = (1L to 1000L).map(i => (i, "x y z w v u t s r q"))
+    val near = Seq((2001L, "alpha beta gamma delta epsilon zeta"),
+      (2002L, "alpha beta gamma delta epsilon zeta"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, "doc_id", "text", 2)
+    val bands = TextOps.lshBands(TextOps.minhashSignature(sh, "doc_id", 8), "doc_id", 8, 2)
+    val capped = TextOps.lshCandidatePairs(bands, "doc_id") // default cap 64
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((2001L, 2002L)))
+    // drop is counted via the observe() metric, no extra pass
+    val m = capped.queryExecution.observedMetrics("lsh_hot_buckets")
+    assert(m.getAs[Long]("dropped_buckets") === 4L) // one hot key per band
+    assert(m.getAs[Long]("dropped_rows") === 4000L)
+  }
+
   test("simhash16: equal word sets collide; word order irrelevant") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
       (3L, "delta epsilon zeta eta theta")).toDF("doc_id", "text")

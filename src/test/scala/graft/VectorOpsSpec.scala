@@ -44,6 +44,14 @@ class VectorOpsSpec extends SparkSpecBase {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("Tables.spread is a no-op (no exchange) on already-parallel input") {
+    val wide = Tables.documents(spark, sf0001)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // gated: returns the input untouched — no second Exchange stacked on
+    // an input that already scans/arrives at full parallelism
+    assert(Tables.spread(wide) eq wide)
+  }
+
   test("deterministic sampling: reproducible, class fractions respected") {
     import graft.ops.Sampling
     val ev = Tables.events(spark, sf0001)
