@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.Tables
+
+/** A typed event row for the MemoryStream feed (mirror of the events
+  * table's query columns; `props` omitted — none of the streaming duals
+  * read it). */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+
+/** STREAMING-PATH oracle queries (SURVEY.md §2 rows 6/21 + Part B
+  * streaming categories; reference EP1 run_toy_example.py:21-49).
+  *
+  * The reference IS a stream processor, so its semantics must be verified
+  * on the streaming engine, not only on batch duals. Each query here
+  * executes a REAL Structured Streaming query — MemoryStream source fed
+  * in several micro-batches (event-time order, like the live 60 s-cadence
+  * ingest), event-time watermark, stateful operator, memory sink — then
+  * returns the sink's contents for the driver's DuckDB hash-compare
+  * against a plain batch SQL oracle.
+  *
+  * MemoryStream is necessarily driver-fed: that is the cost of putting
+  * the streaming engine itself under the oracle, and it is bounded to the
+  * correctness scale factors. The production ingest path stays
+  * distributed (file / rate sources + partitioned sinks,
+  * graft.streaming.StreamingPipeline).
+  *
+  * Why the oracles are exact:
+  *  - q48 (watermarked dedup): duplicates are EXACT COPIES of earlier
+  *    records (the reference's duplicate model, producer.py:142-167)
+  *    keyed on the unique event_id. `dropDuplicatesWithinWatermark`
+  *    emits a row iff it is not late AND not in state; state lives
+  *    until watermark > ts + delay, and a copy sharing that ts is late
+  *    exactly when the state has expired — so every event_id emits
+  *    exactly once for ANY positive delay. Result ≡ the original table.
+  *  - q49/q50 (sliding / session windows, append mode): windows emit
+  *    once the watermark passes their end, so after the in-order feed,
+  *    two sentinel batches 3 h past max(ts) advance the watermark far
+  *    enough to flush every real window. The sentinels' own windows end
+  *    AFTER the final watermark and can never emit (q50 filters the
+  *    sentinel user as belt and braces), so the sink holds exactly the
+  *    batch-dual result (q32/q31's gaps-and-islands SQL).
+  */
+object StreamQueries {
+
+  private val TS_S = "yyyy-MM-dd HH:mm:ss"
+  private val CHUNKS = 6
+  private val SENTINEL_USER = -1L
+
+  /** Events in event-time order, split into micro-batch chunks. */
+  private def chunkedEvents(spark: SparkSession, dir: String): Array[Array[StreamEvent]] = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamEvent]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val per = math.max(1, math.ceil(rows.length.toDouble / CHUNKS).toInt)
+    rows.grouped(per).toArray
+  }
+
+  /** Run `transform` over a MemoryStream fed chunk-by-chunk (one
+    * processAllAvailable per addData → real micro-batch boundaries, real
+    * cross-batch state), then return the memory sink's table.
+    * `extraPerChunk(i)` lets callers inject per-batch rows (duplicates /
+    * sentinels). */
+  private def runStream(spark: SparkSession, chunks: Array[Array[StreamEvent]],
+      transform: DataFrame => DataFrame,
+      extraPerChunk: Int => Seq[StreamEvent] = _ => Nil,
+      sentinels: Seq[StreamEvent] = Nil): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.toSeq ++ extraPerChunk(i))
+        q.processAllAvailable()
+      }
+      // Each sentinel is its own micro-batch: batch N's emission uses the
+      // watermark derived from batch N-1, so flushing the final windows
+      // takes two watermark advances past the data's horizon.
+      sentinels.foreach { s =>
+        mem.addData(s)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def tsPlus(t: java.sql.Timestamp, millis: Long) =
+    new java.sql.Timestamp(t.getTime + millis)
+
+  private def sentinelsAfter(chunks: Array[Array[StreamEvent]]): Seq[StreamEvent] = {
+    val maxTs = chunks.last.last.ts
+    Seq(
+      StreamEvent(-1L, tsPlus(maxTs, 3L * 3600 * 1000), SENTINEL_USER, "sentinel", 0.0),
+      StreamEvent(-2L, tsPlus(maxTs, 3L * 3600 * 1000 + 60 * 1000), SENTINEL_USER, "sentinel", 0.0))
+  }
+
+  // ------------------------------------------------------------------ q48
+  /** Watermarked streaming dedup (StreamingPipeline's SCALE mode, bounded
+    * state) under the driver oracle. Duplicate model: each micro-batch
+    * replays exact copies of a slice of the previous batch's tail
+    * (cross-batch dups) and of its own head (within-batch dups) —
+    * the reference's "5% of batches append 1-10 dups" shape
+    * (producer.py:142-167) made deterministic. */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkedEvents(spark, dir)
+    val out = runStream(spark, chunks,
+      df => df.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(Seq("event_id")),
+      extraPerChunk = i =>
+        if (i == 0) chunks(0).take(25).toSeq // within-batch copies
+        else chunks(i - 1).takeRight(200).filter(_.event_id % 3 == 0).toSeq ++
+          chunks(i).take(25).toSeq)
+    out.select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"))
+      .orderBy(col("event_id"))
+  }
+  private val q48Sql =
+    """SELECT user_id, event_id, event_type, round(value, 2) AS value_r
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ q49
+  /** Sliding windows (10 min / 5 min) computed BY THE STREAMING ENGINE in
+    * append mode — cross-batch partial window state, watermark-driven
+    * emission — against q32's batch oracle. */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkedEvents(spark, dir)
+    val out = runStream(spark, chunks,
+      df => df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), TS_S).as("window_start"), col("n")),
+      sentinels = sentinelsAfter(chunks))
+    out.orderBy(col("window_start"))
+  }
+  private val q49Sql =
+    """WITH w2 AS (
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS ws FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+      |FROM w2 GROUP BY ws ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ q50
+  /** Session windows (30 min gap) per user on the streaming engine —
+    * sessions MERGE across micro-batches in the state store — against
+    * q31's gaps-and-islands oracle. */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkedEvents(spark, dir)
+    val out = runStream(spark, chunks,
+      // NOTE: no sentinel filter INSIDE the streaming query — Catalyst
+      // pushes a grouping-key predicate below EventTimeWatermark, which
+      // would hide the sentinel rows from the watermark tracker and leave
+      // the final sessions unflushed. The sentinel session can never emit
+      // (its end lies past the final watermark); it is filtered again on
+      // the batch result below purely as belt and braces.
+      df => df.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), TS_S).as("session_start"),
+          col("n_events")),
+      sentinels = sentinelsAfter(chunks))
+    out.where(col("user_id") =!= SENTINEL_USER)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+  private val q50Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  val all: Seq[Decl] = Seq(
+    Decl("q48_stream_dedup", q48, Some(q48Sql)),
+    Decl("q49_stream_sliding", q49, Some(q49Sql)),
+    Decl("q50_stream_session", q50, Some(q50Sql)))
+}
