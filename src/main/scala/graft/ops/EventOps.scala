@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import graft.model.EventModel
 
 /** The reference's pipeline operators (SURVEY.md §2 Part A) as pure,
@@ -45,6 +45,16 @@ object EventOps {
     */
   def decodeEnvelope(record: Column, schema: StructType = EventModel.eventSchema): Column =
     from_json(unbase64(get_json_object(record, "$.kinesis.data")).cast("string"), schema)
+
+  /** Unwrap the producer's `{"Records": [...]}` batch JSON (reference:
+    * producer.py:152-167 — the wire unit is a BATCH dict whose Records
+    * array holds the per-record envelope strings) into one `record` row
+    * per element. Pure from_json + explode; a 100 TB ingest runs this as a
+    * narrow map + generate, no shuffle. */
+  def explodeRecordsBatch(batches: DataFrame, batchCol: String = "batch"): DataFrame =
+    batches.select(explode(from_json(col(batchCol),
+      StructType(Seq(StructField("Records", ArrayType(StringType)))))
+      .getField("Records")).as("record"))
 
   // ------------------------------------------------------------- enrichment
 

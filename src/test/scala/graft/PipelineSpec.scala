@@ -71,6 +71,88 @@ class PipelineSpec extends SparkSpecBase {
     assert(w1 === w2, "re-compacting the same hour must not duplicate data")
   }
 
+  test("generator fidelity: staged schema matches EventModel; all 30 " +
+    "union keys populated; per-subtype field sets match event_config.yml") {
+    val staged = StreamingPipeline.decodeRecords(
+      EventGen.enveloped(EventGen.events(spark, 8000)))
+    assert(staged.schema
+      .fields.map(f => f.name -> f.dataType).toSeq
+      .filterNot(f => f._1 == "ts") // engine-side event-time column
+      === graft.model.EventModel.stagedEventSchema
+        .fields.map(f => f.name -> f.dataType).toSeq)
+
+    staged.persist()
+    try {
+      // every one of the 30 effective union keys occurs in generated data
+      val unionKeys = graft.model.EventModel.eventSpecificsSchema.fieldNames
+      val counts = staged.select(unionKeys.toSeq.map(k =>
+        count(col(s"event_specifics.`$k`")).as(k)): _*).head()
+      unionKeys.zipWithIndex.foreach { case (k, i) =>
+        assert(counts.getLong(i) > 0, s"union key $k never generated") }
+
+      // the e-mail/email pair lives on exactly its two subtypes
+      val dash = staged.where(col("event_specifics.`e-mail`").isNotNull)
+        .select("event_name").distinct().as[String].collect()
+      assert(dash.toSeq === Seq("account:email_confirmed"))
+      val plain = staged.where(col("event_specifics.email").isNotNull)
+        .select("event_name").distinct().as[String].collect()
+      assert(plain.toSeq === Seq("account:confirmation_bounced"))
+
+      // per-subtype field sets: for each taxonomy row, exactly the fields
+      // whose type HAS a producer branch are non-null (spot full matrix)
+      val presenceCols = unionKeys.toSeq.map(k =>
+        (count(col(s"event_specifics.`$k`")) > 0).as(k))
+      val present = staged
+        .groupBy(col("event_name"))
+        .agg(presenceCols.head, presenceCols.tail: _*)
+        .collect().map(r => r.getString(0) ->
+          unionKeys.zipWithIndex.collect {
+            case (k, i) if r.getBoolean(i + 1) => k }.toSet).toMap
+      EventGen.taxonomy.foreach { case (name, fields) =>
+        val expect = fields.collect {
+          case (k, t) if !Set("account_field", "subscription_id",
+            "subscription_type", "purchase_source", "reason_cancelled",
+            "order_id", "payment_method", "game_id")(t) => k }.toSet
+        assert(present(name) === expect,
+          s"$name: got ${present(name)}, want $expect")
+      }
+
+      // the silently-skipped config fields never reach the wire JSON
+      val wire = EventGen.enveloped(EventGen.events(spark, 2000))
+        .select(unbase64(get_json_object(col("record"), "$.kinesis.data"))
+          .cast("string").as("j"))
+      assert(wire.where(col("j").contains("order_id") ||
+        col("j").contains("subscription_type") ||
+        col("j").contains("game_id")).isEmpty)
+
+      // language_id is the literal not_applicable for the na categories
+      val na = staged.where(col("event_type").isin(
+        "account", "language", "subscription", "payment", "referral"))
+        .select("event_specifics.language_id").distinct().as[String].collect()
+      assert(na.toSeq === Seq("not_applicable"))
+    } finally staged.unpersist()
+  }
+
+  test("Records batch wrapper: 5% of batches carry 1-10 appended dups; " +
+    "explode+decode+dedup recovers exactly the originals (q05/q06 shape)") {
+    val n = 4000L
+    val batches = EventGen.kinesisBatches(spark, n, batchSize = 40)
+    assert(batches.count() === 100)
+
+    val records = EventOps.explodeRecordsBatch(batches)
+    val total = records.count()
+    assert(total > n, "some batches must carry appended duplicates")
+    assert(total <= n + 100 * 10)
+
+    val events = records.select(
+      EventOps.decodeEnvelope(col("record")).as("e")).select("e.*")
+    // q06 semantics: duplicate keys visible pre-dedup
+    assert(EventOps.duplicateKeys(events, "event_uuid").count() > 0)
+    // q05 semantics: first-wins dedup recovers the original n exactly
+    assert(EventOps.dedupFirstWins(events, Seq("event_uuid"),
+      Seq(col("created_at"))).count() === n)
+  }
+
   test("metrics report: zero-guarded ratios, markdown shape") {
     val m = new Metrics
     assert(m.duplicateRatio === 0.0) // reference raises ZeroDivisionError here
