@@ -20,11 +20,20 @@ import graft.ops.{Caches, EventOps, TextOps}
   */
 object CurationPipeline {
 
+  /** `maxBucket` caps LSH band buckets (TextOps.capHotBuckets): a bucket
+    * with more members is dropped from CANDIDATE generation, which means
+    * its documents are all KEPT by near-dedup — hot buckets are usually
+    * boilerplate, but a >maxBucket cluster of true near-duplicates
+    * (mass-templated spam) survives curation under the cap. Tune it to
+    * the corpus (or `None` to disable and pay the quadratic bucket);
+    * the `lsh_hot_buckets` observe() metric reports what was dropped so
+    * the trade is visible in run telemetry. */
   case class Config(
       shingleN: Int = 2, minhashK: Int = 8, bandR: Int = 2,
       jaccardThreshold: Double = 0.5,
       minWords: Int = 10, maxStopwordRatio: Double = 0.5,
-      stopwords: Seq[String] = Seq("the", "a"))
+      stopwords: Seq[String] = Seq("the", "a"),
+      maxBucket: Option[Int] = Some(graft.ops.TextOps.DefaultMaxBucket))
 
   /** Stage 1: canonical-text exact dedup, first-wins by id. */
   def exactDedup(docs: DataFrame, id: String = "doc_id",
@@ -54,13 +63,19 @@ object CurationPipeline {
     * multi-job / 100 TB form writes the drop set to storage instead. */
   def nearDedup(docs: DataFrame, cfg: Config, id: String = "doc_id",
       text: String = "text"): DataFrame =
-    nearDedupStaged(docs, cfg, id, text)._1
+    // persistLargeDropSet = false: this convenience form has nobody to
+    // hand a cleanup handle to, so a drop set too large to localize stays
+    // UNPERSISTED — it recomputes if the result is consumed twice, but it
+    // can never pin the CacheManager for the session lifetime. Multi-pass
+    // callers should use nearDedupStaged and own the handle.
+    nearDedupStaged(docs, cfg, id, text, persistLargeDropSet = false)._1
 
   /** [[nearDedup]] plus a cleanup handle releasing any cache the drop set
     * still holds — call it after the returned DataFrame is consumed. */
   def nearDedupStaged(docs: DataFrame, cfg: Config, id: String = "doc_id",
       text: String = "text",
-      maxLocalDropIds: Int = 1 << 20): (DataFrame, () => Unit) = {
+      maxLocalDropIds: Int = 1 << 20,
+      persistLargeDropSet: Boolean = true): (DataFrame, () => Unit) = {
     val sig = docs
       .select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("__sh"))
       .select(col(id) +: col("__sh") +:
@@ -68,7 +83,7 @@ object CurationPipeline {
       .persist()
     try {
       val cand = TextOps.lshCandidatePairs(
-        TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id)
+        TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id, cfg.maxBucket)
       val verified = sig.select(col(id).as("doc_a"), col("__sh").as("sa"))
         .join(broadcast(cand), "doc_a")
         .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
@@ -77,9 +92,11 @@ object CurationPipeline {
       Caches.localize(drop, maxLocalDropIds) match {
         case Some(local) =>
           (docs.join(broadcast(local), Seq(id), "left_anti"), () => ())
-        case None =>
+        case None if persistLargeDropSet =>
           val d = drop.persist(); d.count()
           (docs.join(d, Seq(id), "left_anti"), () => { d.unpersist(); () })
+        case None =>
+          (docs.join(drop, Seq(id), "left_anti"), () => ())
       }
     } finally sig.unpersist()
   }

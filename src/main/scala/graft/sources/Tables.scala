@@ -51,12 +51,77 @@ object Tables {
     * so expression-heavy per-row work (md5 shingling, json encode/decode,
     * cosine) would otherwise run on ONE task regardless of
     * `maxPartitionBytes`. A real multi-row-group/multi-file 100 TB table
-    * already scans at ≥ defaultParallelism, and repartitioning it would be
-    * a pointless full shuffle of the fact table — so the exchange is
-    * gated on the planned scan partition count and becomes a no-op there. */
+    * already scans at ≥ defaultParallelism, so the exchange must become a
+    * no-op there — repartitioning it would be a pointless full shuffle of
+    * the fact table.
+    *
+    * The gate reads SCAN-LEVEL facts, not `df.rdd.getNumPartitions`:
+    * byte-range splitting can report ≥ parallelism partitions while every
+    * row sits in the single split holding the lone row group (a
+    * single-row-group file larger than maxPartitionBytes), and `.rdd` on
+    * an AQE shuffle-bearing plan materializes query stages as a side
+    * effect. Order of checks, cheapest first:
+    *  1. file inventory from the ANALYZED plan (no physical planning):
+    *     ≥ parallelism files → certainly parallel, no-op;
+    *  2. few parquet files → count row groups from their footers (capped
+    *     at `target` files, each footer a few KB): row groups are the
+    *     real minimum split unit, ≥ parallelism of them → no-op;
+    *  3. non-file input (test-local relations): fall back to the planned
+    *     partition count — such plans are scan-only, so no AQE stages
+    *     can materialize.
+    */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    scanFiles(df) match {
+      case Some(files) if files.length >= target => df
+      case Some(files) if files.nonEmpty && files.forall(_.endsWith(".parquet")) =>
+        if (parquetRowGroups(spark, files, needed = target) >= target) df
+        else df.repartition(target)
+      case _ =>
+        if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
+  }
+
+  /** File inventory of the (single) file scan under `df`'s analyzed plan.
+    * None unless the plan is a PURE scan pipeline (scan + narrow
+    * projections/filters): anything else — an existing repartition, a
+    * join, an aggregate — owns its partitioning, and scan facts would be
+    * the wrong gate. */
+  private def scanFiles(df: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val pureScan = plan.collect { p =>
+      p match {
+        case _: Project | _: Filter | _: SubqueryAlias | _: LogicalRelation => true
+        case _ => false
+      }
+    }.forall(identity)
+    if (!pureScan) None
+    else plan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+    } match {
+      case Seq(one) => Some(one)
+      case _        => None
+    }
+  }
+
+  /** Total row groups across `files` footers, early-exiting once `needed`
+    * is reached (footers are KB-sized; this runs only when the file count
+    * is already below parallelism, so at most `needed`-1 reads). */
+  private def parquetRowGroups(spark: SparkSession, files: Seq[String], needed: Int): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    var total = 0
+    val it = files.iterator
+    while (total < needed && it.hasNext) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(it.next()), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try total += r.getRowGroups.size finally r.close()
+    }
+    total
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

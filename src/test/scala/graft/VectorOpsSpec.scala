@@ -52,6 +52,30 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(Tables.spread(wide) eq wide)
   }
 
+  test("spread gates on scan facts: many-file and many-row-group inputs " +
+    "pass through with NO extra Exchange (100 TB no-op pinned by CI)") {
+    val target = spark.sparkContext.defaultParallelism
+
+    // ≥ parallelism FILES: gate fires on the file inventory alone
+    val dir1 = tmpDir("spread_manyfiles")
+    Tables.documents(spark, sf0001).repartition(target)
+      .write.mode("overwrite").parquet(dir1)
+    val many = spark.read.parquet(dir1)
+    assert(Tables.spread(many) eq many)
+    assert(!Tables.spread(many).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+
+    // ONE file but ≥ parallelism ROW GROUPS: the footer gate sees the
+    // real split units where a partition-count probe could be fooled by
+    // byte-range splitting
+    val dir2 = tmpDir("spread_rowgroups")
+    Tables.events(spark, sf0001).coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "4096").parquet(dir2)
+    val rg = spark.read.parquet(dir2)
+    assert(Tables.spread(rg) eq rg,
+      "multi-row-group single file must not be re-shuffled")
+  }
+
   test("deterministic sampling: reproducible, class fractions respected") {
     import graft.ops.Sampling
     val ev = Tables.events(spark, sf0001)
