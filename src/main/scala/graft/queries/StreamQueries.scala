@@ -47,8 +47,17 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
 object StreamQueries {
 
   private val TS_S = "yyyy-MM-dd HH:mm:ss"
-  private val CHUNKS = 6
+  private val CHUNKS = 4
   private val SENTINEL_USER = -1L
+
+  /** State partitions for the harness streams. A stateful query pays a
+    * fixed per-micro-batch cost PER STATE PARTITION (store load + delta
+    * commit), so the harness sizes state to its data (4-6 micro-batches
+    * of a small-SF table), not to the session's scan parallelism — at
+    * 32 shuffle partitions the three queries spent ~20 s each on state
+    * file churn. Production streams inherit the session setting, where
+    * many state partitions is exactly right. */
+  private val STATE_PARTITIONS = "8"
 
   /** Events in event-time order, split into micro-batch chunks. */
   private def chunkedEvents(spark: SparkSession, dir: String): Array[Array[StreamEvent]] = {
@@ -75,21 +84,31 @@ object StreamQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    // The stream captures its state-partition count from the session conf
+    // when its first micro-batch is constructed (on the stream thread), so
+    // the setting must hold across the whole synchronous drive loop; it is
+    // restored before returning. Queries run sequentially through
+    // Verify/Bench, so the mutation window cannot leak into another plan.
+    val spKey = "spark.sql.shuffle.partitions"
+    val oldSp = spark.conf.get(spKey)
     try {
-      chunks.zipWithIndex.foreach { case (chunk, i) =>
-        mem.addData(chunk.toSeq ++ extraPerChunk(i))
-        q.processAllAvailable()
-      }
-      // Each sentinel is its own micro-batch: batch N's emission uses the
-      // watermark derived from batch N-1, so flushing the final windows
-      // takes two watermark advances past the data's horizon.
-      sentinels.foreach { s =>
-        mem.addData(s)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      spark.conf.set(spKey, STATE_PARTITIONS)
+      val q = transform(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          mem.addData(chunk.toSeq ++ extraPerChunk(i))
+          q.processAllAvailable()
+        }
+        // Each sentinel is its own micro-batch: batch N's emission uses the
+        // watermark derived from batch N-1, so flushing the final windows
+        // takes two watermark advances past the data's horizon.
+        sentinels.foreach { s =>
+          mem.addData(s)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(spKey, oldSp)
     spark.table(name)
   }
 
