@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashSignature(exprs.head, intLit(exprs(1), "minhash_sig"))))
     e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain.fromExprs(exprs)))
+    e.injectFunction((
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVSketch].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Caches, EventOps, TextOps}
 import graft.sources.Tables
-import graft.functions.{CosineSimilarity, MinHashSignature, VectorOps}
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
   * §2 "north-star extension operators"): dedup (exact / MinHash+LSH /
@@ -424,9 +424,52 @@ object ExtQueries {
        |ORDER BY cos_sim DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------ q51
+  /** Incremental dedup against a seen corpus via a Bloom pre-filter —
+    * the "is this document new?" pattern every continuously-ingesting
+    * training-data pipeline runs. The probe side is the WHOLE incoming
+    * feed (which, as in real re-ingestion, contains already-seen docs:
+    * here the 20% with doc_id % 5 == 0 that form the seen corpus); key =
+    * md5 of normalized text.
+    *
+    * The Bloom filter (built in ONE distributed pass over the corpus,
+    * `stat.bloomFilter`) splits the probe side map-side:
+    *   - might_contain = false → DEFINITELY new, no join at all (at a
+    *     3% fpp that is ~97% of the truly-new majority of the feed);
+    *   - might_contain = true → seen-or-false-positive, verified by an
+    *     anti-join against the corpus keys.
+    * The result is EXACT (the bloom only prunes the join input), which is
+    * why the oracle is the plain NOT IN — and at 100 TB the anti-join
+    * shuffles only the seen fraction + 3% of the new instead of the whole
+    * feed. */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(TextOps.normalizeText(col("text")))
+    val docs = Tables.documents(spark, dir)
+    val corpusKeys = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(key.as("k"))
+    val probe = Tables.spread(docs)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+    val bloom = corpusKeys.stat.bloomFilter("k", 100000L, 0.03)
+    val might = BloomMightContain.mightContain(spark, bloom, col("k"))
+    probe.where(!might)
+      .unionByName(probe.where(might).join(corpusKeys, Seq("k"), "left_anti"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+  private val q51Sql =
+    """WITH k AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |        ' +', ' ', 'g')) AS k
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM k
+      |WHERE k NOT IN (SELECT k FROM k WHERE doc_id % 5 = 0)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
+    Decl("q51_bloom_incremental_dedup", q51, Some(q51Sql)),
     Decl("q18_dedup_exact", q18, Some(q18Sql)),
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),

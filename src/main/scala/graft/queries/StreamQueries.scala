@@ -47,6 +47,7 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
 object StreamQueries {
 
   private val TS_S = "yyyy-MM-dd HH:mm:ss"
+  private val TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val CHUNKS = 4
   private val SENTINEL_USER = -1L
 
@@ -202,8 +203,106 @@ object StreamQueries {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------------------------------ q52
+  /** Watermarked STREAM-STREAM interval join: every purchase joined to
+    * the same user's clicks within the preceding hour — both sides real
+    * streams with event-time watermarks bounding the join state
+    * (SURVEY.md §2 Part B "Streaming: stateful"; at 100 TB the watermark
+    * is what keeps both buffers finite). Inner-join matches emit as they
+    * arrive, so no sentinel flush is needed; the oracle is the plain
+    * batch range join. */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = chunkedEvents(spark, dir)
+    def side(t: String) = all.map(_.filter(_.event_type == t))
+    val (clickChunks, purchChunks) = (side("click"), side("purchase"))
+    val mc = MemoryStream[StreamEvent]
+    val mp = MemoryStream[StreamEvent]
+    val clicks = mc.toDF().select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = mp.toDF().select(col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val spKey = "spark.sql.shuffle.partitions"
+    val oldSp = spark.conf.get(spKey)
+    try {
+      spark.conf.set(spKey, STATE_PARTITIONS)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        clickChunks.zip(purchChunks).foreach { case (cs, ps) =>
+          mc.addData(cs.toSeq); mp.addData(ps.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(spKey, oldSp)
+    spark.table(name)
+      .select(col("p_event_id"), col("p_user").as("user_id"),
+        date_format(col("c_ts"), TS_US).as("click_ts"),
+        date_format(col("p_ts"), TS_US).as("purchase_ts"))
+      .orderBy(col("p_event_id"), col("click_ts"))
+  }
+  private val q52Sql =
+    """SELECT p.event_id AS p_event_id, p.user_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND p.event_type = 'purchase'
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |ORDER BY p_event_id, click_ts""".stripMargin
+
+  // ------------------------------------------------------------------ q53
+  /** CUSTOM keyed state under the oracle: per-user sessionization via
+    * `flatMapGroupsWithState` (graft.streaming.SessionTracker — explicit
+    * open-session state machine, event-time timeout) must reproduce
+    * exactly the gaps-and-islands SQL that also oracles the built-in
+    * `session_window` (q50): two independent sessionization
+    * implementations and one SQL oracle, all hash-equal. */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val ss: SparkSession = spark
+    val chunks = chunkedEvents(spark, dir)
+    val mem = MemoryStream[StreamEvent]
+    val tracked = graft.streaming.SessionTracker.track(
+      mem.toDS().map(e => graft.streaming.SessionTracker.UserEvent(e.user_id, e.ts)),
+      gapMinutes = 30)
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val spKey = "spark.sql.shuffle.partitions"
+    val oldSp = spark.conf.get(spKey)
+    try {
+      spark.conf.set(spKey, STATE_PARTITIONS)
+      val q = tracked.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        // Event-time timeouts fire in the batch AFTER the watermark
+        // advances past session_end + gap: two sentinel batches flush the
+        // final open sessions (the sentinel user's own session stays in
+        // state, never emitted, and is filtered below regardless).
+        sentinelsAfter(chunks).foreach { s =>
+          mem.addData(s); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(spKey, oldSp)
+    spark.table(name)
+      .where(col("user_id") =!= SENTINEL_USER)
+      .select(col("user_id"),
+        date_format(col("session_start"), TS_S).as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+  private val q53Sql = q50Sql
+
   val all: Seq[Decl] = Seq(
     Decl("q48_stream_dedup", q48, Some(q48Sql)),
     Decl("q49_stream_sliding", q49, Some(q49Sql)),
-    Decl("q50_stream_session", q50, Some(q50Sql)))
+    Decl("q50_stream_session", q50, Some(q50Sql)),
+    Decl("q52_stream_interval_join", q52, Some(q52Sql)),
+    Decl("q53_stream_custom_state", q53, Some(q53Sql)))
 }
