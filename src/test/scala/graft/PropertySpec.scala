@@ -76,6 +76,27 @@ class PropertySpec extends SparkSpecBase {
     }, trials = 10)
   }
 
+  test("normalizeText is idempotent and its md5 key is stable") {
+    val hostile = Gen.oneOf(
+      "MiXeD CaSe", "  runs   of   spaces  ", "tabs\tand\nnewlines",
+      "punct!!!,,,;;;", "unicode é中文😀 mixed", "123 numbers 456",
+      "", "   ", "already normal text")
+    check(Prop.forAll(Gen.listOfN(3, hostile)) { texts =>
+      val df = texts.toDF("t")
+      val once = df.select(TextOps.normalizeText($"t").as("n1"))
+      val twice = once.select($"n1", TextOps.normalizeText($"n1").as("n2"))
+      twice.where($"n1" =!= $"n2").isEmpty
+    }, trials = 10)
+  }
+
+  test("EventGen is deterministic: same n generates the identical relation") {
+    check(Prop.forAll(Gen.choose(50L, 400L)) { n =>
+      val a = graft.pipeline.EventGen.events(spark, n)
+      val b = graft.pipeline.EventGen.events(spark, n)
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty && a.count() == n
+    }, trials = 5)
+  }
+
   test("time-partition strings always parse back to the truncated minute") {
     check(Prop.forAll(Gen.choose(0L, 4102444800L)) { epoch =>
       val df = Seq(epoch).toDF("e").select(timestamp_seconds($"e").as("ts"))
