@@ -2,7 +2,7 @@
 """Local mimic of the driver's correctness gate: reads the parquet dumps
 graft.Verify produced, runs each oracle SQL in DuckDB over the same
 testdata tables, and compares (columns sorted by name, values hashed).
-Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir> [nameFilter]
 """
 import json, sys, math
 import duckdb
@@ -26,11 +26,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.astype("int64")
     return out.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, only: str = None) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # mirror graft.Verify's substring filter for single-query runs
+        oracle = {k: v for k, v in oracle.items() if only in k}
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -72,4 +74,4 @@ def main(sf_dir: str, out_dir: str) -> None:
     print(f"== {n_ok}/{len(oracle)} queries match")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

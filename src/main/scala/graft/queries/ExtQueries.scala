@@ -424,6 +424,82 @@ object ExtQueries {
        |ORDER BY cos_sim DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------ q54
+  /** IVF ANN — the OTHER scale path next to q24's LSH buckets: a coarse
+    * quantizer of 16 deterministic centroids (the first 16 corpus
+    * vectors; production trains k-means, same plumbing) partitions the
+    * corpus into cells, and each probe searches only its `nprobe=2`
+    * nearest cells.
+    *
+    * The IVF scale property is that centroids always fit on the driver:
+    * they ship as ONE literal array inside the assignment expression, so
+    * corpus→cell assignment is a pure map-side pass (zero shuffle, full
+    * codegen via the fused cosine), and the candidate join carries
+    * ~nprobe/K of the corpus per probe. Deterministic end to end —
+    * argmax ties break toward the higher centroid id in BOTH engines —
+    * so unlike typical ANN this variant is exactly oracle-checkable. */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val centArr = typedLit(cents)
+    // array of (cos-to-centroid, centroid_id) structs; array_max /
+    // descending sort order = (cos, id) lexicographic = ties to higher id
+    def cellScores(v: Column): Column =
+      transform(sequence(lit(1), lit(K)), i => struct(
+        CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+        (i - 1).as("i")))
+    def cellOf(v: Column): Column = array_max(cellScores(v)).getField("i")
+    def topCells(v: Column): Column =
+      transform(slice(reverse(array_sort(cellScores(v))), 1, NPROBE),
+        s => s.getField("i"))
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("cell", cellOf(col("embedding")))
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        topCells(col("embedding")).as("pcells"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .where(array_contains(col("pcells"), col("cell")) &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private val q54Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------------ q51
   /** Incremental dedup against a seen corpus via a Bloom pre-filter —
     * the "is this document new?" pattern every continuously-ingesting
@@ -470,6 +546,7 @@ object ExtQueries {
 
   val all: Seq[Decl] = Seq(
     Decl("q51_bloom_incremental_dedup", q51, Some(q51Sql)),
+    Decl("q54_ann_ivf", q54, Some(q54Sql)),
     Decl("q18_dedup_exact", q18, Some(q18Sql)),
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
