@@ -542,11 +542,58 @@ object ExtQueries {
       |WHERE k NOT IN (SELECT k FROM k WHERE doc_id % 5 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q55
+  /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
+    * envelope encode → the producer's `{"Records": [...]}` batch wrapper
+    * WITH its 5%-of-batches / 1-10-duplicates model (producer.py:142-167)
+    * → batch explode → base64/JSON decode → first-wins dedup. The output
+    * must equal the original table exactly — one query exercising the
+    * whole wire chain (json+base64 both ways, the batch dict, the
+    * batch-shaped duplicate distribution, schema-bound decode) against a
+    * trivial oracle. All narrow maps except the one batch groupBy and the
+    * dedup shuffle. */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val BATCH = 100
+    val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+    val packed = Tables.events(spark, dir).select(
+      (col("event_id") / BATCH).cast("long").as("batch_id"), col("event_id"),
+      EventOps.encodeEnvelope(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us")), col("event_id").cast("string")).as("record"))
+    val batches = packed.groupBy(col("batch_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("record")))).as("rs"))
+      .select(col("batch_id"), transform(col("rs"), r => r.getField("record")).as("records"))
+    val withDups = batches.withColumn("records",
+        when(pmod(xxhash64(col("batch_id"), lit(101)), lit(100)) < 5,
+          concat(col("records"), slice(col("records"), lit(1),
+            (pmod(xxhash64(col("batch_id"), lit(103)), lit(10)) + 1).cast("int"))))
+          .otherwise(col("records")))
+      .select(to_json(struct(col("records").as("Records"))).as("batch"))
+    val decoded = EventOps.explodeRecordsBatch(withDups)
+      .select(EventOps.decodeEnvelope(col("record"), wireSchema).as("e"))
+      .select(col("e.*"))
+    EventOps.dedupFirstWins(decoded, Seq("event_id"), Seq(col("ts_us")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .orderBy(col("event_id"))
+  }
+  private val q55Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
     Decl("q51_bloom_incremental_dedup", q51, Some(q51Sql)),
     Decl("q54_ann_ivf", q54, Some(q54Sql)),
+    Decl("q55_records_wire_roundtrip", q55, Some(q55Sql)),
     Decl("q18_dedup_exact", q18, Some(q18Sql)),
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
