@@ -41,10 +41,18 @@ object EventOps {
   /** Kinesis-mock envelope DECODE (reference: toy_example/
     * toy_lambda_function.py:44-46): record JSON string → `.kinesis.data`
     * → base64-decode → parse event JSON against `schema`. Returns a struct
-    * column. Pure expression: `get_json_object` + `unbase64` + `from_json`.
-    */
+    * column. Pure expression: `get_json_object` + `try_to_binary` +
+    * `from_json`.
+    *
+    * Robustness: every stage degrades to NULL on malformed input
+    * (`get_json_object` on non-JSON, `try_to_binary` on invalid base64 —
+    * the strict `unbase64` would THROW and kill the whole job on one bad
+    * record — and `from_json` in PERMISSIVE mode on bad inner JSON), so a
+    * 100 TB ingest quarantines corrupt records with a `.isNull` filter
+    * instead of dying like the reference's per-record lambda. */
   def decodeEnvelope(record: Column, schema: StructType = EventModel.eventSchema): Column =
-    from_json(unbase64(get_json_object(record, "$.kinesis.data")).cast("string"), schema)
+    from_json(try_to_binary(
+      get_json_object(record, "$.kinesis.data"), lit("base64")).cast("string"), schema)
 
   /** Unwrap the producer's `{"Records": [...]}` batch JSON (reference:
     * producer.py:152-167 — the wire unit is a BATCH dict whose Records

@@ -69,6 +69,38 @@ class EventOpsSpec extends SparkSpecBase {
     assert(decoded.exceptAll(orig).isEmpty && orig.exceptAll(decoded).isEmpty)
   }
 
+  test("corrupt records degrade to NULL rows, never exceptions (the " +
+    "reference's lambda dies on the first bad record; a 100 TB ingest " +
+    "must quarantine instead)") {
+    val good = EventGen.enveloped(EventGen.events(spark, 1))
+      .as[String].head()
+    val hostile = Seq(
+      good,                                  // 1 valid record
+      "not json at all",                     // unparseable envelope
+      """{"kinesis": {"no_data": true}}""",  // missing $.kinesis.data
+      """{"kinesis": {"data": "!!!not-base64!!!"}}""", // bad base64
+      // valid base64 of invalid inner JSON
+      """{"kinesis": {"data": "bm90IGpzb24="}}""")
+    val decoded = hostile.toDF("record")
+      .select(EventOps.decodeEnvelope($"record").as("e"))
+    // no exception on full materialization, exactly one decodable event
+    val rows = decoded.collect()
+    assert(rows.length === 5)
+    assert(decoded.where($"e.event_uuid".isNotNull).count() === 1)
+    // the quarantine split is a plain filter either way
+    assert(decoded.where($"e".isNull || $"e.event_uuid".isNull).count() === 4)
+  }
+
+  test("explodeRecordsBatch unwraps the producer's Records batch dict; " +
+    "a malformed batch contributes zero rows, not a crash") {
+    val batches = EventGen.kinesisBatches(spark, 200, batchSize = 50)
+    assert(batches.count() === 4)
+    val n = EventOps.explodeRecordsBatch(batches).count()
+    assert(n >= 200, s"expected all wrapped records (+ any batch dups), got $n")
+    val bad = Seq("""{"Records": "not-an-array"}""", "garbage").toDF("batch")
+    assert(EventOps.explodeRecordsBatch(bad).count() === 0)
+  }
+
   test("duplicateKeys counts keys with >1 occurrence") {
     val df = Seq("x", "x", "x", "y", "z", "z").toDF("event_uuid")
     val dups = EventOps.duplicateKeys(df, "event_uuid")
