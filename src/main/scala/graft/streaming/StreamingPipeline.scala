@@ -27,10 +27,17 @@ object StreamingPipeline {
 
   /** Decode a stream (or batch) of Kinesis-mock record strings into staged
     * events: envelope fields + event-time `ts` + type/subtype/ISO
-    * enrichment (toy_lambda_function.py:44-62). */
+    * enrichment (toy_lambda_function.py:44-62).
+    *
+    * Corrupt records (decodeEnvelope degrades every malformed stage to
+    * NULL) are quarantined HERE — without the filter a batch of garbage
+    * would stage as null-field rows and, worse, all dedup to a single
+    * null-key survivor. The reference's per-record lambda instead dies on
+    * the first bad record. */
   def decodeRecords(records: DataFrame, recordCol: String = "record"): DataFrame = {
     val decoded = records
       .withColumn("event", EventOps.decodeEnvelope(col(recordCol)))
+      .where(col("event").isNotNull && col("event.event_uuid").isNotNull)
       .select(col("event.*"))
       .withColumn("ts", timestamp_seconds(col("created_at")))
     EventOps.withEventTypeSubtype(decoded)

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("corrupt records are quarantined by the streaming decode, not " +
+    "staged as null rows and not fatal") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingPipeline.pipeline(
+      mem.toDF().select($"value".as("record")), watermark = None)
+    val q = out.writeStream.format("memory").queryName("quarantine_out")
+      .outputMode("append").start()
+    try {
+      val good = envelopedStrings(30)
+      mem.addData(good ++ Seq(
+        "not json", """{"kinesis":{"data":"!!!bad-b64!!!"}}""",
+        """{"kinesis":{"data":"bm90IGpzb24="}}"""))
+      q.processAllAvailable()
+      assert(spark.table("quarantine_out").count() === 30)
+      assert(spark.table("quarantine_out")
+        .where($"event_uuid".isNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("watermarked dedup (scale posture) drops in-window duplicates") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[String]
