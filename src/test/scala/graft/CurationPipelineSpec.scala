@@ -34,6 +34,29 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(r.getAs[Long]("total_ws_tokens") > 0)
   }
 
+  test("maxBucket knob: the default cap keeps a mass-templated near-dup " +
+    "cluster (documented trade); maxBucket=None dedups it") {
+    // 80 near-identical long docs (> DefaultMaxBucket=64 per LSH bucket)
+    // plus distinct filler: with the cap their bucket is dropped from
+    // candidate generation, so ALL survive; uncapped, they dedup to one.
+    val words = (0 until 40).map(i => s"word$i").mkString(" ")
+    val cluster = (0 until 80).map(i => (1000L + i, s"$words tail$i"))
+    val filler = (0 until 20).map(i =>
+      (2000L + i, (0 until 40).map(j => s"doc$i-w$j").mkString(" ")))
+    val docs = (cluster ++ filler).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(jaccardThreshold = 0.5)
+
+    val capped = CurationPipeline.nearDedup(docs, cfg)
+    assert(capped.count() === 100,
+      "capped: the hot cluster's bucket is pruned, every doc survives")
+
+    val uncapped = CurationPipeline.nearDedup(docs, cfg.copy(maxBucket = None))
+    val survivors = uncapped.select("doc_id").as[Long].collect().toSet
+    assert(survivors.count(_ >= 2000L) === 20, "filler untouched")
+    assert(survivors.count(_ < 2000L) === 1,
+      s"uncapped: cluster must collapse to its first doc, got ${survivors.count(_ < 2000L)}")
+  }
+
   test("curation is idempotent: curating curated output drops nothing") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
     val (curated, _) = CurationPipeline.curate(docs)
