@@ -414,5 +414,5 @@ object Queries {
     Decl("q16_props_json", q16, Some(q16Sql)),
     Decl("q17_hourly_counts", q17, Some(q17Sql)))
 
-  def all: Seq[Decl] = core ++ ExtQueries.all ++ WindowQueries.all ++ AggQueries.all ++ TextRankQueries.all ++ FunnelQueries.all ++ StreamQueries.all
+  def all: Seq[Decl] = core ++ ExtQueries.all ++ WindowQueries.all ++ AggQueries.all ++ TextRankQueries.all ++ FunnelQueries.all ++ StreamQueries.all ++ RelationalQueries.all
 }

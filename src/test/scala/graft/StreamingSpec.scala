@@ -110,6 +110,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped AND observable via " +
+    "numRowsDroppedByWatermark (silent loss is not acceptable at scale)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(1710000000000L + min * 60000L)
+    val agg = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"k").count()
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", ts(0)), ("a", ts(60)))
+      q.processAllAvailable() // watermark -> ts(50)
+      mem.addData(("late", ts(20))) // 30 min behind the watermark
+      q.processAllAvailable()
+      mem.addData(("b", ts(61)))
+      q.processAllAvailable()
+      val dropped = q.lastProgress.stateOperators
+        .map(_.numRowsDroppedByWatermark).sum
+      val allProgress = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(allProgress >= 1,
+        s"late row must be counted as dropped (lastBatch=$dropped, total=$allProgress)")
+      // and it never reaches the sink
+      assert(spark.table("late_out").where($"k" === "late").isEmpty)
+    } finally q.stop()
+  }
+
   test("exactly-once across restart: a NEW query on the same checkpoint " +
     "resumes source offsets AND dedup state (reference loses its Redis " +
     "set on process death; the checkpoint does not)") {
