@@ -60,6 +60,53 @@ object StreamQueries {
     * many state partitions is exactly right. */
   private val STATE_PARTITIONS = "8"
 
+  /** Checkpoints for the harness streams go to tmpfs when available:
+    * state-store deltas + offset/commit logs are many tiny fsync-heavy
+    * files, and disk-backed /tmp makes the fixed harness cost noisy
+    * (observed ±50% run-to-run). Production checkpoints of course go to
+    * durable storage — this is a measurement-harness choice only. */
+  private def newCheckpointDir(): java.io.File = {
+    val base = new java.io.File("/dev/shm")
+    val parent = if (base.isDirectory && base.canWrite) base
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(parent,
+      "graft_ckpt_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    d.mkdirs()
+    d
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Start `df` into a fresh memory sink with tmpfs checkpointing and the
+    * harness state-partition count; runs `drive`, then cleans up. Returns
+    * the sink table. */
+  private[queries] def runToMemorySink(spark: SparkSession, df: DataFrame)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = newCheckpointDir()
+    // The stream captures its state-partition count from the session conf
+    // when its first micro-batch is constructed (on the stream thread), so
+    // the setting must hold across the whole synchronous drive loop; it is
+    // restored before returning. Queries run sequentially through
+    // Verify/Bench, so the mutation window cannot leak into another plan.
+    val spKey = "spark.sql.shuffle.partitions"
+    val oldSp = spark.conf.get(spKey)
+    try {
+      spark.conf.set(spKey, STATE_PARTITIONS)
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+      try drive(q) finally q.stop()
+    } finally {
+      spark.conf.set(spKey, oldSp)
+      deleteRecursively(ckpt)
+    }
+    spark.table(name)
+  }
+
   /** Events in event-time order, split into micro-batch chunks. */
   private def chunkedEvents(spark: SparkSession, dir: String): Array[Array[StreamEvent]] = {
     import spark.implicits._
@@ -84,33 +131,19 @@ object StreamQueries {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // The stream captures its state-partition count from the session conf
-    // when its first micro-batch is constructed (on the stream thread), so
-    // the setting must hold across the whole synchronous drive loop; it is
-    // restored before returning. Queries run sequentially through
-    // Verify/Bench, so the mutation window cannot leak into another plan.
-    val spKey = "spark.sql.shuffle.partitions"
-    val oldSp = spark.conf.get(spKey)
-    try {
-      spark.conf.set(spKey, STATE_PARTITIONS)
-      val q = transform(mem.toDF()).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try {
-        chunks.zipWithIndex.foreach { case (chunk, i) =>
-          mem.addData(chunk.toSeq ++ extraPerChunk(i))
-          q.processAllAvailable()
-        }
-        // Each sentinel is its own micro-batch: batch N's emission uses the
-        // watermark derived from batch N-1, so flushing the final windows
-        // takes two watermark advances past the data's horizon.
-        sentinels.foreach { s =>
-          mem.addData(s)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(spKey, oldSp)
-    spark.table(name)
+    runToMemorySink(spark, transform(mem.toDF())) { q =>
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.toSeq ++ extraPerChunk(i))
+        q.processAllAvailable()
+      }
+      // Each sentinel is its own micro-batch: batch N's emission uses the
+      // watermark derived from batch N-1, so flushing the final windows
+      // takes two watermark advances past the data's horizon.
+      sentinels.foreach { s =>
+        mem.addData(s)
+        q.processAllAvailable()
+      }
+    }
   }
 
   private def tsPlus(t: java.sql.Timestamp, millis: Long) =
@@ -226,21 +259,12 @@ object StreamQueries {
       .withWatermark("p_ts", "1 hour")
     val joined = purchases.join(clicks,
       expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val spKey = "spark.sql.shuffle.partitions"
-    val oldSp = spark.conf.get(spKey)
-    try {
-      spark.conf.set(spKey, STATE_PARTITIONS)
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        clickChunks.zip(purchChunks).foreach { case (cs, ps) =>
-          mc.addData(cs.toSeq); mp.addData(ps.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(spKey, oldSp)
-    spark.table(name)
+    runToMemorySink(spark, joined) { q =>
+      clickChunks.zip(purchChunks).foreach { case (cs, ps) =>
+        mc.addData(cs.toSeq); mp.addData(ps.toSeq)
+        q.processAllAvailable()
+      }
+    }
       .select(col("p_event_id"), col("p_user").as("user_id"),
         date_format(col("c_ts"), TS_US).as("click_ts"),
         date_format(col("p_ts"), TS_US).as("purchase_ts"))
@@ -272,25 +296,16 @@ object StreamQueries {
     val tracked = graft.streaming.SessionTracker.track(
       mem.toDS().map(e => graft.streaming.SessionTracker.UserEvent(e.user_id, e.ts)),
       gapMinutes = 30)
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val spKey = "spark.sql.shuffle.partitions"
-    val oldSp = spark.conf.get(spKey)
-    try {
-      spark.conf.set(spKey, STATE_PARTITIONS)
-      val q = tracked.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
-        // Event-time timeouts fire in the batch AFTER the watermark
-        // advances past session_end + gap: two sentinel batches flush the
-        // final open sessions (the sentinel user's own session stays in
-        // state, never emitted, and is filtered below regardless).
-        sentinelsAfter(chunks).foreach { s =>
-          mem.addData(s); q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(spKey, oldSp)
-    spark.table(name)
+    runToMemorySink(spark, tracked.toDF()) { q =>
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      // Event-time timeouts fire in the batch AFTER the watermark
+      // advances past session_end + gap: two sentinel batches flush the
+      // final open sessions (the sentinel user's own session stays in
+      // state, never emitted, and is filtered below regardless).
+      sentinelsAfter(chunks).foreach { s =>
+        mem.addData(s); q.processAllAvailable()
+      }
+    }
       .where(col("user_id") =!= SENTINEL_USER)
       .select(col("user_id"),
         date_format(col("session_start"), TS_S).as("session_start"),
