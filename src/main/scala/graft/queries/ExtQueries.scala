@@ -542,6 +542,34 @@ object ExtQueries {
       |WHERE k NOT IN (SELECT k FROM k WHERE doc_id % 5 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q58
+  /** Document chunking: split every document into 40-token windows with a
+    * 30-token stride (10-token overlap) — the op every training-data
+    * pipeline runs between curation and tokenization. All in-row: the
+    * token array and the window starts are computed inside the row and
+    * posexploded, so the only wide ops are the spread and the output
+    * sort; chunk rows inherit the document's partitioning. */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val CHUNK = 40; val STRIDE = 30
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(STRIDE))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        array_join(slice(col("toks"), col("col") + 1, lit(CHUNK)), " ").as("chunk"),
+        least(lit(CHUNK), size(col("toks")) - col("col")).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  private val q58Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 30)) AS st
+      |      FROM t)
+      |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_id,
+      |       array_to_string(list_slice(toks, st + 1, st + 40), ' ') AS chunk,
+      |       CAST(least(40, len(toks) - st) AS INT) AS n_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------------------ q55
   /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
     * envelope encode → the producer's `{"Records": [...]}` batch wrapper
@@ -594,6 +622,7 @@ object ExtQueries {
     Decl("q51_bloom_incremental_dedup", q51, Some(q51Sql)),
     Decl("q54_ann_ivf", q54, Some(q54Sql)),
     Decl("q55_records_wire_roundtrip", q55, Some(q55Sql)),
+    Decl("q58_doc_chunking", q58, Some(q58Sql)),
     Decl("q18_dedup_exact", q18, Some(q18Sql)),
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
