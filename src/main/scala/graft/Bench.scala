@@ -38,24 +38,38 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val best = timed.filter(_._2.isEmpty).map(_._1).sorted.headOption
-      (name, best.getOrElse(-1.0), if (best.isEmpty) timed.head._2 else None)
+      // A run that failed and then passed is FLAKY, not clean: the best
+      // time is kept but the failure is preserved for the artifact.
+      val runErrs = timed.flatMap(_._2)
+      (name, best.getOrElse(-1.0),
+        if (best.isEmpty) runErrs.headOption else None,
+        if (best.isDefined) runErrs.headOption else None)
     }
+    // Times at millisecond precision: the artifact is read from a bounded
+    // tail of the build log, and 58 queries at full double precision
+    // overflow it (BENCH_r03 recorded parsed:null from exactly that).
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // A failed query must be machine-distinguishable from a fast success:
     // its time is reported as -1 and its error lands in "errors".
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    val qs = results.map { case (k, v, err, _) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else sec(v))
     }.mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":" + jstr(e.take(500))
     }.mkString("{", ",", "}")
+    val flaky = results.collect { case (k, _, None, Some(e)) =>
+      "\"" + k + "\":" + jstr(e.take(200))
+    }
+    val flakyJson =
+      if (flaky.isEmpty) "" else flaky.mkString(""","flaky":{""", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs$flakyJson,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

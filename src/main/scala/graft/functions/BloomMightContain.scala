@@ -40,6 +40,17 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
         s"bloom_might_contain expects a string key, got ${other.simpleString}")
     }
 
+  // Array[Byte] compares by reference under the case-class equals, which
+  // would make two semantically identical probes never equal — blocking
+  // canonicalization/CSE and subexpression dedup. Compare filter content.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 

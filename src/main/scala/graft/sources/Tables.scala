@@ -71,40 +71,63 @@ object Tables {
     *     can materialize.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    scanFiles(df) match {
+    val plan = df.queryExecution.analyzed
+    // spread is a SCAN-side knob: anything with a wide operator (join,
+    // aggregate, repartition, ...) already owns its partitioning, and
+    // probing `.rdd` there would materialize AQE query stages as a side
+    // effect. Such plans pass through untouched rather than being probed.
+    val narrowOnly = plan.collect { p =>
+      p match {
+        case _: Project | _: Filter | _: SubqueryAlias | _: LeafNode => true
+        case _ => false
+      }
+    }.forall(identity)
+    if (!narrowOnly) df
+    else scanFiles(plan) match {
       case Some(files) if files.length >= target => df
       case Some(files) if files.nonEmpty && files.forall(_.endsWith(".parquet")) =>
         if (parquetRowGroups(spark, files, needed = target) >= target) df
         else df.repartition(target)
-      case _ =>
+      case Some(_) => df // pruned-to-empty or non-parquet: nothing to gain
+      case None =>
+        // Narrow-only but not file-backed (test-local relations): the
+        // physical plan is exchange-free, so the partition probe is safe.
         if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
     }
   }
 
-  /** File inventory of the (single) file scan under `df`'s analyzed plan.
-    * None unless the plan is a PURE scan pipeline (scan + narrow
-    * projections/filters): anything else — an existing repartition, a
-    * join, an aggregate — owns its partitioning, and scan facts would be
-    * the wrong gate. */
-  private def scanFiles(df: DataFrame): Option[Seq[String]] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+  /** PRUNED file inventory of the (single) file scan under the analyzed
+    * plan: filter conjuncts that touch only partition columns are pushed
+    * into `FileIndex.listFiles`, so a partition-pruned scan is gated on
+    * the files it will actually read, not the whole table's listing
+    * (`location.inputFiles` ignores pruning). Callers guarantee the plan
+    * is narrow-only. */
+  private def scanFiles(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val plan = df.queryExecution.analyzed
-    val pureScan = plan.collect { p =>
-      p match {
-        case _: Project | _: Filter | _: SubqueryAlias | _: LogicalRelation => true
-        case _ => false
-      }
-    }.forall(identity)
-    if (!pureScan) None
-    else plan.collect {
-      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
-        l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+    plan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] => l
     } match {
-      case Seq(one) => Some(one)
-      case _        => None
+      case Seq(rel) =>
+        val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
+        val partCols = fsRel.partitionSchema.fieldNames.toSet
+        val partAttrs = AttributeSet(rel.output.filter(a => partCols.contains(a.name)))
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other     => Seq(other)
+        }
+        val partFilters = plan.collect { case f: Filter => conjuncts(f.condition) }
+          .flatten
+          .filter(c => c.deterministic && c.references.nonEmpty &&
+            c.references.subsetOf(partAttrs))
+        Some(fsRel.location.listFiles(partFilters, Nil)
+          .flatMap(_.files.map(_.getPath.toString)))
+      case _ => None
     }
   }
 
