@@ -48,17 +48,21 @@ object StreamQueries {
 
   private val TS_S = "yyyy-MM-dd HH:mm:ss"
   private val TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val CHUNKS = 4
+  /** Micro-batch count: 3 keeps every cross-batch behavior under test
+    * (state carried over ≥2 boundaries, watermark advanced ≥2 times,
+    * cross-batch duplicates/joins/session merges) at 3/4 of the
+    * fixed per-batch harness cost of the earlier 4. */
+  private val CHUNKS = 3
   private val SENTINEL_USER = -1L
 
   /** State partitions for the harness streams. A stateful query pays a
     * fixed per-micro-batch cost PER STATE PARTITION (store load + delta
-    * commit), so the harness sizes state to its data (4-6 micro-batches
+    * commit), so the harness sizes state to its data (a few micro-batches
     * of a small-SF table), not to the session's scan parallelism — at
     * 32 shuffle partitions the three queries spent ~20 s each on state
     * file churn. Production streams inherit the session setting, where
     * many state partitions is exactly right. */
-  private val STATE_PARTITIONS = "8"
+  private val STATE_PARTITIONS = "4"
 
   /** Checkpoints for the harness streams go to tmpfs when available:
     * state-store deltas + offset/commit logs are many tiny fsync-heavy
@@ -82,7 +86,11 @@ object StreamQueries {
 
   /** Start `df` into a fresh memory sink with tmpfs checkpointing and the
     * harness state-partition count; runs `drive`, then cleans up. Returns
-    * the sink table. */
+    * the sink's rows re-homed into a LOCAL relation: the sink data is
+    * already driver-resident by construction, so this adds no memory —
+    * but dropping the sink's temp view means repeated runs (best-of-N
+    * bench) don't pin one full sink copy per run for the session
+    * lifetime. */
   private[queries] def runToMemorySink(spark: SparkSession, df: DataFrame)(
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -100,11 +108,15 @@ object StreamQueries {
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("append").start()
       try drive(q) finally q.stop()
+      val sink = spark.table(name)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+      spark.catalog.dropTempView(name)
+      local
     } finally {
       spark.conf.set(spKey, oldSp)
       deleteRecursively(ckpt)
     }
-    spark.table(name)
   }
 
   /** Events in event-time order, split into micro-batch chunks. */
