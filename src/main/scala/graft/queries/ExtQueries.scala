@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Caches, EventOps, TextOps}
+import graft.ops.{Caches, EventOps, GraphOps, TextOps}
 import graft.sources.Tables
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
 
@@ -101,7 +101,13 @@ object ExtQueries {
   /** MinHash + LSH near-dup pairs: band-bucket candidates (4 bands × r=2),
     * then EXACT jaccard on candidates only, keep >= 0.5. The full
     * shingle×shingle join never happens — only LSH survivors pay it. */
-  private def q20(spark: SparkSession, dir: String): DataFrame = {
+  private def q20(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir)
+
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.5), localized —
+    * the shared front half of q20 (pair listing) and q59 (transitive
+    * clustering of the same pairs). */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // Materialize (doc_id, shingle_set, signature) ONCE: the band
     // self-join and both jaccard set-lookups are all consumers of this
     // table, and without materialization each plan branch re-derives the
@@ -138,8 +144,10 @@ object ExtQueries {
       }
     } finally sig.unpersist()
   }
-  private val q20Sql =
-    s"""WITH ${shingleCtes(SHINGLE_N)},
+  /** CTE chain ending in `pairs` = the verified near-dup pairs — shared
+    * by q20 (lists them) and q59 (clusters them). */
+  private val pairCtes =
+    s"""${shingleCtes(SHINGLE_N)},
        |${sigCte(K)},
        |${bandCte(K, R)},
        |bsz AS (SELECT band, key FROM bands GROUP BY band, key
@@ -151,12 +159,40 @@ object ExtQueries {
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
        |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
        |  GROUP BY c.doc_a, c.doc_b),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-       |SELECT doc_a, doc_b,
-       |       round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 4) AS jaccard
-       |FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
-       |WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 4) AS jaccard
+       |  FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5)""".stripMargin
+  private val q20Sql =
+    s"""WITH $pairCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------ q59
+  /** Near-dup CLUSTERS: connected components over q20's verified pairs
+    * (GraphOps.connectedComponents — alternating large-star/small-star),
+    * each doc labeled with its component's minimum doc_id, i.e. the
+    * canonical survivor a "keep one per duplicate group" pass retains.
+    * The oracle computes the same closure with a recursive CTE (viable
+    * on the oracle's scale; the Spark side is the O(log n)-round
+    * distributed form). */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val edges = nearDupPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    GraphOps.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+  private val q59Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM bi
+       |  UNION
+       |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u)
+       |SELECT u AS doc_id, min(v) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
@@ -626,6 +662,7 @@ object ExtQueries {
     Decl("q18_dedup_exact", q18, Some(q18Sql)),
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
+    Decl("q59_dedup_clusters", q59, Some(q59Sql)),
     Decl("q21_simhash", q21, Some(q21Sql)),
     Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
     Decl("q23_knn_bruteforce", q23, Some(q23Sql)),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find for the oracle side of the property test. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // roots are not guaranteed minimal by rank-less union; normalize by
+    // grouping on the root and taking the member minimum
+    val byRoot = nodes.groupBy(find)
+    byRoot.values.flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("a path graph collapses to its minimum node") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate minimal labels; self-loops and " +
+    "duplicate/reversed edges are tolerated") {
+    val got = components(Seq(
+      (10L, 11L), (11L, 10L), (11L, 11L), (10L, 11L), // one component, messy input
+      (3L, 7L), (7L, 5L),                             // second component
+      (20L, 21L)))                                    // third
+    assert(got == Map(10L -> 10L, 11L -> 10L,
+      3L -> 3L, 7L -> 3L, 5L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter(e => e._1 != e._2)
+      assert(components(edges) == unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("a long chain converges within the O(log n) round budget " +
+    "(the star-contraction property, not diameter-many rounds)") {
+    val chain = (0L until 256L).sliding(2).map(s => (s(0), s(1))).toSeq
+    // maxRounds 12 << 255 (the diameter): only log-round convergence passes
+    val got = GraphOps.connectedComponents(
+      chain.toDF("src", "dst"), maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 256 && got.values.forall(_ == 0L))
+  }
+}
