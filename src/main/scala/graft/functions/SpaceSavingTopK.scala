@@ -1,0 +1,176 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-Saving top-k heavy hitters (Metwally et al., "Efficient
+  * computation of frequent and top-k elements in data streams") as a
+  * `TypedImperativeAggregate` — the bounded-memory alternative to the
+  * exact `GROUP BY key ORDER BY count` top-k, whose shuffle carries
+  * every distinct key. Here each partial buffer holds at most `capacity`
+  * counters, partial aggregation combines map-side, and the merge keeps
+  * the `capacity` largest counters (the mergeable-summaries shape,
+  * Agarwal et al., PODS'12) — so the cost at 100 TB is
+  * O(partitions × capacity), independent of key cardinality.
+  *
+  * Guarantees: counts are exact while no counter was ever evicted
+  * (cardinality ≤ capacity — the regime q60's oracle checks exactly);
+  * under eviction every reported count OVER-estimates the true count by
+  * at most its tracked `err` ≤ n/capacity. Deterministic: eviction and
+  * output tie-break on the full (count, key) order, never on hash-map
+  * iteration order.
+  *
+  * Output: the k counters largest by (count DESC, key ASC) as an array
+  * of (key, n) structs.
+  */
+case class SpaceSavingTopK(child: Expression, capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if capacity > 0 && k > 0 && k <= capacity =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"space_saving_topk expects (string, 0 < k <= capacity), " +
+            s"got ${t.simpleString}, capacity=$capacity, k=$k")
+    }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  override def update(buf: java.util.HashMap[String, Array[Long]],
+      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      val cur = buf.get(key)
+      if (cur != null) cur(0) += 1
+      else if (buf.size < capacity) buf.put(key, Array(1L, 0L))
+      else {
+        // Evict the (count, key)-minimal counter: smallest count, ties
+        // broken toward the lexicographically LARGEST key, so the
+        // choice is a pure function of the buffer contents.
+        var minKey: String = null
+        var minCount = Long.MaxValue
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0)
+          if (c < minCount || (c == minCount && e.getKey.compareTo(minKey) > 0)) {
+            minKey = e.getKey; minCount = c
+          }
+        }
+        buf.remove(minKey)
+        buf.put(key, Array(minCount + 1, minCount))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[String, Array[Long]],
+      b2: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b1.get(e.getKey)
+      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      else b1.put(e.getKey, e.getValue.clone())
+    }
+    if (b1.size > capacity) {
+      val kept = sortedEntries(b1).take(capacity)
+      b1.clear()
+      kept.foreach { case (key, arr) => b1.put(key, arr) }
+    }
+    b1
+  }
+
+  private def sortedEntries(
+      buf: java.util.HashMap[String, Array[Long]]): Seq[(String, Array[Long])] = {
+    import scala.jdk.CollectionConverters._
+    buf.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue))
+      .sortBy { case (key, arr) => (-arr(0), key) }
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any =
+    new GenericArrayData(sortedEntries(buf).take(k).map { case (key, arr) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(key), arr(0)))
+    }.toArray[Any])
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      buf.put(in.readUTF(), Array(in.readLong(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingTopK {
+  /** Column entry point via the function registry (the
+    * Expression→Column bridge pattern shared with kmv_distinct). */
+  def topK(spark: SparkSession, value: Column, capacity: Int, k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("space_saving_topk",
+      value, org.apache.spark.sql.functions.lit(capacity),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case l if l.foldable => l.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"space_saving_topk: $what must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"space_saving_topk: $what must be a literal")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "space_saving_topk",
+      (exprs: Seq[Expression]) => SpaceSavingTopK(exprs.head,
+        intLit(exprs(1), "capacity"), intLit(exprs(2), "k")).toAggregateExpression(),
+      "built-in")
+}

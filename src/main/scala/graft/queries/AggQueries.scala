@@ -184,11 +184,45 @@ object AggQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q60
+  /** Space-Saving heavy hitters (graft.functions.SpaceSavingTopK): top-3
+    * users by event count per event_type through a bounded-memory
+    * counter summary instead of an exact all-keys groupBy. The chosen
+    * capacity exceeds the correctness-SF user cardinality, which is the
+    * regime where Space-Saving is provably EXACT — so the oracle is the
+    * plain ranked GROUP BY with the same (count DESC, key ASC)
+    * tie-break. The approximate regime (capacity < cardinality) is
+    * pinned by SpaceSavingSpec's error-bound tests instead. */
+  private val SS_CAPACITY = 4096
+  private val SS_K = 3
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SpaceSavingTopK.topK(spark,
+        col("user_id").cast("string"), SS_CAPACITY, SS_K).as("top"))
+      .select(col("event_type"), explode(col("top")).as("e"))
+      .select(col("event_type"), col("e.key").as("user_id"), col("e.n").as("n"))
+      .orderBy(col("event_type"), col("n").desc, col("user_id"))
+  }
+  private val q60Sql =
+    s"""WITH counts AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, user_id, n,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY n DESC, user_id) AS rk
+       |  FROM counts)
+       |SELECT event_type, user_id, n FROM ranked WHERE rk <= $SS_K
+       |ORDER BY event_type, n DESC, user_id""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q34_approx_sketches", q34, Some(q34Sql)),
     Decl("q35_cube", q35, Some(q35Sql)),
     Decl("q36_pivot", q36, Some(q36Sql)),
     Decl("q37_percentiles", q37, Some(q37Sql)),
     Decl("q42_salted_agg", q42, Some(q42Sql)),
-    Decl("q43_kmv_sketch", q43, Some(q43Sql)))
+    Decl("q43_kmv_sketch", q43, Some(q43Sql)),
+    Decl("q60_heavy_hitters", q60, Some(q60Sql)))
 }
