@@ -48,4 +48,14 @@ class PlanHealthSpec extends SparkSpecBase {
     assert(!readSchemas.exists(_.contains("blob")),
       s"blob column not pruned: $readSchemas")
   }
+
+  test("q60: the Space-Saving aggregate combines map-side (partial + " +
+    "final ObjectHashAggregate, no all-rows shuffle to one stage)") {
+    val plan = executedPlan("q60_heavy_hitters")
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_space_saving_topk") ||
+      "partial_".r.findAllIn(plan).nonEmpty,
+      s"no partial aggregation phase in:\n$plan")
+  }
 }

@@ -76,6 +76,35 @@ class VectorOpsSpec extends SparkSpecBase {
       "multi-row-group single file must not be re-shuffled")
   }
 
+  test("spread gates on the PRUNED file listing: a partition filter that " +
+    "narrows the scan to one small file re-parallelizes even though the " +
+    "whole table lists enough files") {
+    val target = spark.sparkContext.defaultParallelism
+    val dir = tmpDir("spread_pruned")
+    Tables.events(spark, sf0001)
+      .withColumn("hour", hour($"ts") % 6)
+      .repartition($"hour")
+      .write.mode("overwrite").partitionBy("hour").parquet(dir)
+    val all = spark.read.parquet(dir)
+    assert(all.inputFiles.length >= target,
+      "fixture must list >= parallelism files unpruned")
+    // Unpruned: enough files -> no-op.
+    assert(Tables.spread(all) eq all)
+    // Pruned to one partition dir (single small file, single row group):
+    // the gate must see the 1 pruned file, not the >= target total, and
+    // fan the survivors out.
+    val one = all.where($"hour" === 3)
+    assert(Tables.spread(one).rdd.getNumPartitions === target,
+      "pruned single-file scan must be re-parallelized")
+  }
+
+  test("spread passes exchange-bearing plans through untouched (no .rdd " +
+    "probe that would materialize AQE stages)") {
+    val agg = Tables.documents(spark, sf0001)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    assert(Tables.spread(agg) eq agg)
+  }
+
   test("deterministic sampling: reproducible, class fractions respected") {
     import graft.ops.Sampling
     val ev = Tables.events(spark, sf0001)
