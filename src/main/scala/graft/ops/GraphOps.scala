@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the step a
@@ -37,14 +39,46 @@ object GraphOps {
     * (columns `src`, `dst`; self-loops and duplicates tolerated).
     * Returns (`node`, `component`) for every node incident to an edge,
     * where `component` is the smallest node id in the node's component.
+    *
+    * Adaptive: when the edge list is ALREADY a driver-local relation of
+    * at most `localThreshold` long-typed rows (q59's case — the verified
+    * pair list was localized by the LSH step), components come from a
+    * driver-side union-find: a distributed fixpoint loop costs seconds
+    * of per-round stage scheduling that a 25-edge graph cannot amortize.
+    * The same adaptive spirit as broadcast-vs-shuffle join selection; no
+    * job runs to make the choice (the rows are read off the optimized
+    * plan). Big or non-local edge sets take the distributed loop below;
+    * GraphOpsSpec pins both paths and their equality.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    var cur = normalize(edges).localCheckpoint(true)
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25,
+      localThreshold: Int = 1 << 20): DataFrame = {
+    localEdges(edges, localThreshold) match {
+      case Some(pairs) =>
+        val spark = edges.sparkSession
+        val assign = unionFind(pairs).toSeq.map(p => Row(p._1, p._2))
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](assign.asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("component",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case None => connectedComponentsDistributed(edges, maxRounds)
+    }
+  }
+
+  /** The distributed large-star/small-star loop (see object scaladoc). */
+  private[graft] def connectedComponentsDistributed(
+      edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // LAZY localCheckpoint: the checksum action both materializes the
+    // round's checkpoint and reads the fixpoint stats — one job per
+    // round instead of an eager-checkpoint job plus a checksum job.
+    var cur = normalize(edges).localCheckpoint(false)
     var stats: (Long, String) = checksum(cur)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextStats = checksum(next)
       cur = next
       converged = nextStats == stats
@@ -89,10 +123,12 @@ object GraphOps {
     val mins = b.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
+    // No intermediate distinct: duplicate edges cannot change any min,
+    // and smallStar's terminal distinct canonicalizes the round's output
+    // — one fewer shuffle per round.
     b.join(mins, "src")
-      .where(col("dst") > col("src") && col("dst") =!= col("m"))
+      .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** Small-star: every node links its not-larger neighbors AND itself to
@@ -105,6 +141,46 @@ object GraphOps {
       .union(mins.select(col("src"), col("m").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  /** Edge rows read straight off the OPTIMIZED plan iff it folded to a
+    * single long-typed LocalRelation within the size bound — no job, no
+    * collect; anything else returns None. */
+  private def localEdges(edges: DataFrame, threshold: Int): Option[Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.LongType
+    edges.queryExecution.optimizedPlan match {
+      case lr: LocalRelation
+          if lr.data.length <= threshold &&
+            lr.output.length == 2 && lr.output.forall(_.dataType == LongType) =>
+        val si = lr.output.indexWhere(_.name == "src")
+        val di = lr.output.indexWhere(_.name == "dst")
+        if (si < 0 || di < 0) None
+        else Some(lr.data.flatMap { r =>
+          if (r.isNullAt(si) || r.isNullAt(di)) None
+          else Some((r.getLong(si), r.getLong(di)))
+        })
+      case _ => None
+    }
+  }
+
+  /** Path-compressed union-find, labels normalized to the component
+    * minimum — the driver-side dual of the distributed loop. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    nodes.groupBy(find).valuesIterator
+      .flatMap { ns => val m = ns.min; ns.iterator.map(_ -> m) }.toMap
   }
 
   /** Order-independent fingerprint of a distinct edge set: (count,
