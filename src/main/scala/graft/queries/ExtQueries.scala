@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Caches, EventOps, GraphOps, TextOps}
+import graft.ops.{Caches, EventOps, GraphOps, Layout, TextOps}
 import graft.sources.Tables
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
 
@@ -193,6 +193,46 @@ object ExtQueries {
        |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u)
        |SELECT u AS doc_id, min(v) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q61
+  /** The clustered data layout under the oracle, end-to-end: write the
+    * events table range-clustered on user_id (`ops.Layout.clusteredWrite`
+    * — range shuffle + in-file sort), scan it back through a pushed range
+    * predicate (the layout every file/row-group min-max stat now serves,
+    * LayoutSpec proves the disjointness), and the roundtrip — including
+    * micros timestamps through the parquet writer — must match the plain
+    * filtered table. The (small) filtered result is localized so the
+    * scratch dir can be deleted before returning. */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+    try {
+      Layout.clusteredWrite(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts")),
+        tmp, files = 8, col("user_id"))
+      val filtered = spark.read.parquet(tmp)
+        .where(col("user_id").between(2L, 9L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_r"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy(col("event_id"))
+      Caches.localize(filtered, maxRows = 1 << 22).getOrElse {
+        val p = filtered.persist(); p.count(); p
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+  private val q61Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events WHERE user_id BETWEEN 2 AND 9
+      |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
@@ -663,6 +703,7 @@ object ExtQueries {
     Decl("q19_minhash_signature", q19, Some(q19Sql)),
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
     Decl("q59_dedup_clusters", q59, Some(q59Sql)),
+    Decl("q61_clustered_layout_scan", q61, Some(q61Sql)),
     Decl("q21_simhash", q21, Some(q21Sql)),
     Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
     Decl("q23_knn_bruteforce", q23, Some(q23Sql)),
