@@ -16,10 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `TypedImperativeAggregate` — the bounded-memory alternative to the
   * exact `GROUP BY key ORDER BY count` top-k, whose shuffle carries
   * every distinct key. Here each partial buffer holds at most `capacity`
-  * counters, partial aggregation combines map-side, and the merge keeps
-  * the `capacity` largest counters (the mergeable-summaries shape,
-  * Agarwal et al., PODS'12) — so the cost at 100 TB is
-  * O(partitions × capacity), independent of key cardinality.
+  * counters, partial aggregation combines map-side, and the merge is
+  * the mergeable-summaries construction (Agarwal et al., PODS'12):
+  * keys missing from one side are credited that side's implied minimum
+  * counter (its possible evicted mass) before truncating back to the
+  * `capacity` largest — so the cost at 100 TB is
+  * O(partitions × capacity), independent of key cardinality, and the
+  * over-estimate guarantee survives multi-partition merges.
   *
   * Guarantees: counts are exact while no counter was ever evicted
   * (cardinality ≤ capacity — the regime q60's oracle checks exactly);
@@ -83,14 +86,47 @@ case class SpaceSavingTopK(child: Expression, capacity: Int, k: Int,
     buf
   }
 
+  /** The implied count a summary assigns to keys it does NOT hold: a
+    * full summary may have evicted the key after counting it up to the
+    * current minimum counter, so missing keys estimate at min; a
+    * non-full summary never evicted, so missing keys truly counted 0. */
+  private def impliedMin(buf: java.util.HashMap[String, Array[Long]]): Long = {
+    if (buf.size < capacity) 0L
+    else {
+      var m = Long.MaxValue
+      val it = buf.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c < m) m = c }
+      m
+    }
+  }
+
   override def merge(b1: java.util.HashMap[String, Array[Long]],
       b2: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    // Mergeable-summaries merge (Agarwal et al., PODS'12): each side's
+    // estimate for a key it lacks is that side's implied minimum, so a
+    // key kept by only one partition still rides the other's possible
+    // evicted mass — without this, post-eviction merges can UNDER-count
+    // a key the other summary dropped. The compensation also rides the
+    // err slot, preserving (count - err) ≤ true ≤ count.
+    val m1 = impliedMin(b1)
+    val m2 = impliedMin(b2)
+    if (m2 > 0) {
+      val it1 = b1.entrySet().iterator()
+      while (it1.hasNext) {
+        val e = it1.next()
+        if (!b2.containsKey(e.getKey)) { e.getValue()(0) += m2; e.getValue()(1) += m2 }
+      }
+    }
     val it = b2.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = b1.get(e.getKey)
       if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      else b1.put(e.getKey, e.getValue.clone())
+      else {
+        val arr = e.getValue.clone()
+        arr(0) += m1; arr(1) += m1
+        b1.put(e.getKey, arr)
+      }
     }
     if (b1.size > capacity) {
       val kept = sortedEntries(b1).take(capacity)
@@ -119,7 +155,12 @@ case class SpaceSavingTopK(child: Expression, capacity: Int, k: Int,
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+      // Length-prefixed UTF-8, not writeUTF: writeUTF throws for keys
+      // whose encoding exceeds 65535 bytes — a real hazard for the
+      // registry-exposed general string-key aggregate.
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
     }
     out.flush()
     bos.toByteArray
@@ -131,7 +172,11 @@ case class SpaceSavingTopK(child: Expression, capacity: Int, k: Int,
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      buf.put(in.readUTF(), Array(in.readLong(), in.readLong()))
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        Array(in.readLong(), in.readLong()))
       i += 1
     }
     buf

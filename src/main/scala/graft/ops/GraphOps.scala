@@ -37,8 +37,10 @@ object GraphOps {
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `src`, `dst`; self-loops and duplicates tolerated).
-    * Returns (`node`, `component`) for every node incident to an edge,
-    * where `component` is the smallest node id in the node's component.
+    * Returns (`node`, `component`) for every node incident to a
+    * non-self-loop edge (a node appearing ONLY in self-loops is not
+    * emitted — both paths agree), where `component` is the smallest
+    * node id in the node's component.
     *
     * Adaptive: when the edge list is ALREADY a driver-local relation of
     * at most `localThreshold` long-typed rows (q59's case — the verified
@@ -178,7 +180,12 @@ object GraphOps {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
     }
-    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    // Self-loop-only nodes are excluded, matching the distributed
+    // path, whose normalize() drops self-loops before the loop ever
+    // sees them — both paths emit exactly the nodes incident to a
+    // non-self-loop edge.
+    val nodes = edges.iterator.filter(e => e._1 != e._2)
+      .flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
     nodes.groupBy(find).valuesIterator
       .flatMap { ns => val m = ns.min; ns.iterator.map(_ -> m) }.toMap
   }

@@ -205,6 +205,11 @@ object ExtQueries {
     * scratch dir can be deleted before returning. */
   private def q61(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+    // Deleting eagerly is only safe when localize SUCCEEDED (result is a
+    // plan-free local relation). The persist() fallback's lineage still
+    // reads the scratch parquet — a cache-block eviction would recompute
+    // against deleted files — so that path defers deletion to JVM exit.
+    var deferCleanup = false
     try {
       Layout.clusteredWrite(
         Tables.events(spark, dir)
@@ -218,14 +223,22 @@ object ExtQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
         .orderBy(col("event_id"))
       Caches.localize(filtered, maxRows = 1 << 22).getOrElse {
+        deferCleanup = true
         val p = filtered.persist(); p.count(); p
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      // deleteOnExit runs LIFO, so registering each directory before its
+      // children deletes children first, directories last.
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
         f.delete(); ()
       }
-      rm(new java.io.File(tmp))
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
     }
   }
   private val q61Sql =

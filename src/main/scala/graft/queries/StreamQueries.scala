@@ -109,12 +109,14 @@ object StreamQueries {
         .outputMode("append").start()
       try drive(q) finally q.stop()
       val sink = spark.table(name)
-      val local = spark.createDataFrame(
+      spark.createDataFrame(
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-      spark.catalog.dropTempView(name)
-      local
     } finally {
       spark.conf.set(spKey, oldSp)
+      // Drop in the OUTER finally so a failed drive() also releases the
+      // sink's driver-resident rows — otherwise each failed best-of-N
+      // run pins a full sink copy for the session lifetime.
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
       deleteRecursively(ckpt)
     }
   }

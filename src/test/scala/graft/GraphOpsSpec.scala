@@ -79,6 +79,18 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("a self-loop-ONLY node is omitted by BOTH paths (normalize drops " +
+    "self-loops; the local union-find matches)") {
+    // Node 9 appears only in (9,9); nodes 1-2 form a real component.
+    val edges = Seq((9L, 9L), (1L, 2L))
+    val want = Map(1L -> 1L, 2L -> 1L)
+    assert(adaptive(edges) == want, "local path must omit the self-loop-only node")
+    assert(distributed(edges) == want, "distributed path must omit it too")
+    // Degenerate input: nothing but self-loops -> empty result, both paths.
+    assert(adaptive(Seq((4L, 4L))) == Map.empty[Long, Long])
+    assert(distributed(Seq((4L, 4L))) == Map.empty[Long, Long])
+  }
+
   test("a long chain converges within the O(log n) round budget " +
     "(the star-contraction property, not diameter-many rounds)") {
     val chain = (0L until 256L).sliding(2).map(s => (s(0), s(1))).toSeq
