@@ -27,9 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Guarantees: counts are exact while no counter was ever evicted
   * (cardinality ≤ capacity — the regime q60's oracle checks exactly);
   * under eviction every reported count OVER-estimates the true count by
-  * at most its tracked `err` ≤ n/capacity. Deterministic: eviction and
-  * output tie-break on the full (count, key) order, never on hash-map
-  * iteration order.
+  * at most its tracked `err` ≤ n/capacity. Deterministic tie-breaking:
+  * eviction and output order on the full (count, key) order, never on
+  * hash-map iteration order. NOT merge-order invariant under eviction:
+  * the implied-min credits reflect each buffer's accumulated state, so
+  * in the eviction regime the estimates (not the bounds) can vary with
+  * shuffle-fetch order — same property as classical Space-Saving
+  * truncation. In the exact regime (no eviction) results are fully
+  * run-to-run stable.
   *
   * Output: the k counters largest by (count DESC, key ASC) as an array
   * of (key, n) structs.
