@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Caches, EventOps, GraphOps, Layout, TextOps}
+import graft.ops.{Caches, EventOps, GraphOps, Layout, LshIndex, TextOps}
 import graft.sources.Tables
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
 
@@ -145,8 +145,10 @@ object ExtQueries {
     } finally sig.unpersist()
   }
   /** CTE chain ending in `pairs` = the verified near-dup pairs — shared
-    * by q20 (lists them) and q59 (clusters them). */
-  private val pairCtes =
+    * by q20 (lists them), q59 (clusters them) and q62 (the incremental
+    * subset: `candFilter` restricts candidate pairs, e.g. to those with
+    * at least one batch-side member). */
+  private def pairCtesWith(candFilter: String): String =
     s"""${shingleCtes(SHINGLE_N)},
        |${sigCte(K)},
        |${bandCte(K, R)},
@@ -154,7 +156,7 @@ object ExtQueries {
        |  HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
        |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, key)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id$candFilter),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
        |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
@@ -164,6 +166,7 @@ object ExtQueries {
        |    round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 4) AS jaccard
        |  FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
        |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5)""".stripMargin
+  private val pairCtes = pairCtesWith("")
   private val q20Sql =
     s"""WITH $pairCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
@@ -246,6 +249,48 @@ object ExtQueries {
       |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
       |FROM events WHERE user_id BETWEEN 2 AND 9
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ q62
+  /** PERSISTED incremental LSH dedup index (ops.LshIndex) end-to-end
+    * under the oracle: build the band-clustered index from a base corpus
+    * (doc_id % 4 != 0), then probe it with an ingest batch (doc_id % 4
+    * == 0) — the probe computes signatures for the BATCH ONLY, reads only
+    * index buckets the batch touches, and emits the verified new near-dup
+    * pairs (≥1 batch-side member). The oracle recomputes the same pairs
+    * from scratch: the subset of q20's full-corpus pairs with a batch
+    * member — which is exactly what an incremental run must produce,
+    * including full-bucket hot-bucket-cap semantics (a bucket crossing
+    * the cap only once the batch lands is dropped on both sides). */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q62_").toString
+    var deferCleanup = false
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isBatch = pmod(col("doc_id"), lit(4)) === 0
+      LshIndex.build(docs.where(!isBatch), tmp)
+      val pairs = LshIndex.probeAndAppend(spark, tmp, docs.where(isBatch))
+      // probeAndAppend localizes unless the pair list is improbably huge;
+      // in that fallback its (cached) plan still reads the scratch index
+      // parquet, so deletion must wait for JVM exit (same rule as q61).
+      deferCleanup = !pairs.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      pairs
+    } finally {
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
+        f.delete(); ()
+      }
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
+    }
+  }
+  private val q62Sql =
+    s"""WITH ${pairCtesWith(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")}
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
@@ -717,6 +762,7 @@ object ExtQueries {
     Decl("q20_minhash_lsh_neardup", q20, Some(q20Sql)),
     Decl("q59_dedup_clusters", q59, Some(q59Sql)),
     Decl("q61_clustered_layout_scan", q61, Some(q61Sql)),
+    Decl("q62_lsh_index_incremental", q62, Some(q62Sql)),
     Decl("q21_simhash", q21, Some(q21Sql)),
     Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
     Decl("q23_knn_bruteforce", q23, Some(q23Sql)),
