@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Write-side data layout for scan pruning — the storage half of the
   * 100 TB read story. Parquet keeps min/max statistics per row group and
@@ -30,4 +31,50 @@ object Layout {
     df.repartitionByRange(files, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Multi-column Z-ORDER write: single-column clustering serves one
+    * predicate column and scatters every other — `clusteredWrite` on
+    * user_id makes an event_id range read the whole table. Z-ordering
+    * interleaves the bits of each column's RANK so a row group covers a
+    * small hyper-rectangle of the key space: a range predicate on ANY of
+    * the clustering columns overlaps ~n^((d-1)/d) of n row groups instead
+    * of all of them.
+    *
+    * Ranks, not raw values: bit-interleaving raw values degenerates under
+    * skew or mismatched ranges (a column spanning 0..10^15 hogs every
+    * high bit). Per-column rank buckets come from one driver-side
+    * `approxQuantile` sampling pass (the same sampling
+    * `repartitionByRange` does internally) whose boundaries embed into
+    * the plan as literals — bucket assignment is then a pure in-row
+    * expression, no join, no shuffle beyond the final range partition.
+    *
+    * `bits` rank bits per column (default 8 = 256 buckets/column; with
+    * d columns the z-value is d·bits wide). Boundary lookup is a
+    * per-row linear scan over the 2^bits-1 literal boundaries — fine at
+    * 8 bits; for deeper grids swap in a binary-search expression. */
+  def zorderWrite(df: DataFrame, path: String, files: Int,
+      cols: Seq[String], bits: Int = 8): Unit = {
+    val buckets = (1 << bits) - 1 // boundary count; bucket ids 0..2^bits-1
+    val probs = (1 to buckets).map(_.toDouble / (buckets + 1)).toArray
+    val zcols = cols.map { c =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+      // rank bucket = #boundaries <= value, via one in-row pass
+      aggregate(
+        lit(bounds),
+        lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }
+    // interleave: bit j of column i lands at position j*d + i
+    val d = cols.size
+    val z = (0 until bits).flatMap { j =>
+      zcols.zipWithIndex.map { case (bc, i) =>
+        shiftleft(shiftright(bc, j).bitwiseAND(lit(1)).cast("long"), j * d + i)
+      }
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

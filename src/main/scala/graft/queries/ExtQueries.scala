@@ -250,6 +250,54 @@ object ExtQueries {
       |FROM events WHERE user_id BETWEEN 2 AND 9
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ q63
+  /** Multi-column Z-ORDER layout under the oracle: write events z-ordered
+    * on (user_id, event_id) — rank-bucketed bit interleaving,
+    * Layout.zorderWrite — and scan back through a conjunction of range
+    * predicates on BOTH columns, the multi-predicate shape single-column
+    * clustering cannot serve (LayoutSpec proves either-column row-group
+    * pruning from the written footers; this query proves the roundtrip
+    * bit-exact). */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").toString
+    var deferCleanup = false
+    try {
+      Layout.zorderWrite(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts")),
+        tmp, files = 8, Seq("user_id", "event_id"))
+      val filtered = spark.read.parquet(tmp)
+        .where(col("user_id").between(2L, 60L) &&
+          col("event_id").between(500L, 5000L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_r"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy(col("event_id"))
+      Caches.localize(filtered, maxRows = 1 << 22).getOrElse {
+        deferCleanup = true
+        val p = filtered.persist(); p.count(); p
+      }
+    } finally {
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
+        f.delete(); ()
+      }
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
+    }
+  }
+  private val q63Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events
+      |WHERE user_id BETWEEN 2 AND 60 AND event_id BETWEEN 500 AND 5000
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------ q62
   /** PERSISTED incremental LSH dedup index (ops.LshIndex) end-to-end
     * under the oracle: build the band-clustered index from a base corpus
@@ -763,6 +811,7 @@ object ExtQueries {
     Decl("q59_dedup_clusters", q59, Some(q59Sql)),
     Decl("q61_clustered_layout_scan", q61, Some(q61Sql)),
     Decl("q62_lsh_index_incremental", q62, Some(q62Sql)),
+    Decl("q63_zorder_layout_scan", q63, Some(q63Sql)),
     Decl("q21_simhash", q21, Some(q21Sql)),
     Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
     Decl("q23_knn_bruteforce", q23, Some(q23Sql)),

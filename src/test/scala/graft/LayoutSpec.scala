@@ -71,4 +71,49 @@ class LayoutSpec extends SparkSpecBase {
     assert(scan.count() ===
       events.where($"user_id".between(100L, 110L)).count())
   }
+
+  /** Fraction of row groups whose [min,max] on `colName` overlaps
+    * [lo, hi] — the fraction a pushed range predicate must read. */
+  private def overlapFrac(dir: String, colName: String, lo: Long, hi: Long): Double = {
+    val stats = int64Stats(dir, colName)
+    stats.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / stats.size
+  }
+
+  test("zorderWrite prunes row groups on EITHER clustering column, where " +
+    "single-column clusteredWrite serves one column and scatters the other") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id", $"user_id")
+
+    val zdir = tmpDir("layout_zorder")
+    Layout.zorderWrite(events, zdir, files = 16, Seq("user_id", "event_id"))
+
+    val single = tmpDir("layout_single")
+    Layout.clusteredWrite(events, single, files = 16, $"user_id")
+
+    // narrow ranges (~2% of each domain) probed against the footer stats
+    val Seq(uLo, uHi) = Seq(100L, 110L)
+    val (eLo, eHi) = (1000L, 1200L)
+
+    val zU = overlapFrac(zdir, "user_id", uLo, uHi)
+    val zE = overlapFrac(zdir, "event_id", eLo, eHi)
+    val sU = overlapFrac(single, "user_id", uLo, uHi)
+    val sE = overlapFrac(single, "event_id", eLo, eHi)
+
+    // single-column layout: near-perfect on its own column, useless on
+    // the other (every file spans ~the whole event_id domain)
+    assert(sU <= 0.25, s"clustered user_id pruning weak: $sU")
+    assert(sE >= 0.9, s"control should NOT prune event_id: $sE")
+    // z-order: BOTH columns prune — each range reads a strict subset,
+    // and the two fractions are of the same order (~sqrt(n)/n shape)
+    assert(zU <= 0.75, s"zorder user_id pruning absent: $zU")
+    assert(zE <= 0.75, s"zorder event_id pruning absent: $zE")
+
+    // correctness unchanged by layout, predicates pushed
+    val scan = spark.read.parquet(zdir)
+      .where($"user_id".between(uLo, uHi) && $"event_id".between(eLo, eHi))
+    assert(scan.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(scan.count() === events
+      .where($"user_id".between(uLo, uHi) && $"event_id".between(eLo, eHi))
+      .count())
+  }
 }
