@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Caches, EventOps, GraphOps, Layout, LshIndex, TextOps}
 import graft.sources.Tables
+import graft.pipeline.CurationPipeline
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
@@ -23,9 +24,9 @@ object ExtQueries {
 
   /** DuckDB CTEs producing DISTINCT (doc_id, shingle) word n-grams —
     * mirror of TextOps.shingleRows. */
-  private def shingleCtes(n: Int): String = {
+  private def shingleCtes(n: Int, src: String = "documents"): String = {
     val concat = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 2}, 1))) AS i FROM words),
        |sh AS (SELECT DISTINCT doc_id, $concat AS shingle FROM idx)""".stripMargin
   }
@@ -148,8 +149,8 @@ object ExtQueries {
     * by q20 (lists them), q59 (clusters them) and q62 (the incremental
     * subset: `candFilter` restricts candidate pairs, e.g. to those with
     * at least one batch-side member). */
-  private def pairCtesWith(candFilter: String): String =
-    s"""${shingleCtes(SHINGLE_N)},
+  private def pairCtesWith(candFilter: String, src: String = "documents"): String =
+    s"""${shingleCtes(SHINGLE_N, src)},
        |${sigCte(K)},
        |${bandCte(K, R)},
        |bsz AS (SELECT band, key FROM bands GROUP BY band, key
@@ -297,6 +298,53 @@ object ExtQueries {
       |FROM events
       |WHERE user_id BETWEEN 2 AND 60 AND event_id BETWEEN 500 AND 5000
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ q64
+  /** The end-to-end curation pipeline under the oracle: exact dedup on
+    * normalized text → quality gate (min words + stopword ratio) →
+    * MinHash+LSH near-dedup (drop the higher-id doc of every verified
+    * pair) → per-doc token accounting. The oracle replays the identical
+    * 4-stage chain in SQL — including the LSH pair CTEs over the
+    * QUALITY-GATED corpus, not the raw one, because stage order changes
+    * which pairs exist (a low-quality doc must not shield its near-dup
+    * from removal). The pipeline's own funnel report + cache lifetimes
+    * are pinned by CurationPipelineSpec. */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val exact = CurationPipeline.exactDedup(docs)
+    val quality = CurationPipeline.qualityGate(exact, cfg)
+    val (near, cleanup) = CurationPipeline.nearDedupStaged(quality, cfg)
+    try {
+      val out = CurationPipeline.withTokenCounts(near)
+        .select(col("doc_id"), col("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private val q64Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""WITH exact AS (
+       |  SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |${pairCtesWith("", "qual")},
+       |dropids AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT doc_id,
+       |       CAST($nWords AS INT) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+       |FROM qual
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------------ q62
   /** PERSISTED incremental LSH dedup index (ops.LshIndex) end-to-end
@@ -812,6 +860,7 @@ object ExtQueries {
     Decl("q61_clustered_layout_scan", q61, Some(q61Sql)),
     Decl("q62_lsh_index_incremental", q62, Some(q62Sql)),
     Decl("q63_zorder_layout_scan", q63, Some(q63Sql)),
+    Decl("q64_curation_pipeline", q64, Some(q64Sql)),
     Decl("q21_simhash", q21, Some(q21Sql)),
     Decl("q22_ngram_jaccard", q22, Some(q22Sql)),
     Decl("q23_knn_bruteforce", q23, Some(q23Sql)),
