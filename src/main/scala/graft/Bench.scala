@@ -6,12 +6,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Scratch space (shuffle spill, RocksDB state-store working dirs) on
+    // tmpfs when available: the streaming harness checkpoints already go
+    // to /dev/shm, but RocksDB's LOCAL working copy follows
+    // spark.local.dir — on disk-backed /tmp its per-batch open/commit
+    // churn dominates the harness fixed cost.
+    val shm = new java.io.File("/dev/shm")
+    val spark = (if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/FS once so the first timed query isn't charged
     // ~4 s of session startup.

@@ -102,8 +102,23 @@ object StreamQueries {
     // Verify/Bench, so the mutation window cannot leak into another plan.
     val spKey = "spark.sql.shuffle.partitions"
     val oldSp = spark.conf.get(spKey)
+    // The oracles run on the PRODUCTION state store (RocksDB, off-heap,
+    // the backend a 100 TB stream's state actually lives in), not the
+    // default in-memory HDFS-backed provider — state encoding and
+    // store semantics are part of what the hash-compare certifies.
+    // Scoped + restored exactly like the partition count.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
     try {
       spark.conf.set(spKey, STATE_PARTITIONS)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit appends a per-batch changelog
+      // instead of uploading a full RocksDB snapshot every micro-batch —
+      // the production posture for frequent small commits, and it halves
+      // the fixed per-batch harness cost here.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       val q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("append").start()
@@ -113,6 +128,10 @@ object StreamQueries {
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     } finally {
       spark.conf.set(spKey, oldSp)
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
       // Drop in the OUTER finally so a failed drive() also releases the
       // sink's driver-resident rows — otherwise each failed best-of-N
       // run pins a full sink copy for the session lifetime.
