@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted, incrementally-maintained MinHash+LSH near-duplicate index —
@@ -12,32 +12,41 @@ import org.apache.spark.sql.functions._
   *
   *   O(|batch| signatures) + O(index rows in touched buckets)
   *
-  * — the index scan is a broadcast-probed join against a table that is
-  * ~1-2% the corpus size, and only buckets the batch touches are read
-  * into the candidate join.
+  * — and "touched buckets" is enforced at the FILE level, not just the
+  * row level: both index tables are hive-partitioned on a hash bucket of
+  * their lookup key, and each probe derives a partition predicate from
+  * the batch, so the parquet scan lists and reads only the touched
+  * bucket directories. Scan cost per batch is proportional to the batch,
+  * not to the index.
   *
   * Storage layout (`<path>/bands`, `<path>/sigs`):
-  *   - `bands` (band, key, doc_id): `Layout.clusteredWrite` on
-  *     (band, key) — files and row groups cover disjoint band/key
-  *     ranges, so per-bucket maintenance reads (compaction, hot-bucket
-  *     re-audit, a static key-range probe) prune to the files that hold
-  *     the range. At 100 TB this table is additionally `partitionBy`'d
-  *     on a key prefix so appends stay file-local.
-  *   - `sigs` (doc_id, sh): the per-doc DISTINCT shingle set, clustered
-  *     on doc_id — exact-jaccard verification fetches only candidate
-  *     docs' rows, and the clustering keeps those fetches row-group-
-  *     prunable under pushed id ranges.
+  *   - `bands` (band, key, doc_id), hive-partitioned on
+  *     `pk = hash(band, key) mod indexPartitions` and range-clustered on
+  *     (band, key) within partitions. The probe collects the batch's
+  *     distinct pk values (bounded by `indexPartitions`, never by batch
+  *     size) into a partition `IN` predicate — file-level pruning — and
+  *     keeps a broadcast row-level semi join on (band, key) for
+  *     exactness within the touched directories.
+  *   - `sigs` (doc_id, sh), hive-partitioned on its own
+  *     `pk = hash(doc_id) mod indexPartitions` and clustered on doc_id:
+  *     exact-jaccard verification derives the candidate docs' ps values
+  *     the same way (the candidate list is already localized), so set
+  *     fetches read only the touched sig directories. This matters even
+  *     more than the bands pruning: sigs hold the full per-doc shingle
+  *     sets and are corpus-sized, where bands are ~1-2% of the corpus.
   *
   * Probe semantics match the one-shot operator exactly: the hot-bucket
   * cap (TextOps.capHotBuckets) counts the FULL combined bucket (index +
-  * batch members), so a bucket that crosses the cap only after the batch
-  * lands is dropped just as a full recompute would drop it. New-vs-new
-  * pairs inside the batch are found in the same pass as new-vs-old —
-  * the batch's own band rows ride the combined table.
+  * batch members) — partition + semi-join pruning keeps every member of
+  * a touched bucket, so a bucket that crosses the cap only after the
+  * batch lands is dropped just as a full recompute would drop it.
+  * New-vs-new pairs inside the batch are found in the same pass as
+  * new-vs-old — the batch's own band rows ride the combined table.
   *
   * Append-only: `probeAndAppend` writes the batch's bands/sigs into the
-  * index after probing, so the next batch sees them. Deletions are out
-  * of scope (training corpora are append-only; a tombstone column is the
+  * index after probing (appends land in the same hash-bucket directories,
+  * so pruning keeps working as the index grows). Deletions are out of
+  * scope (training corpora are append-only; a tombstone column is the
   * standard extension).
   */
 object LshIndex {
@@ -46,10 +55,23 @@ object LshIndex {
       shingleN: Int = 2, k: Int = 8, r: Int = 2,
       jaccardThreshold: Double = 0.5,
       maxBucket: Option[Int] = Some(TextOps.DefaultMaxBucket),
-      bandFiles: Int = 8, sigFiles: Int = 8)
+      bandFiles: Int = 8, sigFiles: Int = 8,
+      /** Hash-bucket count for the hive partitioning of both tables.
+        * Bounds the per-probe partition-predicate size (the collect is
+        * ≤ this many ints) and the directory fan-out. 32 suits the test
+        * scale; at 100 TB raise it so a bucket directory stays a few GB. */
+      indexPartitions: Int = 32)
 
   private def bandsPath(path: String) = s"$path/bands"
   private def sigsPath(path: String) = s"$path/sigs"
+
+  /** Partition bucket of a bands row: hash of the full bucket key. */
+  private def bandPk(cfg: Config): Column =
+    pmod(xxhash64(col("band"), col("key")), lit(cfg.indexPartitions)).cast("int")
+
+  /** Partition bucket of a sigs row / candidate doc id. */
+  private def sigPs(cfg: Config, docId: Column): Column =
+    pmod(xxhash64(docId), lit(cfg.indexPartitions)).cast("int")
 
   /** (doc_id, sh, m0..m(k-1)) — one row per doc, all map-side.
     * Shingle-less docs are dropped: they have no minima (null band keys)
@@ -61,21 +83,114 @@ object LshIndex {
       .select(col(id) +: col("sh") +:
         TextOps.minhashFromSet(col("sh"), cfg.k): _*)
 
+  private def bandsOf(sig: DataFrame, cfg: Config, id: String): DataFrame =
+    TextOps.lshBands(sig, id, cfg.k, cfg.r)
+      .select(col("band"), col("key"), col(id).as("doc_id"))
+
+  /** Hive-partitioned clustered write: range-shuffle on (partition
+    * bucket, cluster key) so each task holds few bucket values and each
+    * bucket directory gets contiguous, sorted files — file counts stay
+    * O(files), and row groups within a directory are disjoint on the
+    * cluster key. */
+  private def writePartitioned(df: DataFrame, path: String, files: Int,
+      mode: String, cluster: Column*): Unit =
+    df.repartitionByRange(files, col("__part") +: cluster: _*)
+      .sortWithinPartitions(col("__part") +: cluster: _*)
+      .withColumnRenamed("__part", "pk")
+      .write.partitionBy("pk").mode(mode).parquet(path)
+
   /** Build the index at `path` from a base corpus (full recompute — run
     * once; subsequent batches go through [[probeAndAppend]]). */
   def build(docs: DataFrame, path: String, cfg: Config = Config(),
       id: String = "doc_id", text: String = "text"): Unit = {
     val sig = signatures(docs, cfg, id, text).persist()
     try {
-      Layout.clusteredWrite(
-        TextOps.lshBands(sig, id, cfg.k, cfg.r)
-          .select(col("band"), col("key"), col(id).as("doc_id")),
-        bandsPath(path), cfg.bandFiles, col("band"), col("key"))
-      Layout.clusteredWrite(
-        sig.select(col(id).as("doc_id"), col("sh")),
-        sigsPath(path), cfg.sigFiles, col("doc_id"))
+      writePartitioned(
+        bandsOf(sig, cfg, id).withColumn("__part", bandPk(cfg)),
+        bandsPath(path), cfg.bandFiles, "overwrite", col("band"), col("key"))
+      writePartitioned(
+        sig.select(col(id).as("doc_id"), col("sh"))
+          .withColumn("__part", sigPs(cfg, col("doc_id"))),
+        sigsPath(path), cfg.sigFiles, "overwrite", col("doc_id"))
     } finally sig.unpersist()
   }
+
+  /** The probe's plans, exposed (package-private) so the plan-health spec
+    * can pin the EXACT scan frames the probe uses: `bandScan`/`sigScan`
+    * are the partition-pruned index reads, `pairs` the verified result. */
+  private[graft] case class Probe(
+      pairs: DataFrame, bandScan: DataFrame, sigScan: DataFrame)
+
+  /** The probe's verified-pair plan for an already-computed batch
+    * signature frame — shared by [[probeAndAppend]] and the plan-pinning
+    * specs (which assert the file-level pruning on the two index scans).
+    * Returns the probe plans plus the batch band rows (for the append). */
+  private def probePairs(spark: SparkSession, path: String, sig: DataFrame,
+      cfg: Config, id: String): (Probe, DataFrame) = {
+    val newBands = bandsOf(sig, cfg, id)
+    // Only buckets the batch touches can yield new pairs. The batch's
+    // distinct pk values (≤ indexPartitions ints — bounded regardless of
+    // batch size) become a partition predicate, so the bands scan LISTS
+    // only touched directories; the broadcast semi join then keeps, row
+    // level, every member of a touched bucket (so the hot-bucket count
+    // below is the bucket's FULL size). The index side never shuffles.
+    val touchedKeys = newBands.select(col("band"), col("key")).distinct()
+    val touchedPk = touchedKeys.select(bandPk(cfg).as("pk")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val indexBands = spark.read.parquet(bandsPath(path))
+      .where(col("pk").isin(touchedPk: _*))
+      .select(col("band"), col("key"), col("doc_id"))
+      .join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
+    val combined = indexBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val pruned = cfg.maxBucket match {
+      case Some(m) =>
+        TextOps.capHotBuckets(combined, Seq("band", "key"), m, "lsh_index_hot_buckets")
+      case None => combined
+    }
+    val a = pruned.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("is_new").as("na"))
+    val b = pruned.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("is_new").as("nb"))
+    val candPlan = a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Candidates are rare (capped buckets bound them) — localize so the
+    // broadcast below ships a LocalRelation and the sigs partition
+    // predicate is derivable without re-running the band join.
+    val cand = Caches.localize(candPlan, maxRows = 1 << 20).getOrElse {
+      val p = candPlan.persist(); p.count(); p
+    }
+    // Exact verification: shingle sets come from the index for old docs,
+    // from the in-memory batch for new ones. The candidate docs' ps
+    // values (again ≤ indexPartitions ints) prune the sigs scan to the
+    // touched directories — at 100 TB sigs are corpus-sized, so this is
+    // the pruning that matters most.
+    val candPs = cand.select(explode(array(
+        sigPs(cfg, col("doc_a")), sigPs(cfg, col("doc_b")))).as("ps"))
+      .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+    val indexSets = spark.read.parquet(sigsPath(path))
+      .where(col("pk").isin(candPs: _*))
+      .select(col("doc_id"), col("sh"))
+    val sets = indexSets
+      .unionByName(sig.select(col(id).as("doc_id"), col("sh")))
+    val withSets = sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .join(broadcast(cand), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+    val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
+    val pairs = withSets.where(j >= cfg.jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    (Probe(pairs, indexBands, indexSets), newBands)
+  }
+
+  /** Probe-only entry point for the plan-health spec: returns the probe
+    * plans WITHOUT appending, so the spec can execute them and pin the
+    * two index scans' partition filters and scanned-file counts. */
+  private[graft] def probePlan(spark: SparkSession, path: String,
+      newDocs: DataFrame, cfg: Config = Config(), id: String = "doc_id",
+      text: String = "text"): Probe =
+    probePairs(spark, path, signatures(newDocs, cfg, id, text), cfg, id)._1
 
   /** Probe the index with an ingest batch: returns the verified NEW
     * near-dup pairs (doc_a, doc_b, jaccard ≥ threshold; at least one side
@@ -89,49 +204,20 @@ object LshIndex {
       text: String = "text"): DataFrame = {
     val sig = signatures(newDocs, cfg, id, text).persist()
     try {
-      val newBands = TextOps.lshBands(sig, id, cfg.k, cfg.r)
-        .select(col("band"), col("key"), col(id).as("doc_id"))
-      // Only buckets the batch touches can yield new pairs; the semi join
-      // keeps every member of a touched bucket (so the hot-bucket count
-      // below is the bucket's FULL size), and the batch's distinct keys
-      // broadcast — the index side streams, never shuffles.
-      val touchedKeys = newBands.select(col("band"), col("key")).distinct()
-      val indexBands = spark.read.parquet(bandsPath(path))
-        .join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
-      val combined = indexBands.withColumn("is_new", lit(false))
-        .unionByName(newBands.withColumn("is_new", lit(true)))
-      val pruned = cfg.maxBucket match {
-        case Some(m) =>
-          TextOps.capHotBuckets(combined, Seq("band", "key"), m, "lsh_index_hot_buckets")
-        case None => combined
-      }
-      val a = pruned.select(col("band"), col("key"),
-        col("doc_id").as("doc_a"), col("is_new").as("na"))
-      val b = pruned.select(col("band"), col("key"),
-        col("doc_id").as("doc_b"), col("is_new").as("nb"))
-      val cand = a.join(b, Seq("band", "key"))
-        .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      // Exact verification: shingle sets come from the index for old
-      // docs, from the in-memory batch for new ones. Candidates are rare
-      // -> broadcast them onto both set lookups (map-side joins).
-      val sets = spark.read.parquet(sigsPath(path))
-        .unionByName(sig.select(col(id).as("doc_id"), col("sh")))
-      val withSets = sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
-        .join(broadcast(cand), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
-      val pairs = withSets.where(j >= cfg.jaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-      val result = Caches.localize(pairs, maxRows = 1 << 20).getOrElse {
-        val p = pairs.persist(); p.count(); p
+      val (probe, newBands) = probePairs(spark, path, sig, cfg, id)
+      val result = Caches.localize(probe.pairs, maxRows = 1 << 20).getOrElse {
+        val p = probe.pairs.persist(); p.count(); p
       }
       // Append AFTER the probe is materialized: the probe must see the
       // pre-batch index, and the localized result no longer reads it.
-      newBands.write.mode("append").parquet(bandsPath(path))
-      sig.select(col(id).as("doc_id"), col("sh"))
-        .write.mode("append").parquet(sigsPath(path))
+      // Appends reuse the same hash-bucket partitioning, so the files
+      // land in (and future probes prune to) the right directories.
+      writePartitioned(newBands.withColumn("__part", bandPk(cfg)),
+        bandsPath(path), cfg.bandFiles, "append", col("band"), col("key"))
+      writePartitioned(
+        sig.select(col(id).as("doc_id"), col("sh"))
+          .withColumn("__part", sigPs(cfg, col("doc_id"))),
+        sigsPath(path), cfg.sigFiles, "append", col("doc_id"))
       result
     } finally sig.unpersist()
   }

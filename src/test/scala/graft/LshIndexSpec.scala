@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import graft.ops.LshIndex
 
@@ -42,11 +45,14 @@ class LshIndexSpec extends SparkSpecBase {
     LshIndex.build(base, idx)
     LshIndex.probeAndAppend(spark, idx, batch).collect()
     LshIndex.build(base.unionByName(batch), full)
+    // pk is the derived hash-bucket partition column — same function on
+    // both sides, so comparing it too pins append-lands-in-right-bucket
     def bands(p: String) = spark.read.parquet(s"$p/bands")
-      .as[(Int, String, Long)].collect().toSet
+      .select($"band", $"key", $"doc_id", $"pk")
+      .as[(Int, String, Long, Int)].collect().toSet
     def sigs(p: String) = spark.read.parquet(s"$p/sigs")
-      .select($"doc_id", array_sort($"sh"))
-      .as[(Long, Seq[String])].collect().toSet
+      .select($"doc_id", array_sort($"sh"), $"pk")
+      .as[(Long, Seq[String], Int)].collect().toSet
     assert(bands(idx) == bands(full))
     assert(sigs(idx) == sigs(full))
   }
@@ -61,5 +67,62 @@ class LshIndexSpec extends SparkSpecBase {
     val pairs = LshIndex.probeAndAppend(spark, idx, b2)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((20L, 21L)), s"got $pairs")
+  }
+
+  // ---- file-level pruning pins -------------------------------------
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet") && f.length > 0) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir))
+  }
+
+  private def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: QueryStageExec        => fileScans(q.plan)
+    case s: FileSourceScanExec    => Seq(s)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  /** Execute `df` (one of the probe's pruned index-scan frames) and
+    * return (files actually read, partition filters present). */
+  private def scanned(df: DataFrame): (Long, Boolean) = {
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no file scan in:\n${df.queryExecution.executedPlan}")
+    (scans.map(_.metrics("numFiles").value).sum,
+      scans.forall(_.partitionFilters.nonEmpty))
+  }
+
+  test("probe reads only the touched partition directories of both index " +
+    "tables — scanned file count strictly below the on-disk file count") {
+    val idx = tmpDir("lsh_idx_prune")
+    // 200 docs so every hash-bucket directory of the index is populated
+    val corpus = (1L to 200L).map(i =>
+      (i, s"document $i about topic ${i % 7} alpha beta gamma delta ${i * 31}"))
+      .toDF("doc_id", "text")
+    LshIndex.build(corpus, idx)
+    val allBands = parquetFiles(s"$idx/bands").size.toLong
+    val allSigs = parquetFiles(s"$idx/sigs").size.toLong
+    assert(allBands >= 16, s"index too few band files ($allBands) to prove pruning")
+    // batch doc = exact text of corpus doc 3 → identical signature, all
+    // band keys collide → candidates guaranteed, sigs scan non-trivial
+    val batch = docs(
+      1000L -> "document 3 about topic 3 alpha beta gamma delta 93")
+    val probe = LshIndex.probePlan(spark, idx, batch)
+    val (bandFilesRead, bandPruned) = scanned(probe.bandScan)
+    val (sigFilesRead, sigPruned) = scanned(probe.sigScan)
+    assert(bandPruned, "bands scan has no partition filters")
+    assert(sigPruned, "sigs scan has no partition filters")
+    assert(bandFilesRead < allBands,
+      s"bands probe read $bandFilesRead of $allBands files — no file pruning")
+    assert(sigFilesRead > 0 && sigFilesRead < allSigs,
+      s"sigs probe read $sigFilesRead of $allSigs files — no file pruning")
+    // and the probe still finds the planted exact duplicate
+    val pairs = probe.pairs.select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1000L)), s"planted dup missing from $pairs")
   }
 }
