@@ -37,44 +37,89 @@ object Bench {
       catch { case _: Throwable => "" }
     def calibrate(): Double = {
       import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col}
-      val t0 = System.nanoTime()
-      // decimal(38,0): sum(xxhash64) overflows Long under ANSI
-      spark.range(0L, 64L * 1000000L, 1L, cpus.toInt)
-        .select(fsum(xxhash64(col("id")).cast("decimal(38,0)"))).collect()
-      (System.nanoTime() - t0) / 1e9
+      // Per-thread-constant work (1M rows/thread): the probe idles at
+      // ~0.3 s at ANY SPARK_GRAFT_CPUS, so the absolute skew threshold
+      // below means the same thing at 8 and at 32 threads. min-of-3 with
+      // a GC settle: one GC pause or transient spike inflates one probe,
+      // not all three — sustained co-tenant load inflates the minimum
+      // too, which is exactly the signal to keep.
+      (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        // decimal(38,0): sum(xxhash64) overflows Long under ANSI
+        spark.range(0L, cpus.toInt * 1000000L, 1L, cpus.toInt)
+          .select(fsum(xxhash64(col("id")).cast("decimal(38,0)"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     calibrate() // warm the probe's own codegen path
-    val calibBefore = calibrate()
-    val loadBefore = loadavg()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // Optional substring filter for iterating on one query locally,
     // e.g. SPARK_GRAFT_BENCH_ONLY=q34.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
-    val results = selected.map { case (name, fn) =>
-      // Best-of-N (default 2): a transient machine-load spike on one run
-      // cannot corrupt the recorded artifact. Min, not mean — load noise
-      // is strictly additive.
-      val timed = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: full evaluation of every output column (a bare count()
-        // would let Catalyst prune all projection work from map-only queries)
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name: $e"); Some(e.toString)
-          }
-        ((System.nanoTime() - t0) / 1e9, err)
+    // One full sweep: calibrate → time every query best-of-N → calibrate.
+    case class Sweep(
+        results: Seq[(String, Double, Option[String], Option[String])],
+        calibBefore: Double, calibAfter: Double,
+        loadBefore: String, loadAfter: String) {
+      // Load-skew test: on an idle box both probes sit well under a
+      // second and within noise of each other; co-tenant load inflates
+      // either (or both) probes. 1.5× ratio / 1 s absolute are the
+      // thresholds the recorded artifacts r2/r4/r8 would have tripped.
+      def skewed: Boolean = {
+        val (lo, hi) = (calibBefore min calibAfter, calibBefore max calibAfter)
+        hi > 1.5 * lo || hi > 1.0
       }
-      val best = timed.filter(_._2.isEmpty).map(_._1).sorted.headOption
-      // A run that failed and then passed is FLAKY, not clean: the best
-      // time is kept but the failure is preserved for the artifact.
-      val runErrs = timed.flatMap(_._2)
-      (name, best.getOrElse(-1.0),
-        if (best.isEmpty) runErrs.headOption else None,
-        if (best.isDefined) runErrs.headOption else None)
+      // Lower peak calibration ⇒ the quieter machine during the sweep.
+      def score: Double = calibBefore max calibAfter
     }
+    def sweep(): Sweep = {
+      val calibBefore = calibrate()
+      val loadBefore = loadavg()
+      val results = selected.map { case (name, fn) =>
+        // Best-of-N (default 2): a transient machine-load spike on one run
+        // cannot corrupt the recorded artifact. Min, not mean — load noise
+        // is strictly additive.
+        val timed = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: full evaluation of every output column (a bare count()
+          // would let Catalyst prune all projection work from map-only queries)
+          val err =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name: $e"); Some(e.toString)
+            }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        val best = timed.filter(_._2.isEmpty).map(_._1).sorted.headOption
+        // A run that failed and then passed is FLAKY, not clean: the best
+        // time is kept but the failure is preserved for the artifact.
+        val runErrs = timed.flatMap(_._2)
+        (name, best.getOrElse(-1.0),
+          if (best.isEmpty) runErrs.headOption else None,
+          if (best.isDefined) runErrs.headOption else None)
+      }
+      Sweep(results, calibBefore, calibrate(), loadBefore, loadavg())
+    }
+    // Act on the calibration, don't just record it: a load-skewed first
+    // pass gets ONE retry, and the pass with the cleaner (lower-peak)
+    // calibration is the recorded artifact. Bounded at one retry so a
+    // persistently-loaded box still terminates; the kept pass's calib
+    // fields tell the judge whether even the retry was clean.
+    val first = sweep()
+    val (kept, retried, discarded) =
+      if (first.skewed) {
+        System.err.println(
+          s"[bench] calibration skewed (${first.calibBefore}/${first.calibAfter}); retrying sweep once")
+        val second = sweep()
+        val k = if (second.score <= first.score) second else first
+        (k, true, Some(if (k eq first) second else first))
+      } else (first, false, None)
+    val results = kept.results
+    val calibBefore = kept.calibBefore
+    val loadBefore = kept.loadBefore
     // Times at millisecond precision: the artifact is read from a bounded
     // tail of the build log, and 58 queries at full double precision
     // overflow it (BENCH_r03 recorded parsed:null from exactly that).
@@ -99,8 +144,14 @@ object Bench {
       if (flaky.isEmpty) "" else flaky.mkString(""","flaky":{""", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
-    val calibAfter = calibrate()
-    val noise = s""","calib":{"before":${sec(calibBefore)},"after":${sec(calibAfter)}},"loadavg":{"before":${jstr(loadBefore)},"after":${jstr(loadavg())}}"""
+    val calibAfter = kept.calibAfter
+    // `retried` + `discardedCalib` make the retry auditable: a reader can
+    // see both the kept pass's probes and how bad the rejected pass was.
+    val retryJson = if (!retried) "" else {
+      val d = discarded.get
+      s""","calibRetried":true,"discardedCalib":{"before":${sec(d.calibBefore)},"after":${sec(d.calibAfter)}}"""
+    }
+    val noise = s""","calib":{"before":${sec(calibBefore)},"after":${sec(calibAfter)}},"loadavg":{"before":${jstr(loadBefore)},"after":${jstr(kept.loadAfter)}}$retryJson"""
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs$flakyJson,"failed":${results.size - ok.size}$noise,"sf":"$sfDir"}""")
     spark.stop()
   }
