@@ -42,22 +42,31 @@ object Layout {
     *
     * Ranks, not raw values: bit-interleaving raw values degenerates under
     * skew or mismatched ranges (a column spanning 0..10^15 hogs every
-    * high bit). Per-column rank buckets come from one driver-side
-    * `approxQuantile` sampling pass (the same sampling
-    * `repartitionByRange` does internally) whose boundaries embed into
-    * the plan as literals — bucket assignment is then a pure in-row
-    * expression, no join, no shuffle beyond the final range partition.
+    * high bit). Per-column rank buckets come from ONE multi-column
+    * `approxQuantile` pass over a `sampleFraction` sample (the same
+    * sampling `repartitionByRange` does internally) whose boundaries
+    * embed into the plan as literals — bucket assignment is then a pure
+    * in-row expression, no join, no shuffle beyond the final range
+    * partition. One sampled pass, not d full-table passes: quantile
+    * boundaries only steer layout, so sampling error costs a little
+    * pruning selectivity, never correctness. A degenerate sample (empty —
+    * toy-sized input) falls back to the full table, still one pass.
     *
     * `bits` rank bits per column (default 8 = 256 buckets/column; with
     * d columns the z-value is d·bits wide). Boundary lookup is a
     * per-row linear scan over the 2^bits-1 literal boundaries — fine at
     * 8 bits; for deeper grids swap in a binary-search expression. */
   def zorderWrite(df: DataFrame, path: String, files: Int,
-      cols: Seq[String], bits: Int = 8): Unit = {
+      cols: Seq[String], bits: Int = 8, sampleFraction: Double = 0.1): Unit = {
     val buckets = (1 << bits) - 1 // boundary count; bucket ids 0..2^bits-1
     val probs = (1 to buckets).map(_.toDouble / (buckets + 1)).toArray
-    val zcols = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+    val slim = df.select(cols.map(col): _*)
+    def quantiles(src: DataFrame): Array[Array[Double]] =
+      src.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val sampled = quantiles(slim.sample(sampleFraction, 42L))
+    val perCol = if (sampled.exists(_.isEmpty)) quantiles(slim) else sampled
+    val zcols = cols.zip(perCol).map { case (c, raw) =>
+      val bounds = raw.distinct.sorted
       // rank bucket = #boundaries <= value, via one in-row pass
       aggregate(
         lit(bounds),

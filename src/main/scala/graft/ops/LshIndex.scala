@@ -51,6 +51,9 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.fs.{Path => HPath}
+
   case class Config(
       shingleN: Int = 2, k: Int = 8, r: Int = 2,
       jaccardThreshold: Double = 0.5,
@@ -64,6 +67,38 @@ object LshIndex {
 
   private def bandsPath(path: String) = s"$path/bands"
   private def sigsPath(path: String) = s"$path/sigs"
+  private def metaPath(path: String) = new HPath(path, "_index_meta")
+
+  /** `indexPartitions` is a contract between build and probe: a probe
+    * under a different modulus derives the wrong pk values and silently
+    * prunes the wrong directories. Build persists it next to the tables;
+    * probe refuses to run against a mismatched (or missing) value. */
+  private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"indexPartitions=${cfg.indexPartitions}\n".getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def validateMeta(spark: SparkSession, path: String, cfg: Config): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"$p missing — the index at $path predates its build, or the path " +
+          "is not an LshIndex; rebuild with LshIndex.build")
+    val in = fs.open(p)
+    val stored =
+      try scala.io.Source.fromInputStream(in, UTF_8.name()).getLines()
+        .collectFirst { case l if l.startsWith("indexPartitions=") =>
+          l.stripPrefix("indexPartitions=").trim.toInt }
+      finally in.close()
+    require(stored.contains(cfg.indexPartitions),
+      s"index at $path was built with indexPartitions=${stored.orNull} but " +
+        s"the probe Config says ${cfg.indexPartitions}; probing under the " +
+        "wrong modulus would silently prune the wrong directories")
+  }
 
   /** Partition bucket of a bands row: hash of the full bucket key. */
   private def bandPk(cfg: Config): Column =
@@ -112,6 +147,7 @@ object LshIndex {
         sig.select(col(id).as("doc_id"), col("sh"))
           .withColumn("__part", sigPs(cfg, col("doc_id"))),
         sigsPath(path), cfg.sigFiles, "overwrite", col("doc_id"))
+      writeMeta(docs.sparkSession, path, cfg)
     } finally sig.unpersist()
   }
 
@@ -119,14 +155,22 @@ object LshIndex {
     * can pin the EXACT scan frames the probe uses: `bandScan`/`sigScan`
     * are the partition-pruned index reads, `pairs` the verified result. */
   private[graft] case class Probe(
-      pairs: DataFrame, bandScan: DataFrame, sigScan: DataFrame)
+      pairs: DataFrame, bandScan: DataFrame, sigScan: DataFrame,
+      caches: Seq[DataFrame]) {
+    /** Unpersist every frame the probe cached. Call once the probe's
+      * result frames are materialized (or abandoned) — probeAndAppend
+      * does this in its finally; probePlan callers (the specs) must. */
+    def release(): Unit = caches.foreach(_.unpersist())
+  }
 
   /** The probe's verified-pair plan for an already-computed batch
     * signature frame — shared by [[probeAndAppend]] and the plan-pinning
     * specs (which assert the file-level pruning on the two index scans).
     * Returns the probe plans plus the batch band rows (for the append). */
   private def probePairs(spark: SparkSession, path: String, sig: DataFrame,
-      cfg: Config, id: String): (Probe, DataFrame) = {
+      cfg: Config, id: String, extraCaches: Seq[DataFrame]): (Probe, DataFrame) = {
+    validateMeta(spark, path, cfg)
+    val caches = scala.collection.mutable.Buffer[DataFrame](extraCaches: _*)
     val newBands = bandsOf(sig, cfg, id)
     // Only buckets the batch touches can yield new pairs. The batch's
     // distinct pk values (≤ indexPartitions ints — bounded regardless of
@@ -152,23 +196,34 @@ object LshIndex {
       col("doc_id").as("doc_a"), col("is_new").as("na"))
     val b = pruned.select(col("band"), col("key"),
       col("doc_id").as("doc_b"), col("is_new").as("nb"))
+    // The candidate plan carries each side's sigs partition bucket so ONE
+    // materialization yields both the broadcast list and the sigs
+    // partition predicate (formerly a second collect job per probe).
     val candPlan = a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        sigPs(cfg, col("doc_a")).as("ps_a"), sigPs(cfg, col("doc_b")).as("ps_b"))
+      .distinct()
     // Candidates are rare (capped buckets bound them) — localize so the
-    // broadcast below ships a LocalRelation and the sigs partition
-    // predicate is derivable without re-running the band join.
-    val cand = Caches.localize(candPlan, maxRows = 1 << 20).getOrElse {
-      val p = candPlan.persist(); p.count(); p
+    // broadcast below ships a LocalRelation and the ps predicate comes
+    // from the already-collected rows, job-free. The over-cap fallback
+    // persists (released via Probe.release) and pays one extra ps job.
+    val (cand, candPs) = Caches.localize(candPlan, maxRows = 1 << 20) match {
+      case Some(local) =>
+        val ps = local.collect() // LocalRelation: driver-side, no job
+          .flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
+        (local.select(col("doc_a"), col("doc_b")), ps.map(Int.box))
+      case None =>
+        val p = candPlan.persist(); p.count(); caches += p
+        val ps = p.select(explode(array(col("ps_a"), col("ps_b"))).as("ps"))
+          .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+        (p.select(col("doc_a"), col("doc_b")), ps)
     }
     // Exact verification: shingle sets come from the index for old docs,
     // from the in-memory batch for new ones. The candidate docs' ps
     // values (again ≤ indexPartitions ints) prune the sigs scan to the
     // touched directories — at 100 TB sigs are corpus-sized, so this is
     // the pruning that matters most.
-    val candPs = cand.select(explode(array(
-        sigPs(cfg, col("doc_a")), sigPs(cfg, col("doc_b")))).as("ps"))
-      .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
     val indexSets = spark.read.parquet(sigsPath(path))
       .where(col("pk").isin(candPs: _*))
       .select(col("doc_id"), col("sh"))
@@ -181,16 +236,21 @@ object LshIndex {
     val pairs = withSets.where(j >= cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    (Probe(pairs, indexBands, indexSets), newBands)
+    (Probe(pairs, indexBands, indexSets, caches.toSeq), newBands)
   }
 
   /** Probe-only entry point for the plan-health spec: returns the probe
     * plans WITHOUT appending, so the spec can execute them and pin the
-    * two index scans' partition filters and scanned-file counts. */
+    * two index scans' partition filters and scanned-file counts. The
+    * batch signature frame is persisted (it feeds every returned frame
+    * plus the probe's own actions) — callers release via
+    * [[Probe.release]] once done executing the frames. */
   private[graft] def probePlan(spark: SparkSession, path: String,
       newDocs: DataFrame, cfg: Config = Config(), id: String = "doc_id",
-      text: String = "text"): Probe =
-    probePairs(spark, path, signatures(newDocs, cfg, id, text), cfg, id)._1
+      text: String = "text"): Probe = {
+    val sig = signatures(newDocs, cfg, id, text).persist()
+    probePairs(spark, path, sig, cfg, id, extraCaches = Seq(sig))._1
+  }
 
   /** Probe the index with an ingest batch: returns the verified NEW
     * near-dup pairs (doc_a, doc_b, jaccard ≥ threshold; at least one side
@@ -198,16 +258,21 @@ object LshIndex {
     * shingle sets to the index so the next batch sees them.
     *
     * The returned pair list is localized (it is orders of magnitude
-    * smaller than the batch) so no cache outlives the call. */
+    * smaller than the batch) so no cache outlives the call; an over-cap
+    * (> 2^20 pairs) result is eagerly localCheckpoint-ed instead —
+    * frozen pre-append, outside the CacheManager, reclaimed with the
+    * RDD by the context cleaner. */
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val sig = signatures(newDocs, cfg, id, text).persist()
+    var probeCaches: Seq[DataFrame] = Seq(sig)
     try {
-      val (probe, newBands) = probePairs(spark, path, sig, cfg, id)
-      val result = Caches.localize(probe.pairs, maxRows = 1 << 20).getOrElse {
-        val p = probe.pairs.persist(); p.count(); p
-      }
+      val (probe, newBands) = probePairs(spark, path, sig, cfg, id,
+        extraCaches = Seq(sig))
+      probeCaches = probe.caches
+      val result = Caches.localize(probe.pairs, maxRows = 1 << 20)
+        .getOrElse(probe.pairs.localCheckpoint())
       // Append AFTER the probe is materialized: the probe must see the
       // pre-batch index, and the localized result no longer reads it.
       // Appends reuse the same hash-bucket partitioning, so the files
@@ -219,6 +284,6 @@ object LshIndex {
           .withColumn("__part", sigPs(cfg, col("doc_id"))),
         sigsPath(path), cfg.sigFiles, "append", col("doc_id"))
       result
-    } finally sig.unpersist()
+    } finally probeCaches.foreach(_.unpersist())
   }
 }

@@ -107,6 +107,7 @@ class LshIndexSpec extends SparkSpecBase {
     val allBands = parquetFiles(s"$idx/bands").size.toLong
     val allSigs = parquetFiles(s"$idx/sigs").size.toLong
     assert(allBands >= 16, s"index too few band files ($allBands) to prove pruning")
+    assert(allSigs >= 16, s"index too few sig files ($allSigs) to prove pruning")
     // batch doc = exact text of corpus doc 3 → identical signature, all
     // band keys collide → candidates guaranteed, sigs scan non-trivial
     val batch = docs(
@@ -124,5 +125,30 @@ class LshIndexSpec extends SparkSpecBase {
     val pairs = probe.pairs.select($"doc_a", $"doc_b")
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 1000L)), s"planted dup missing from $pairs")
+    probe.release()
+  }
+
+  test("probe refuses a Config whose indexPartitions mismatches the " +
+    "persisted build value") {
+    val idx = tmpDir("lsh_idx_meta")
+    LshIndex.build(base, idx)
+    val batch = docs(10L -> "the quick brown fox jumps over the lazy dog today")
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.probeAndAppend(spark, idx, batch,
+        LshIndex.Config(indexPartitions = 16))
+    }
+    assert(e.getMessage.contains("indexPartitions"))
+    // matching Config still probes fine
+    assert(LshIndex.probeAndAppend(spark, idx, batch).count() > 0)
+  }
+
+  test("probe fails loudly when the index metadata file is absent") {
+    val idx = tmpDir("lsh_idx_nometa")
+    LshIndex.build(base, idx)
+    assert(new java.io.File(s"$idx/_index_meta").delete())
+    val batch = docs(10L -> "anything at all")
+    intercept[IllegalStateException] {
+      LshIndex.probeAndAppend(spark, idx, batch)
+    }
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import graft.queries.Queries
 
 /** Pins the flagship plan-shape claims by CI (the human-readable version
@@ -47,6 +49,62 @@ class PlanHealthSpec extends SparkSpecBase {
     assert(readSchemas.nonEmpty)
     assert(!readSchemas.exists(_.contains("blob")),
       s"blob column not pruned: $readSchemas")
+  }
+
+  private def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: QueryStageExec        => fileScans(q.plan)
+    case s: FileSourceScanExec    => Seq(s)
+    case other                    => other.children.flatMap(fileScans)
+  }
+
+  /** The five tests above pin flagship plans in detail; this sweeps the
+    * WHOLE declared registry so a regression in any of the other queries
+    * (a join collapsing to a cartesian, a probe losing its broadcast, a
+    * filter detaching from its parquet scan) fails CI instead of landing
+    * silently. Executes every query at sf0.001 — cheap, and execution is
+    * required anyway to finalize the adaptive plan. */
+  test("registry sweep: no CartesianProduct; BroadcastNestedLoopJoin only " +
+    "in the declared broadcast probes; no scan that drops its pushable " +
+    "filters") {
+    // queries that broadcast a tiny probe/scalar frame against the corpus
+    // by design: kNN probes (q23/q54), the q15 cosine probe row, q38's
+    // 1-row corpus count
+    val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
+      "q15_cosine_topk", "q38_tfidf_topk")
+    // Only flag a scan as "lost pushdown" when it carries a filter that
+    // parquet could certainly take (attribute-vs-literal / isnotnull on a
+    // bare attribute); expression filters (bloom probes, shingle sizes)
+    // legitimately stay scan-side without translating.
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, BinaryComparison, Expression, In, IsNotNull, Literal}
+    def clearlyPushable(e: Expression): Boolean = e match {
+      case IsNotNull(_: Attribute) => true
+      case b: BinaryComparison => (b.left, b.right) match {
+        case (_: Attribute, _: Literal) | (_: Literal, _: Attribute) => true
+        case _ => false
+      }
+      case In(_: Attribute, vs) => vs.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+    val failures = Queries.all.flatMap { d =>
+      val exec = d.fn(spark, sf0001).queryExecution.executedPlan
+      exec.executeCollect()
+      val plan = exec.toString.split("== Initial Plan ==")(0)
+      val lost = fileScans(exec).filter(s =>
+        s.metadata.get("PushedFilters").contains("[]") &&
+          s.dataFilters.exists(clearlyPushable))
+      Seq(
+        Option.when(plan.contains("CartesianProduct"))(
+          s"${d.name}: CartesianProduct"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") && !bnljOk(d.name))(
+          s"${d.name}: BroadcastNestedLoopJoin"),
+        Option.when(lost.nonEmpty)(
+          s"${d.name}: scan with dataFilters but PushedFilters [] — " +
+            lost.map(_.dataFilters.mkString(",")).mkString("; "))
+      ).flatten
+    }
+    assert(failures.isEmpty, s"plan-health regressions:\n${failures.mkString("\n")}")
   }
 
   test("q60: the Space-Saving aggregate combines map-side (partial + " +
