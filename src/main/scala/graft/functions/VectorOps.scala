@@ -48,4 +48,26 @@ object VectorOps {
   def signBucket(a: Column, k: Int): Column =
     (0 until k).map(i => when(element_at(a, i + 1) >= 0f, 1 << i).otherwise(0))
       .reduce(_ + _)
+
+  /** Symmetric per-vector int8 quantization:
+    * `struct(scale double, codes array<tinyint>)` with
+    * `scale = max|aᵢ| / 127` and `codes[i] = round(aᵢ / scale)`. 4× less
+    * storage/shuffle than float32 — at 100 TB the candidate-scoring scan
+    * reads a quarter of the bytes. Pure higher-order expressions, fully
+    * codegen'd. Exactness bound (pinned by QuantizationSpec): every
+    * reconstructed component is within `scale/2 = max|aᵢ|/254` of the
+    * original — the rounding half-step, so the bound is definitional,
+    * not statistical. Zero vectors quantize to scale=1, all-zero codes. */
+  def quantizeInt8(a: Column): Column = {
+    val maxAbs = aggregate(a, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(scale.as("scale"),
+      transform(a, x => round(x.cast("double") / scale).cast("tinyint")).as("codes"))
+  }
+
+  /** Reconstruct a float vector from [[quantizeInt8]] output. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale")).cast("float"))
 }

@@ -61,6 +61,23 @@ object AggQueries {
           .as("p50_in_bound"))
       .orderBy(col("event_type"))
   }
+  /** Production (sketch-only) spelling of q34. The DECLARED query carries
+    * an exact-distinct arm purely so the oracle can bound the sketches;
+    * at 100 TB you run only this: one hash aggregate with map-side
+    * partials, fixed per-group sketch memory, no countDistinct Expand
+    * (no 3× row multiplication), no second pass, no join. Not in the
+    * declared registry — sketch values are engine-specific, so DuckDB
+    * cannot hash-match them; SketchProfileSpec pins the error bounds
+    * against exact counts and the plan shape instead. */
+  def sketchProfile(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir).groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col("user_id"), rsd = rsd).as("approx_users"),
+      approx_count_distinct(col("event_id"), rsd = rsd).as("approx_events"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy(col("event_type"))
+
   private val q34Sql =
     """SELECT event_type,
       |       count(DISTINCT user_id) AS exact_users,

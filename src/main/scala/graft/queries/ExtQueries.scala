@@ -669,11 +669,26 @@ object ExtQueries {
     * argmax ties break toward the higher centroid id in BOTH engines —
     * so unlike typical ANN this variant is exactly oracle-checkable. */
   private def q54(spark: SparkSession, dir: String): DataFrame = {
-    val K = 16; val NPROBE = 2
+    val K = 16
     val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
       .where(col("vec_id") < K).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+    ivfAnn(spark, dir, cents)
+  }
+
+  /** Production spelling of q54: centroids come from a PERSISTED table
+    * (ops/IvfIndex — one clusteredWrite at train time, one bounded
+    * read-back per query) instead of being re-derived from the corpus
+    * inside every query. Same plan after the centroids are in hand —
+    * IvfIndexSpec pins result-equality with the declared q54. */
+  def annIvfPersisted(spark: SparkSession, dir: String,
+      centroidPath: String): DataFrame =
+    ivfAnn(spark, dir, graft.ops.IvfIndex.loadCentroids(spark, centroidPath))
+
+  private def ivfAnn(spark: SparkSession, dir: String,
+      cents: Seq[Seq[Float]]): DataFrame = {
+    val K = cents.size; val NPROBE = 2
     val centArr = typedLit(cents)
     // array of (cos-to-centroid, centroid_id) structs; array_max /
     // descending sort order = (cos, id) lexicographic = ties to higher id

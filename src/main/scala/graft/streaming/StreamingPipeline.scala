@@ -100,6 +100,39 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Continuously-ingesting near-duplicate detection: each micro-batch of
+    * documents probes the persisted LSH index (ops/LshIndex) against its
+    * PRE-batch state, appends the discovered near-dup pairs (tagged with
+    * the micro-batch id) to `pairsDir`, then appends the batch's
+    * signatures/bands into the index so the next batch sees them. This is
+    * q62's incremental operator under Structured Streaming — the actual
+    * 100 TB training-data loop: documents arrive continuously, each batch
+    * pays O(batch) probe cost (file-pruned index scans), and the pair log
+    * accumulates as an append-only parquet table.
+    *
+    * Delivery note: foreachBatch is at-least-once — a batch re-delivered
+    * after a crash between the index append and the checkpoint commit
+    * re-probes and re-appends. The pair log is safe by keying: downstream
+    * dedups on (batch_id, doc_a, doc_b). The index would carry duplicate
+    * rows for the re-delivered batch; the standard hardening (not wired
+    * here to keep the operator minimal) is batchId-derived file naming so
+    * the second append overwrites the first instead of adding rows. */
+  def startNearDupIngest(docs: DataFrame, indexPath: String, pairsDir: String,
+      checkpointDir: String, cfg: graft.ops.LshIndex.Config = graft.ops.LshIndex.Config(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.LshIndex.probeAndAppend(
+              batch.sparkSession, indexPath, batch, cfg)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(pairsDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Partitioned streaming file sink with the reference's 60 s cadence
     * (run_toy_example.py:25). Time partitions derive from EVENT time; the
     * reference's processing-time partitioning (toy_lambda_function.py:9-19)

@@ -193,6 +193,96 @@ class StreamingSpec extends SparkSpecBase {
       "no event may be duplicated across the restart boundary")
   }
 
+  test("near-dup ingest loop (startNearDupIngest): per-micro-batch LSH " +
+    "probe+append matches the sequential operator batch by batch, and the " +
+    "stream-maintained index equals the sequentially maintained one") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.LshIndex
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val base = docsDf(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different text about spark engines here"))
+    val streamIdx = tmpDir("nd_stream_idx")
+    val seqIdx = tmpDir("nd_seq_idx")
+    val pairsDir = tmpDir("nd_pairs")
+    LshIndex.build(base, streamIdx)
+    LshIndex.build(base, seqIdx)
+    val b1 = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog today",
+      11L -> "totally unrelated fresh content never seen before")
+    val b2 = Seq(
+      20L -> "the quick brown fox jumps over the lazy dog today!",
+      21L -> "totally unrelated fresh content never seen before!!")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.startNearDupIngest(
+      mem.toDS().toDF("doc_id", "text"), streamIdx, pairsDir,
+      tmpDir("nd_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // sequential reference: identical batches through probeAndAppend
+    val exp1 = LshIndex.probeAndAppend(spark, seqIdx, docsDf(b1)).collect().toSet
+    val exp2 = LshIndex.probeAndAppend(spark, seqIdx, docsDf(b2)).collect().toSet
+    assert(exp1.nonEmpty && exp2.nonEmpty, "fixture must produce pairs")
+    val log = spark.read.parquet(pairsDir)
+    def batchPairs(id: Long) = log.where($"batch_id" === id)
+      .drop("batch_id").collect().toSet
+    assert(batchPairs(0L) === exp1)
+    assert(batchPairs(1L) === exp2)
+    // index parity: stream- and sequentially-maintained indexes converge
+    def bands(p: String) = spark.read.parquet(s"$p/bands")
+      .select($"band", $"key", $"doc_id", $"pk")
+      .as[(Int, String, Long, Int)].collect().toSet
+    def sigs(p: String) = spark.read.parquet(s"$p/sigs")
+      .select($"doc_id", array_sort($"sh"), $"pk")
+      .as[(Long, Seq[String], Int)].collect().toSet
+    assert(bands(streamIdx) === bands(seqIdx))
+    assert(sigs(streamIdx) === sigs(seqIdx))
+  }
+
+  test("RocksDB bounded-memory posture: watermarked windowed agg runs " +
+    "correctly under boundedMemoryUsage with a small cap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // cap ALL RocksDB state memory (block cache + memtables across
+      // stores) to one small shared budget — the posture that keeps a
+      // 1000-executor stream's state from eating executor heaps
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "64",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      def ts(min: Int) = new java.sql.Timestamp(1710000000000L + min * 60000L)
+      val agg = mem.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "5 minutes"), $"user_id").count()
+      val q = agg.writeStream.format("memory").queryName("rocksdb_bounded")
+        .option("checkpointLocation", tmpDir("rb_ckpt"))
+        .outputMode("append").start()
+      try {
+        mem.addData((0 until 200).map(i => (i.toLong % 20, ts(i % 10))): _*)
+        q.processAllAvailable()
+        mem.addData((1L, ts(120))) // advance watermark, flush windows
+        q.processAllAvailable()
+        assert(spark.table("rocksdb_bounded").count() > 0)
+        // the run actually used RocksDB state (not a silent fallback)
+        val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+          .exists(so => Option(so.customMetrics)
+            .exists(m => m.keySet().toString.contains("rocksdb")))
+        assert(usedRocks, "state operator metrics carry no rocksdb counters")
+      } finally q.stop()
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchase joins clicks within the " +
     "preceding hour, watermarked state on both sides") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
