@@ -212,6 +212,20 @@ object TextOps {
       regexp_replace(lower(text), "[^a-z0-9 ]", ""),
       " +", " ")
 
+  /** PII redaction — the scrub pass a training corpus gets before the
+    * tokenizer: emails → `[EMAIL]`, then phone-shaped digit runs →
+    * `[PHONE]`. A pure chained `regexp_replace` (codegen'd, map-side);
+    * the patterns deliberately stay inside the regex subset whose
+    * semantics are identical in Java regex (Spark) and RE2 (DuckDB
+    * oracle): literal classes, `{n,}` counts, no backrefs/lookarounds.
+    * Production swaps in locale-specific pattern packs; the operator
+    * shape (ordered replace chain over a text column) is the contract. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\+?[0-9][0-9() .-]{6,}[0-9]", "[PHONE]")
+
   /** N-gram-heuristic language ID: stopword-marker scoring. With a real
     * corpus the marker lists are per-language frequency profiles; the
     * synthetic corpus is English-ish, so the heuristic reduces to an

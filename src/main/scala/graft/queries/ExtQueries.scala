@@ -861,6 +861,150 @@ object ExtQueries {
       |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ q65
+  /** Persisted-quantizer IVF ANN — q54's production spelling end-to-end
+    * under the oracle: train (= the same deterministic first-16 stand-in
+    * q54 uses), persist via one IvfIndex.writeCentroids, read back, and
+    * query. Result ≡ q54 by construction (IvfIndexSpec pins it too), so
+    * the oracle IS q54's SQL. The centroid read-back localizes eagerly,
+    * so the scratch dir can be deleted before the result is consumed. */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+    try {
+      graft.ops.IvfIndex.writeCentroids(
+        Tables.embeddings(spark, dir).where(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("embedding")),
+        tmp)
+      annIvfPersisted(spark, dir, tmp)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  // ------------------------------------------------------------------ q66
+  /** Int8 quantization audit, oracle-checked: per-vector scale and worst
+    * reconstruction error. err(x) = |x − round(x/scale)·scale| is
+    * derivable from x alone, so DuckDB verifies the DEFINITIONAL scale/2
+    * bound on every vector — the quantizer's exactness contract runs
+    * under the hash compare, not just a spec. Map-side only + sort. */
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.quantizeInt8(col("embedding")).as("q"))
+    val scale = col("q").getField("scale")
+    val maxErr = aggregate(
+      transform(col("embedding"), x => {
+        val xd = x.cast("double")
+        abs(xd - round(xd / scale) * scale)
+      }),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    emb.select(col("vec_id"),
+        round(scale, 6).as("scale_r"),
+        round(maxErr, 6).as("max_err_r"),
+        (maxErr <= scale / 2 + lit(1e-9)).as("within_bound"))
+      .orderBy(col("vec_id"))
+  }
+  private val q66Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+      |              ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
+      |  FROM e),
+      |m AS (
+      |  SELECT vec_id, scale,
+      |         list_max(list_transform(v, x -> abs(x - round(x / scale) * scale))) AS max_err
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale_r, round(max_err, 6) AS max_err_r,
+      |       max_err <= scale / 2 + 1e-9 AS within_bound
+      |FROM m ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------ q67
+  /** PII redaction (TextOps.redactPii) over documents with
+    * deterministically fabricated PII (the corpus itself has none):
+    * doc_id % 3 == 0 gains an email, % 5 == 0 a phone, % 15 both. Output
+    * carries the full redacted text — the hash compare certifies every
+    * byte of the replace chain, in both engines' regex dialects. */
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555 01"),
+              pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit("")))
+          .as("text"))
+    withPii.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"))
+      .withColumn("had_email", col("redacted").contains("[EMAIL]"))
+      .withColumn("had_phone", col("redacted").contains("[PHONE]"))
+      .orderBy(col("doc_id"))
+  }
+  private val q67Sql =
+    """WITH withpii AS (
+      |  SELECT doc_id,
+      |         text ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+      |              ELSE '' END AS text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |           '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+      |  FROM withpii)
+      |SELECT doc_id, redacted,
+      |       contains(redacted, '[EMAIL]') AS had_email,
+      |       contains(redacted, '[PHONE]') AS had_phone
+      |FROM red ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q68
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (CAP = 512 whitespace tokens) by running token count, per lang
+    * shard in doc_id order — the packing pass a training pipeline runs
+    * per shard before writing examples. The window partitions by lang:
+    * per-shard state, horizontally scalable — a single global ordering
+    * would serialize the whole corpus through one partition at 100 TB.
+    * Contiguous fill (bin = tokens-before-this-doc ÷ CAP) keeps the
+    * assignment a pure window expression — deterministic and
+    * oracle-expressible, unlike iterative first-fit. */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    val CAP = 512
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.words(col("text"))).as("tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens")) / lit(CAP.toDouble)))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+  private val q68Sql =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+      |  FROM documents),
+      |binned AS (
+      |  SELECT lang, doc_id, tokens,
+      |         CAST(floor((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+      |           / 512.0) AS BIGINT) AS bin
+      |  FROM toks)
+      |SELECT lang, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -885,5 +1029,9 @@ object ExtQueries {
     Decl("q27_token_count", q27, Some(q27Sql)),
     Decl("q28_fingerprint", q28, Some(q28Sql)),
     Decl("q29_multimodal_meta", q29, Some(q29Sql)),
-    Decl("q30_embedding_neardup", q30, Some(q30Sql)))
+    Decl("q30_embedding_neardup", q30, Some(q30Sql)),
+    Decl("q65_ann_ivf_persisted", q65, Some(q54Sql)),
+    Decl("q66_int8_quantization", q66, Some(q66Sql)),
+    Decl("q67_pii_redaction", q67, Some(q67Sql)),
+    Decl("q68_sequence_packing", q68, Some(q68Sql)))
 }

@@ -71,7 +71,7 @@ class PlanHealthSpec extends SparkSpecBase {
     // by design: kNN probes (q23/q54), the q15 cosine probe row, q38's
     // 1-row corpus count
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
-      "q15_cosine_topk", "q38_tfidf_topk")
+      "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk")
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
