@@ -1005,6 +1005,114 @@ object ExtQueries {
       |SELECT lang, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
       |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ q69
+  /** Benchmark-contamination detection: which training documents share
+    * ≥ 30% of an eval-set document's word trigrams? The eval set is
+    * doc_id % 10 == 0, plus one FABRICATED exact leak per eval doc
+    * (doc_id + 1,000,000, same text) so the operator's positive path is
+    * deterministic at every scale factor — mirroring q67's fabricated-PII
+    * pattern. Scale shape: the eval set is the small side by definition
+    * (benchmarks are MBs against a 100 TB corpus), so its exploded
+    * trigrams BROADCAST to both the overlap join and the per-benchmark
+    * totals join — the corpus side never shuffles for the match; the
+    * only wide exchange is the per-pair overlap count, whose input is
+    * already filtered to matching trigrams. */
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val leaked = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val tri = Tables.spread(docs.unionByName(leaked))
+      .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), 3)).as("sh"))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 1000000L
+    val bench = tri.where(isBench).select(col("doc_id").as("bench_id"), col("sh"))
+    val train = tri.where(!isBench).select(col("doc_id").as("train_id"), col("sh"))
+    val benchSize = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_sh"))
+    train.join(broadcast(bench), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(benchSize), "bench_id")
+      .where(col("overlap").cast("double") / col("n_sh") >= 0.3)
+      .select(col("train_id"), col("bench_id"), col("overlap"),
+        round(col("overlap").cast("double") / col("n_sh"), 4).as("frac"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+  private val q69Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM w),
+      |tri AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+      |bench AS (SELECT doc_id AS bench_id, sh FROM tri
+      |          WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+      |train AS (SELECT doc_id AS train_id, sh FROM tri
+      |          WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+      |bc AS (SELECT bench_id, count(*) AS n_sh FROM bench GROUP BY 1),
+      |ov AS (SELECT train_id, bench_id, count(*) AS overlap
+      |       FROM train JOIN bench USING (sh) GROUP BY 1, 2)
+      |SELECT train_id, bench_id, overlap,
+      |       round(CAST(overlap AS DOUBLE) / n_sh, 4) AS frac
+      |FROM ov JOIN bc USING (bench_id)
+      |WHERE CAST(overlap AS DOUBLE) / n_sh >= 0.3
+      |ORDER BY train_id, bench_id""".stripMargin
+
+  // ------------------------------------------------------------------ q70
+  /** Repetition-ratio quality signal: 1 − distinct/total word bigrams —
+    * high values flag boilerplate/spam (the "repeated n-gram" filter
+    * every corpus-quality pipeline runs). Fully in-row: the bigram LIST
+    * (non-distinct, unlike shingleSet) and its distinct size are derived
+    * inside the row; no explode, no shuffle beyond the output sort. */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val grams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    Tables.spread(Tables.documents(spark, dir))
+      .where(size(w) >= 2)
+      .select(col("doc_id"), size(grams).as("total_bigrams"),
+        size(array_distinct(grams)).as("uniq_bigrams"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("uniq_bigrams").cast("double") / col("total_bigrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+  private val q70Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         len(w) - 1 AS total_bigrams,
+      |         len(list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1]))) AS uniq_bigrams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 2)
+      |SELECT doc_id, CAST(total_bigrams AS INT) AS total_bigrams,
+      |       CAST(uniq_bigrams AS INT) AS uniq_bigrams,
+      |       round(1.0 - CAST(uniq_bigrams AS DOUBLE) / total_bigrams, 4) AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q71
+  /** Deterministic shard assignment — the reproducible "shuffle" step
+    * before writing training shards: shard = first two hex chars of
+    * md5(doc_id), i.e. a 256-way content-independent hash split both
+    * engines compute identically (md5 is the cross-engine hash the repo
+    * already standardizes on; production swaps xxhash64 at half the
+    * cost). Pure map-side assignment + one aggregation; the per-shard
+    * counts/token totals are the shard-balance audit a pipeline runs
+    * before training. */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(Tables.documents(spark, dir))
+      .select(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("shard"),
+        size(TextOps.words(col("text"))).as("tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"))
+      .orderBy(col("shard"))
+  }
+  private val q71Sql =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS shard_tokens
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1033,5 +1141,8 @@ object ExtQueries {
     Decl("q65_ann_ivf_persisted", q65, Some(q54Sql)),
     Decl("q66_int8_quantization", q66, Some(q66Sql)),
     Decl("q67_pii_redaction", q67, Some(q67Sql)),
-    Decl("q68_sequence_packing", q68, Some(q68Sql)))
+    Decl("q68_sequence_packing", q68, Some(q68Sql)),
+    Decl("q69_benchmark_contamination", q69, Some(q69Sql)),
+    Decl("q70_repetition_ratio", q70, Some(q70Sql)),
+    Decl("q71_shard_assignment", q71, Some(q71Sql)))
 }
