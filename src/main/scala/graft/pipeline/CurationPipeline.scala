@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Caches, EventOps, TextOps}
 
@@ -99,6 +100,39 @@ object CurationPipeline {
           (docs.join(drop, Seq(id), "left_anti"), () => ())
       }
     } finally sig.unpersist()
+  }
+
+  /** Stage 2b: bigram-repetition gate — drop docs whose repetition ratio
+    * (1 − distinct/total word bigrams, the boilerplate/spam signal q70
+    * audits) exceeds `maxRepetition`. Fully in-row; docs under 2 words
+    * pass (ratio undefined — the quality gate owns short docs). */
+  def repetitionGate(docs: DataFrame, maxRepetition: Double = 0.2,
+      text: String = "text"): DataFrame = {
+    val w = TextOps.words(col(text))
+    val grams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    docs.where(size(w) < 2 ||
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+        <= maxRepetition)
+  }
+
+  /** Stage 2c: PII scrub (TextOps.redactPii) — rewrite the text column in
+    * place. Runs BEFORE near-dedup in the chain: scrubbing first means
+    * redaction markers participate in similarity (two docs differing only
+    * in their PII become exact-er duplicates — the desired behavior). */
+  def piiScrub(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.withColumn(text, TextOps.redactPii(col(text)))
+
+  /** Stage 5: contiguous sequence packing — assign each row a token-bin
+    * id within its shard (q68's operator as a pipeline stage): bin =
+    * tokens-accumulated-before-this-row ÷ cap. Per-shard window state, so
+    * the stage scales horizontally; never pack over a global ordering. */
+  def packed(docs: DataFrame, shard: Column, order: Column, tokens: Column,
+      cap: Int = 512): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("bin",
+      floor((sum(tokens).over(w) - tokens) / lit(cap.toDouble)))
   }
 
   /** Stage 4: token accounting columns. */

@@ -1113,6 +1113,95 @@ object ExtQueries {
       |FROM documents
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ q72
+  /** Extended curation pipeline — the round-9 operators composed into the
+    * full training-data chain a 100 TB corpus job runs, each stage the
+    * CurationPipeline function, under a stage-order-sensitive oracle:
+    *
+    *   fabricate PII (the "raw corpus") → exact dedup → quality gate →
+    *   repetition gate → PII scrub → MinHash+LSH near-dedup (over the
+    *   SCRUBBED text — redaction markers participate in similarity) →
+    *   token accounting → per-lang sequence packing.
+    *
+    * Output: every surviving doc with its token count and packed bin.
+    * The oracle replays the identical 8 stages in SQL; any stage
+    * reordering or threshold drift flips the hash. */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val withPii = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555 01"),
+              pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit("")))
+          .as("text"))
+    val exact = CurationPipeline.exactDedup(withPii)
+    val quality = CurationPipeline.qualityGate(exact, cfg)
+    val rep = CurationPipeline.repetitionGate(quality, maxRepetition = 0.2)
+    val red = CurationPipeline.piiScrub(rep)
+    val (near, cleanup) = CurationPipeline.nearDedupStaged(red, cfg)
+    try {
+      val toks = near.withColumn("ws_tokens", size(TextOps.words(col("text"))))
+      val out = CurationPipeline
+        .packed(toks, col("lang"), col("doc_id"), col("ws_tokens"))
+        .select(col("doc_id"), col("lang"), col("ws_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private val q72Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    val uniqBigrams = "len(list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))"
+    s"""WITH pii AS (
+       |  SELECT doc_id, lang,
+       |         text ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+       |              ELSE '' END AS text
+       |  FROM documents),
+       |exact AS (
+       |  SELECT doc_id, lang, text FROM pii
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |rep AS (
+       |  SELECT doc_id, lang, text FROM qual
+       |  WHERE 1.0 - CAST($uniqBigrams AS DOUBLE) / ($nWords - 1) <= 0.2),
+       |red AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(regexp_replace(text,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+       |           '\\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS text
+       |  FROM rep),
+       |${pairCtesWith("", "red")},
+       |dropids AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |survivors AS (
+       |  SELECT doc_id, lang, text FROM red
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+       |toks AS (SELECT doc_id, lang, $nWords AS ws_tokens FROM survivors),
+       |binned AS (
+       |  SELECT doc_id, lang, ws_tokens,
+       |         CAST(floor((sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens)
+       |           / 512.0) AS BIGINT) AS bin
+       |  FROM toks)
+       |SELECT doc_id, lang, CAST(ws_tokens AS INT) AS ws_tokens, bin
+       |FROM binned ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1144,5 +1233,6 @@ object ExtQueries {
     Decl("q68_sequence_packing", q68, Some(q68Sql)),
     Decl("q69_benchmark_contamination", q69, Some(q69Sql)),
     Decl("q70_repetition_ratio", q70, Some(q70Sql)),
-    Decl("q71_shard_assignment", q71, Some(q71Sql)))
+    Decl("q71_shard_assignment", q71, Some(q71Sql)),
+    Decl("q72_curation_v2", q72, Some(q72Sql)))
 }
