@@ -1202,6 +1202,182 @@ object ExtQueries {
        |FROM binned ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q73
+  /** Exact duplicated-span detection via mod-p k-gram fingerprinting —
+    * the "exact substring dedup" complement to MinHash doc-level near-dup
+    * (MinHash dilutes a copied paragraph inside an otherwise-new doc;
+    * span fingerprints catch it). Classic scheme (the mod-p baseline of
+    * Schleimer et al.'s winnowing, SIGMOD'03): hash every k=8-word gram,
+    * KEEP only hashes whose last hex digit ∈ {0,4,8,c} (density 1/4) —
+    * selection is content-defined, so two docs sharing an exact span
+    * select the SAME fingerprints regardless of alignment. Fabricated
+    * positives (doc_id%7==0 → a 25-word verbatim excerpt re-published as
+    * doc_id+2,000,000) keep the match path deterministic at every sf.
+    * Scale shape: gram hashing + selection + dedup are fully in-row
+    * (one explode, no shuffle until the fingerprint join); only the
+    * 1-in-4 selected 16-byte hashes ever shuffle — the corpus text does
+    * not. A boilerplate cap (fingerprints present in > 64 docs are
+    * dropped, the q20 hot-bucket idiom) bounds the self-join fanout at
+    * 100 TB, where a site-wide footer gram would otherwise pair
+    * quadratically. */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w0 = TextOps.words(col("text"))
+    val excerpts = docs
+      .where(pmod(col("doc_id"), lit(7)) === 0 && size(w0) >= 27)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(w0, 3, 25)).as("text"))
+    val w = TextOps.words(col("text"))
+    val gramHashes = transform(sequence(lit(1), size(w) - 7),
+      i => md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")))
+    val fps = Tables.spread(docs.unionByName(excerpts))
+      .where(size(w) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(filter(gramHashes,
+          h => substring(h, 32, 1).isin("0", "4", "8", "c")))).as("fp"))
+    val common = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
+    val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
+    rare.as("a").join(rare.as("b"), Seq("fp"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q73Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, array_to_string(string_split(text, ' ')[3:27], ' ')
+      |  FROM documents
+      |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 27),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      |      WHERE len(string_split(text, ' ')) >= 8),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, unnest(
+      |    list_filter(
+      |      list_transform(range(1, len(w) - 6),
+      |        i -> md5(array_to_string(w[i:i+7], ' '))),
+      |      h -> substr(h, 32, 1) IN ('0','4','8','c'))) AS fp
+      |  FROM w),
+      |rare AS (
+      |  SELECT doc_id, fp FROM fp
+      |  QUALIFY count(*) OVER (PARTITION BY fp) <= 64)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      |FROM rare a JOIN rare b USING (fp)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------ q74
+  /** Domain-temperature mixture sampling — the data-mixing step of every
+    * corpus build: resample languages so the mix follows c^α (α=0.5,
+    * target 60% of the corpus) instead of raw counts, up-weighting tail
+    * languages exactly as multilingual-LM recipes do. The per-doc
+    * keep/drop decision is DETERMINISTIC: doc u-value = first 6 hex
+    * chars of md5(doc_id), kept iff u ≤ the per-lang rate threshold
+    * rendered as 6-digit hex — both engines compare the same strings, so
+    * the sample is reproducible and oracle-checkable (no rand()).
+    * Scale shape: per-lang counts are a tiny agg (one row per language)
+    * joined back by BROADCAST; the keep test is then pure map-side —
+    * a 100 TB corpus is sampled in one scan with the only wide exchange
+    * being the few-hundred-row audit aggregation. Rates are rounded to
+    * 9 dp before thresholding so both engines floor identical doubles. */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_tot"), sum(sqrt(col("n_docs"))).as("w_tot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("n_tot") * lit(0.6) * sqrt(col("n_docs")) /
+            (col("w_tot") * col("n_docs"))), 9))
+      .select(col("lang"), col("n_docs"), col("rate"))
+    val kept = docs.join(broadcast(rates), "lang")
+      .where(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) <=
+          format_string("%06x", floor(col("rate") * 16777215d).cast("int")))
+    kept.groupBy(col("lang"), col("n_docs"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("rate"))
+      .orderBy(col("lang"))
+  }
+  private val q74Sql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(n_docs) AS n_tot, sum(sqrt(n_docs)) AS w_tot FROM counts),
+      |rates AS (
+      |  SELECT lang, n_docs,
+      |         round(least(1.0, n_tot * 0.6 * sqrt(n_docs) / (w_tot * n_docs)), 9) AS rate
+      |  FROM counts, tot),
+      |kept AS (
+      |  SELECT d.lang, r.n_docs, r.rate
+      |  FROM documents d JOIN rates r USING (lang)
+      |  WHERE r.rate >= 1.0
+      |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <=
+      |        printf('%06x', CAST(floor(r.rate * 16777215) AS INT)))
+      |SELECT lang, n_docs, count(*) AS n_kept, rate
+      |FROM kept GROUP BY lang, n_docs, rate
+      |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------ q75
+  /** Corpus version delta — the incremental-ingest diff a versioned 100 TB
+    * corpus runs between snapshots: which docs were added, removed, or
+    * changed. Old snapshot is fabricated deterministically from the
+    * table (docs with id%10==0 absent → "added"; id%13==0 re-published
+    * under id+3,000,000 → "removed"; id%7==0 carried a 'draft: ' prefix
+    * → "changed"). Scale shape: each side reduces to (doc_id, md5(text))
+    * MAP-SIDE, so only 16-byte content hashes ever cross the wire — the
+    * full-outer join on doc_id shuffles hashes, never text; on the
+    * bucketed-by-id layout (sources/Bucketing) the join is zero-Exchange.
+    * Unchanged docs (the overwhelming majority between real snapshots)
+    * are filtered before the output sort. */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val vOld = Tables.spread(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("draft: "), col("text"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+    val vNew = Tables.spread(docs)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_new"))
+    vOld.join(vNew, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+  private val q75Sql =
+    """WITH v_old AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN 'draft: ' || text ELSE text END) AS h_old
+      |  FROM documents WHERE doc_id % 10 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+      |v_new AS (SELECT doc_id, md5(text) AS h_new FROM documents),
+      |delta AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.h_old IS NULL THEN 'added'
+      |              WHEN n.h_new IS NULL THEN 'removed'
+      |              WHEN o.h_old != n.h_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status FROM delta
+      |WHERE status != 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1234,5 +1410,8 @@ object ExtQueries {
     Decl("q69_benchmark_contamination", q69, Some(q69Sql)),
     Decl("q70_repetition_ratio", q70, Some(q70Sql)),
     Decl("q71_shard_assignment", q71, Some(q71Sql)),
-    Decl("q72_curation_v2", q72, Some(q72Sql)))
+    Decl("q72_curation_v2", q72, Some(q72Sql)),
+    Decl("q73_span_fingerprint_dedup", q73, Some(q73Sql)),
+    Decl("q74_mixture_sampling", q74, Some(q74Sql)),
+    Decl("q75_corpus_delta", q75, Some(q75Sql)))
 }
