@@ -1378,6 +1378,217 @@ object ExtQueries {
       |WHERE status != 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q76
+  /** Corpus-derived unigram LM quality scoring — the perplexity-filter
+    * stage of CCNet-style corpus builds (Wenzek et al., arXiv:1911.00359):
+    * score each doc by the mean unigram surprisal of its tokens under the
+    * corpus's OWN term distribution, then gate each doc against its
+    * language's mean score (head = ≥0.01 ln-units better than the lang
+    * mean, tail = ≥0.01 worse, middle between). CCNet ships absolute
+    * per-lang cutoffs, not global terciles — deliberately mirrored here
+    * because cutoffs need NO global sort/rank: after two tiny broadcast
+    * joins the bucketing is a pure map-side compare at any corpus size.
+    *
+    * `surprisal` is mean −ln(cnt(term)) — the corpus-size ln(N) constant
+    * is dropped so no 1-row scalar frame has to join the plan (the bucket
+    * compare is translation-invariant). Scale shape: the LM is one
+    * (term, cnt) aggregate (vocab-bounded; web-scale practice prunes to
+    * top-N + OOV backoff before broadcast), the per-lang means are a
+    * second few-row aggregate, both joined back BROADCAST; the corpus
+    * never shuffles. Both engines round score and cutoffs to 4 dp before
+    * comparing so identical doubles gate both sides. */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("term"))
+    val lm = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val scored = tokens.join(broadcast(lm), "term")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("cnt")))).as("s"))
+    val langMeans = scored.groupBy(col("lang")).agg(avg(col("s")).as("mean_s"))
+    val sR = round(col("s"), 4)
+    scored.join(broadcast(langMeans), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        sR.as("surprisal"),
+        when(sR <= round(col("mean_s") - 0.01, 4), lit("head"))
+          .when(sR >= round(col("mean_s") + 0.01, 4), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  private val q76Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |lm AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+      |s AS (SELECT doc_id, lang, count(*) AS n_tokens, -avg(ln(cnt)) AS s
+      |      FROM tokens t JOIN lm USING (term) GROUP BY 1, 2),
+      |m AS (SELECT lang, avg(s) AS mean_s FROM s GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.n_tokens, round(s.s, 4) AS surprisal,
+      |       CASE WHEN round(s.s, 4) <= round(m.mean_s - 0.01, 4) THEN 'head'
+      |            WHEN round(s.s, 4) >= round(m.mean_s + 0.01, 4) THEN 'tail'
+      |            ELSE 'middle' END AS bucket
+      |FROM s JOIN m USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q77
+  /** SemDeDup — semantic dedup inside IVF cells (Abbas et al.,
+    * arXiv:2303.09540): embeddings are assigned to their nearest coarse
+    * centroid (q54's literal-centroid map-side pass — zero shuffle for
+    * the assignment), and only WITHIN a cell are pairs compared; a doc is
+    * a semantic duplicate if some lower-id doc in its cell has cosine
+    * ≥ 0.35. Survivorship is deterministic min-id-wins on direct pairs
+    * (transitive-closure clustering is q59's operator; SemDeDup proper
+    * also prunes on direct ε-balls only). Output = the dropped docs with
+    * their earliest keeper.
+    *
+    * Scale shape: the O(n²) risk lives entirely inside cells, which is
+    * the point of the IVF partition — production sizes K ~ √n so cells
+    * stay bounded, and the same hot-bucket cap as the LSH ops drops
+    * degenerate cells (mirrored in the oracle) instead of paying them.
+    * Cell assignment is codegen'd map-side; the pair join shuffles on
+    * cell id only. */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val centArr = typedLit(cents)
+    // nearest centroid, ties to the higher id — exactly q54's rule
+    def cellOf(v: Column): Column =
+      array_max(transform(sequence(lit(1), lit(K)), i => struct(
+        CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+        (i - 1).as("i")))).getField("i")
+    val asg = TextOps.capHotBuckets(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          cellOf(col("embedding")).as("cell")),
+      Seq("cell"), 4 * TextOps.DefaultMaxBucket, "semdedup_hot_cells")
+    val a = asg.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = asg.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val cos = CosineSimilarity.cosineSim(spark, col("ea"), col("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("va") < col("vb") && cos >= 0.35)
+      .select(col("cell"), col("va"), col("vb"), round(cos, 4).as("cos_sim"))
+    val firstKeeper = Window.partitionBy(col("vb")).orderBy(col("va"))
+    pairs.withColumn("rn", row_number().over(firstKeeper))
+      .where(col("rn") === 1)
+      .select(col("vb").as("vec_id"), col("va").as("dup_of"),
+        col("cell"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+  private val q77Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg0 AS (
+      |  SELECT vec_id, v,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |sz AS (SELECT cell FROM asg0 GROUP BY cell HAVING count(*) <= 256),
+      |asg AS (SELECT asg0.* FROM asg0 JOIN sz USING (cell)),
+      |pairs AS (
+      |  SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
+      |         list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+      |SELECT vb AS vec_id, va AS dup_of, cell, round(cos, 4) AS cos_sim
+      |FROM pairs
+      |QUALIFY row_number() OVER (PARTITION BY vb ORDER BY va) = 1
+      |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------ q78
+  /** Vocabulary coverage / OOV-rate audit — the tokenizer-fit check run
+    * before training: build the top-16 vocabulary by global term count
+    * (ties break lexicographically) and report each doc's out-of-vocab
+    * token rate. Scale shape: the vocab is a TakeOrderedAndProject over
+    * the (term, cnt) aggregate — top-k never materializes the full
+    * ranked vocab on one node — and joins back BROADCAST (a real
+    * tokenizer vocab is ≤ a few hundred k entries); the corpus-side pass
+    * is then map-side. Production swaps the exact count agg for the
+    * Space-Saving sketch (q60) when the raw term cardinality itself is
+    * the bottleneck; the exact spelling is declared so the oracle stays
+    * sharp. */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val V = 16
+    val tokens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+    val vocab = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(V)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+  private val q78Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnts AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+      |vocab AS (SELECT term FROM cnts ORDER BY cnt DESC, term LIMIT 16)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+      |       round(count(*) FILTER (WHERE v.term IS NULL) * 1.0 / count(*), 4)
+      |         AS oov_rate
+      |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q79
+  /** Signed random projection of embeddings to 8 dims — the
+    * Johnson-Lindenstrauss / Achlioptas ±1 projection ("Database-friendly
+    * random projections", PODS'01) every large-corpus pipeline uses to
+    * cheapen downstream similarity work: distances survive within (1±ε)
+    * at a fraction of the width. The projection matrix is never stored
+    * or broadcast as data: sign s(i,j) ∈ {+1,−1} is a pure function of
+    * (i,j) — first hex nibble of md5(i||'|'||j) < '8' — so any engine,
+    * any executor, any scale regenerates the identical matrix from the
+    * formula. Since it is ROW-INVARIANT it is rendered ONCE at
+    * plan-build time into a literal (64×8 doubles), leaving the per-row
+    * work a pure fused multiply-add over the array — no per-row hashing
+    * (the first spelling md5'd in-row: 512 digests/row, ~6× slower).
+    * Map-side only (one scan, no shuffle before the output sort); long
+    * (vec_id, dim, v) shape keeps the oracle trivial, array_agg per
+    * vec_id when a vector column is needed. */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val D = 8; val SRC_DIM = 64 // embeddings.parquet is fixed 64-wide
+    def signOf(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    // signs(j) = the ±1 column for output dim j, indexable by i (1-based)
+    val signs = typedLit(Seq.tabulate(D)(j => Seq.tabulate(SRC_DIM)(i => signOf(i, j))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(D - 1))).as("dim"))
+      .select(col("vec_id"), col("dim"),
+        round(aggregate(
+          transform(sequence(lit(1), size(col("embedding"))), i =>
+            element_at(col("embedding"), i).cast("double") *
+              element_at(element_at(signs, col("dim") + 1), i)),
+          lit(0.0d), (acc, x) => acc + x), 4).as("v"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+  private val q79Sql =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(0, 8)) AS dim),
+      |terms AS (
+      |  SELECT vec_id, dim,
+      |         x * (CASE WHEN substr(md5((i - 1) || '|' || dim), 1, 1)
+      |                        BETWEEN '0' AND '7'
+      |                   THEN 1.0 ELSE -1.0 END) AS t
+      |  FROM u CROSS JOIN dims)
+      |SELECT vec_id, dim, round(sum(t), 4) AS v
+      |FROM terms GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1413,5 +1624,9 @@ object ExtQueries {
     Decl("q72_curation_v2", q72, Some(q72Sql)),
     Decl("q73_span_fingerprint_dedup", q73, Some(q73Sql)),
     Decl("q74_mixture_sampling", q74, Some(q74Sql)),
-    Decl("q75_corpus_delta", q75, Some(q75Sql)))
+    Decl("q75_corpus_delta", q75, Some(q75Sql)),
+    Decl("q76_unigram_lm_quality", q76, Some(q76Sql)),
+    Decl("q77_semdedup", q77, Some(q77Sql)),
+    Decl("q78_vocab_oov", q78, Some(q78Sql)),
+    Decl("q79_random_projection", q79, Some(q79Sql)))
 }

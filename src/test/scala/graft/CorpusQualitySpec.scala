@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Queries
+
+/** Pins for the round-9 quality/similarity operators: q76 unigram-LM
+  * scoring, q77 SemDeDup, q78 vocab/OOV audit, q79 signed random
+  * projection. Each is oracle-checked end-to-end by the driver; these
+  * tests pin the SEMANTIC invariants the hash compare alone would not
+  * explain if it ever went red.
+  */
+class CorpusQualitySpec extends SparkSpecBase {
+
+  private def run(name: String) =
+    Queries.all.find(_.name == name).get.fn(spark, sf0001)
+
+  test("q76: buckets are per-lang surprisal gates — every head doc scores " +
+    "below every tail doc of the same language") {
+    val rows = run("q76_unigram_lm_quality").collect()
+    assert(rows.length == 500)
+    val buckets = rows.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(Set("head", "middle", "tail").subsetOf(buckets.keySet),
+      s"some bucket is empty: $buckets")
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val s = (b: String) => docs.filter(_.getString(4) == b).map(_.getDouble(3))
+      for (h <- s("head"); t <- s("tail"))
+        assert(h < t, s"$lang: head surprisal $h not below tail $t")
+      // the gate is an open interval around the lang mean, so middle docs
+      // sit strictly between the head max and the tail min
+      for (m <- s("middle")) {
+        assert(s("head").forall(_ <= m) || s("head").isEmpty)
+        assert(s("tail").forall(_ >= m) || s("tail").isEmpty)
+      }
+    }
+  }
+
+  test("q77: every dropped doc names a lower-id keeper in its own IVF cell " +
+    "with cosine at or above the 0.35 gate") {
+    val dups = run("q77_semdedup").collect()
+    assert(dups.nonEmpty)
+    dups.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper must be the lower id")
+      assert(r.getDouble(3) >= 0.35, s"pair below gate: $r")
+    }
+    // recompute each reported pair's cosine independently of the query
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    dups.foreach { r =>
+      val c = cos(emb(r.getLong(0)), emb(r.getLong(1)))
+      assert(math.abs(c - r.getDouble(3)) < 1e-3 && c >= 0.35,
+        s"reported cos ${r.getDouble(3)} disagrees with recompute $c")
+    }
+    // dropped set must never contain a doc that is ONLY ever a keeper
+    val dropped = dups.map(_.getLong(0)).toSet
+    assert(dups.forall(r => r.getLong(1) != r.getLong(0)))
+    assert(dropped.size == dups.length, "one row per dropped doc")
+  }
+
+  test("q78: OOV counts conserve tokens and the 16-term vocab actually " +
+    "splits the corpus") {
+    val rows = run("q78_vocab_oov").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-3)
+    }
+    val totalOov = rows.map(_.getLong(2)).sum
+    val totalTok = rows.map(_.getLong(1)).sum
+    assert(totalOov > 0, "a 16-of-31-term vocab must leave some tokens OOV")
+    assert(totalOov < totalTok, "head terms must be in-vocab")
+    // conservation: per-doc token counts sum to the corpus token count
+    val corpusTokens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    assert(totalTok == corpusTokens)
+  }
+
+  test("q79: the signed projection preserves expected squared norm " +
+    "(E[|p|^2] = D * |v|^2) within JL tolerance") {
+    val proj = run("q79_random_projection").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector).toMap
+    assert(proj.size == 500 && proj.values.forall(_.length == 8))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val ratios = proj.map { case (id, p) =>
+      val pn = p.map(x => x * x).sum
+      val vn = emb(id).map(x => x * x).sum
+      pn / (8.0 * vn)
+    }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3,
+      s"mean norm ratio $mean outside JL expectation band")
+    // determinism: the hash-derived matrix must reproduce bit-identically
+    val again = run("q79_random_projection").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector).toMap
+    assert(again == proj)
+  }
+}
