@@ -1589,6 +1589,147 @@ object ExtQueries {
       |FROM terms GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ q80
+  /** Model-based quality scoring via the hashing trick — the classifier
+    * stage of DCLM / FineWeb-Edu-style pipelines (a linear model over
+    * hashed token features), with the weights a documented deterministic
+    * stand-in (same convention as the multimodal stub codec): w(term) =
+    * 2·h/0xffffff − 1 ∈ [−1,1] where h = first 6 md5 hex digits, exactly
+    * reproducible in both engines. The Spark-side plumbing is the real
+    * thing and is the point: hashed features mean the "model" needs NO
+    * vocabulary table, NO broadcast, NO join — scoring is one in-row
+    * pass (margin = mean token weight, score = sigmoid(4·margin), keep
+    * at margin ≥ 0), so a 100 TB corpus is classifier-filtered in a
+    * single map-side scan. Swapping trained fasttext weights in means
+    * replacing the md5 expression with a weight lookup — the plan shape
+    * (map-only, shuffle-free until the output sort) is unchanged. */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val w = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("double") *
+        2.0 / 16777215.0 - 1.0
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(w(col("term"))).as("margin"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("margin"), 4).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(col("margin") * -4.0)), 4).as("score"),
+        (col("margin") >= 0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+  private val q80Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         avg(('0x' || substr(md5(term), 1, 6))::BIGINT * 2.0 / 16777215.0 - 1.0)
+      |           AS margin
+      |  FROM tokens GROUP BY 1)
+      |SELECT doc_id, n_tokens, round(margin, 4) AS margin,
+      |       round(1.0 / (1.0 + exp(margin * -4.0)), 4) AS score,
+      |       margin >= 0 AS kept
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q81
+  /** Source-overlap forensics — the provenance audit a multi-source
+    * corpus runs before mixing: which SOURCES republish each other's
+    * content (mirror sites, scraper overlap), measured as distinct
+    * shared span fingerprints per source pair. Reuses q73's mod-p
+    * k-gram scheme (content-defined, alignment-independent); fabricated
+    * mirrors (doc_id%5==0 re-published verbatim under a rotated source)
+    * keep the positive path deterministic. Scale shape: only the 1-in-4
+    * selected 16-byte hashes shuffle, the >64-doc boilerplate cap
+    * bounds the fp self-join, and the final (src_a, src_b) aggregate is
+    * at most |sources|²/2 rows — a broadcast-sized forensics report
+    * regardless of corpus size. */
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val mirrors = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(lit("src"), pmod(col("doc_id") + 7, lit(20))).as("source"),
+        col("text"))
+    val w = TextOps.words(col("text"))
+    val gramHashes = transform(sequence(lit(1), size(w) - 7),
+      i => md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")))
+    val fps = Tables.spread(docs.unionByName(mirrors))
+      .where(size(w) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(filter(gramHashes,
+          h => substring(h, 32, 1).isin("0", "4", "8", "c")))).as("fp"))
+    val common = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
+    val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
+      .select(col("source"), col("fp")).distinct()
+    rare.as("a").join(rare.as("b"), Seq("fp"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private val q81Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, 'src' || ((doc_id + 7) % 20), text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM corpus
+      |      WHERE len(string_split(text, ' ')) >= 8),
+      |fp0 AS (
+      |  SELECT DISTINCT doc_id, source, unnest(
+      |    list_filter(
+      |      list_transform(range(1, len(w) - 6),
+      |        i -> md5(array_to_string(w[i:i+7], ' '))),
+      |      h -> substr(h, 32, 1) IN ('0','4','8','c'))) AS fp
+      |  FROM w),
+      |rarefp AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 64),
+      |rare AS (
+      |  SELECT DISTINCT f.source, f.fp FROM fp0 f JOIN rarefp USING (fp))
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+      |FROM rare a JOIN rare b USING (fp)
+      |WHERE a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------ q82
+  /** One corpus-scale BPE merge round — the inner step of tokenizer
+    * training (Sennrich et al., ACL'16): count every ADJACENT symbol
+    * pair across the corpus and rank merge candidates. The full trainer
+    * is a driver loop over exactly this operator (apply merge #1,
+    * recount, repeat); one round is the declared, oracle-checkable unit.
+    * Scale shape: pair extraction is a per-doc window (lead over token
+    * position — partitioned by doc, never global), the pair count is a
+    * standard partial+final aggregate, and the top-10 lands via
+    * TakeOrderedAndProject — the full pair distribution never sits on
+    * one node. */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("pos", "t1")))
+      .withColumn("t2", lead(col("t1"), 1).over(byPos))
+      .where(col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("t1"), col("t2"))
+      .limit(10)
+  }
+  private val q82Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS t1
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT t1, lead(t1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |  FROM tokens)
+      |SELECT t1, t2, count(*) AS pair_count
+      |FROM pairs WHERE t2 IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY pair_count DESC, t1, t2
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1628,5 +1769,8 @@ object ExtQueries {
     Decl("q76_unigram_lm_quality", q76, Some(q76Sql)),
     Decl("q77_semdedup", q77, Some(q77Sql)),
     Decl("q78_vocab_oov", q78, Some(q78Sql)),
-    Decl("q79_random_projection", q79, Some(q79Sql)))
+    Decl("q79_random_projection", q79, Some(q79Sql)),
+    Decl("q80_hashed_classifier", q80, Some(q80Sql)),
+    Decl("q81_source_overlap", q81, Some(q81Sql)),
+    Decl("q82_bpe_merge_round", q82, Some(q82Sql)))
 }

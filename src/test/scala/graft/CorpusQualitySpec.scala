@@ -103,4 +103,63 @@ class CorpusQualitySpec extends SparkSpecBase {
       .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector).toMap
     assert(again == proj)
   }
+
+  test("q80: score is the sigmoid of the margin and the keep gate is " +
+    "margin >= 0; both classes are populated") {
+    val rows = run("q80_hashed_classifier").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (m, s, kept) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(math.abs(s - 1.0 / (1.0 + math.exp(-4.0 * m))) < 1e-3,
+        s"score $s is not sigmoid(4*margin $m)")
+      assert(kept == (m >= 0))
+    }
+    val nKept = rows.count(_.getBoolean(4))
+    assert(nKept > 0 && nKept < rows.length,
+      s"degenerate classifier split: $nKept/${rows.length}")
+  }
+
+  test("q81: every fabricated mirror's source pair shows overlap, and " +
+    "overlap is symmetric-free (src_a < src_b)") {
+    val rows = run("q81_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) > 0)
+    }
+    // a doc_id%5==0 doc from source s is mirrored under src((id+7)%20):
+    // that unordered source pair must appear whenever the two differ and
+    // the doc carries >= 2 selected fingerprints (q73's pair threshold is
+    // not applied here — any shared fp counts, so presence is enough)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("source")).collect()
+    val seen = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = docs.map { d =>
+      val a = d.getString(1); val b = s"src${(d.getLong(0) + 7) % 20}"
+      if (a < b) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2).toSet
+    val missing = expected -- seen
+    assert(missing.size * 5 < expected.size,
+      s"most mirror pairs must surface; missing $missing")
+  }
+
+  test("q82: pair counts match an independent bigram recount and the " +
+    "ranking is (count desc, pair asc)") {
+    val rows = run("q82_bpe_merge_round").collect()
+    assert(rows.length == 10)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect().foreach { r =>
+        r.getString(0).split(" ").sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _           =>
+        }
+      }
+    val expectedTop = counts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(10)
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(got == expectedTop,
+      s"top-10 merge candidates disagree with driver recount:\n$got\n$expectedTop")
+  }
 }
