@@ -347,10 +347,47 @@ object StreamQueries {
   }
   private val q53Sql = q50Sql
 
+  // ------------------------------------------------------------------ q83
+  /** Stream-STATIC dim enrichment — the canonical "enrich the live event
+    * stream with a dimension table" pattern, run on the streaming engine
+    * under the oracle: the static nation dim joins each micro-batch as a
+    * BROADCAST (stream-static joins are stateless — nothing enters the
+    * state store for the join), then a watermarked 1 h tumbling count
+    * per nation emits in append mode. The user→nation FK is fabricated
+    * (nk = user_id % 25) like the repo's other synthetic enrichments.
+    * Scale shape: the dim broadcasts once per micro-batch plan, the only
+    * stateful operator is the windowed count — state is (windows ×
+    * nations), independent of stream volume. Sentinel rows advance the
+    * watermark to flush the final real windows; the sentinels' own
+    * windows end past the final watermark and can never emit. */
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkedEvents(spark, dir)
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val out = runStream(spark, chunks,
+      df => df.withWatermark("ts", "1 hour")
+        .withColumn("nk", pmod(col("user_id"), lit(25L)))
+        .join(broadcast(nation), "nk")
+        .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), TS_S).as("window_start"),
+          col("n_name"), col("n_events")),
+      sentinels = sentinelsAfter(chunks))
+    out.orderBy(col("window_start"), col("n_name"))
+  }
+  private val q83Sql =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+      |         AS window_start,
+      |       n_name, count(*) AS n_events
+      |FROM events JOIN nation ON n_nationkey = user_id % 25
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q48_stream_dedup", q48, Some(q48Sql)),
     Decl("q49_stream_sliding", q49, Some(q49Sql)),
     Decl("q50_stream_session", q50, Some(q50Sql)),
     Decl("q52_stream_interval_join", q52, Some(q52Sql)),
-    Decl("q53_stream_custom_state", q53, Some(q53Sql)))
+    Decl("q53_stream_custom_state", q53, Some(q53Sql)),
+    Decl("q83_stream_static_join", q83, Some(q83Sql)))
 }
