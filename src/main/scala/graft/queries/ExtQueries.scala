@@ -1730,6 +1730,99 @@ object ExtQueries {
       |ORDER BY pair_count DESC, t1, t2
       |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------ q84
+  /** LSH calibration audit — the recall/precision report a production
+    * dedup pipeline runs to tune its banding (k, r, bands) before
+    * trusting MinHash+LSH at full scale: on a DETERMINISTIC md5 sample
+    * (3/4 of docs; both endpoints must sample in, so ~56% of true pairs
+    * remain observable), compute (a) EXACT ground-truth near-dup pairs
+    * (jaccard ≥ 0.5) via the shingle inverted index — an equi-join, the
+    * scalable exact algorithm, no cartesian — and (b) the production LSH
+    * path (bands → hot-bucket cap → candidates → jaccard verify), then
+    * report candidate precision and verified recall. With r=2, b=4 the
+    * theoretical candidate probability at j=0.5 is 1−(1−j²)⁴ ≈ 0.68 —
+    * the audit makes the measured recall a declared, oracle-checked
+    * number instead of folklore. Scale shape: the sample is fixed-size
+    * by construction, which is what bounds the uncapped exact join; the
+    * LSH side is the same capped plan as q20. */
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    val sampleHex = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin(sampleHex: _*))
+    val sigArr = MinHashSignature.minhashSig(spark, col("sh"), K)
+    val sig = docs
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh"))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until K).map(i => element_at(sigArr, i + 1).as(s"m$i")): _*)
+      .persist()
+    try {
+      val cand = TextOps.lshCandidatePairs(
+        TextOps.lshBands(sig, "doc_id", K, R), "doc_id",
+        maxBucket = Some(TextOps.DefaultMaxBucket))
+      val withSets = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+        .join(broadcast(cand), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      val verified = withSets
+        .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // exact ground truth: inverted index on shingles → intersection
+      // counts per co-occurring pair → jaccard from exact set sizes
+      val shRows = sig.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sizes = sig.select(col("doc_id"), size(col("sh")).as("n"))
+      val inter = shRows.as("a").join(shRows.as("b"), Seq("shingle"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val exact = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .where(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // one pair-level frame → one aggregation; no 1-row scalar joins
+      val tagged = cand.withColumn("c", lit(1L))
+        .join(exact.withColumn("e", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+        .join(verified.withColumn("v", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      Caches.localize(tagged.agg(
+          sum(coalesce(col("e"), lit(0L))).as("n_exact_pairs"),
+          sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+          sum(when(col("c") === 1 && col("e") === 1, 1L).otherwise(0L))
+            .as("n_candidates_true"),
+          sum(coalesce(col("v"), lit(0L))).as("n_verified"))
+        .select(col("n_exact_pairs"), col("n_candidates"),
+          col("n_candidates_true"), col("n_verified"),
+          round(col("n_verified") / col("n_exact_pairs"), 4).as("recall"),
+          round(col("n_candidates_true") / col("n_candidates"), 4)
+            .as("cand_precision")), maxRows = 2)
+        .getOrElse(sys.error("q84 audit must reduce to one row"))
+    } finally sig.unpersist()
+  }
+  private val q84Sql =
+    s"""WITH sample AS (
+       |  SELECT * FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+       |    ('0','1','2','3','4','5','6','7','8','9','a','b')),
+       |${pairCtesWith("", "sample")},
+       |einter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT doc_a, doc_b
+       |  FROM einter JOIN sizes za ON za.doc_id = doc_a
+       |              JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5),
+       |ctrue AS (SELECT count(*) AS n FROM cand c
+       |  JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+       |SELECT
+       |  (SELECT count(*) FROM exact) AS n_exact_pairs,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT n FROM ctrue) AS n_candidates_true,
+       |  (SELECT count(*) FROM pairs) AS n_verified,
+       |  round((SELECT count(*) FROM pairs) * 1.0 /
+       |        (SELECT count(*) FROM exact), 4) AS recall,
+       |  round((SELECT n FROM ctrue) * 1.0 /
+       |        (SELECT count(*) FROM cand), 4) AS cand_precision""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1772,5 +1865,6 @@ object ExtQueries {
     Decl("q79_random_projection", q79, Some(q79Sql)),
     Decl("q80_hashed_classifier", q80, Some(q80Sql)),
     Decl("q81_source_overlap", q81, Some(q81Sql)),
-    Decl("q82_bpe_merge_round", q82, Some(q82Sql)))
+    Decl("q82_bpe_merge_round", q82, Some(q82Sql)),
+    Decl("q84_lsh_calibration_audit", q84, Some(q84Sql)))
 }

@@ -162,4 +162,23 @@ class CorpusQualitySpec extends SparkSpecBase {
     assert(got == expectedTop,
       s"top-10 merge candidates disagree with driver recount:\n$got\n$expectedTop")
   }
+
+  test("q84: the audit's internal identities hold — verified ≡ true " +
+    "candidates, ratios match their numerators, recall is observable") {
+    val r = run("q84_lsh_calibration_audit").collect() match {
+      case Array(only) => only
+      case other       => fail(s"audit must be one row, got ${other.length}")
+    }
+    val (nExact, nCand, nCandTrue, nVer) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nExact > 0, "sample must retain ground-truth pairs")
+    assert(nCand >= nCandTrue)
+    // verification applies the exact jaccard gate to candidates, so the
+    // verified set IS the true-candidate set — if these ever diverge the
+    // two paths' jaccard definitions have drifted
+    assert(nVer == nCandTrue)
+    assert(math.abs(r.getDouble(4) - nVer.toDouble / nExact) < 1e-3)
+    assert(math.abs(r.getDouble(5) - nCandTrue.toDouble / nCand) < 1e-3)
+    assert(r.getDouble(4) > 0, "recall must be observable on the sample")
+  }
 }
