@@ -61,27 +61,49 @@ object LshIndex {
       bandFiles: Int = 8, sigFiles: Int = 8,
       /** Hash-bucket count for the hive partitioning of both tables.
         * Bounds the per-probe partition-predicate size (the collect is
-        * ≤ this many ints) and the directory fan-out. 32 suits the test
-        * scale; at 100 TB raise it so a bucket directory stays a few GB. */
+        * ≤ this many ints) and the directory fan-out. A LAYOUT property
+        * of the on-disk index, not of the caller: build persists it (and
+        * the file counts) in `_index_meta`, and every probe adopts the
+        * persisted values — so [[sizedConfig]] can pick it per corpus
+        * without probe callers knowing. At 100 TB raise it (or let
+        * [[buildSized]] raise it) so a bucket directory stays a few GB. */
       indexPartitions: Int = 32)
+
+  /** Layout sized to the corpus: one hash-bucket directory per ~2k docs,
+    * floored at 4 (toy corpora should not pay a 32-directory fan-out) and
+    * capped at 4096 (at 100 TB each directory is then a few GB — the
+    * target row-group-pruning granularity). File counts scale with the
+    * fan-out so write tasks stay parallel without exploding file counts. */
+  def sizedConfig(nDocs: Long, base: Config = Config()): Config = {
+    val p = math.min(4096L, math.max(4L, nDocs / 2000L)).toInt
+    base.copy(indexPartitions = p,
+      bandFiles = math.max(2, p / 4), sigFiles = math.max(2, p / 4))
+  }
 
   private def bandsPath(path: String) = s"$path/bands"
   private def sigsPath(path: String) = s"$path/sigs"
   private def metaPath(path: String) = new HPath(path, "_index_meta")
 
-  /** `indexPartitions` is a contract between build and probe: a probe
-    * under a different modulus derives the wrong pk values and silently
-    * prunes the wrong directories. Build persists it next to the tables;
-    * probe refuses to run against a mismatched (or missing) value. */
+  /** The partition modulus and file counts are a LAYOUT contract between
+    * build and probe: a probe under a different modulus derives the wrong
+    * pk values and silently prunes the wrong directories. Build persists
+    * the layout next to the tables; probes ADOPT the persisted values
+    * (the caller's Config keeps only the signature/threshold knobs), so a
+    * drifted default — or a [[buildSized]] layout the caller never saw —
+    * cannot mis-prune. A missing meta file fails loudly. */
   private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(s"indexPartitions=${cfg.indexPartitions}\n".getBytes(UTF_8))
+    try out.write(
+      (s"indexPartitions=${cfg.indexPartitions}\n" +
+        s"bandFiles=${cfg.bandFiles}\nsigFiles=${cfg.sigFiles}\n")
+        .getBytes(UTF_8))
     finally out.close()
   }
 
-  private def validateMeta(spark: SparkSession, path: String, cfg: Config): Unit = {
+  /** cfg with the persisted on-disk layout folded in. */
+  private def adoptMeta(spark: SparkSession, path: String, cfg: Config): Config = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p))
@@ -89,15 +111,21 @@ object LshIndex {
         s"$p missing — the index at $path predates its build, or the path " +
           "is not an LshIndex; rebuild with LshIndex.build")
     val in = fs.open(p)
-    val stored =
+    val kv =
       try scala.io.Source.fromInputStream(in, UTF_8.name()).getLines()
-        .collectFirst { case l if l.startsWith("indexPartitions=") =>
-          l.stripPrefix("indexPartitions=").trim.toInt }
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => scala.util.Try(k.trim -> v.trim.toInt).toOption
+            case _           => None
+          }
+        }.toMap
       finally in.close()
-    require(stored.contains(cfg.indexPartitions),
-      s"index at $path was built with indexPartitions=${stored.orNull} but " +
-        s"the probe Config says ${cfg.indexPartitions}; probing under the " +
-        "wrong modulus would silently prune the wrong directories")
+    val m = kv.getOrElse("indexPartitions",
+      throw new IllegalStateException(
+        s"$p has no indexPartitions entry — rebuild with LshIndex.build"))
+    cfg.copy(indexPartitions = m,
+      bandFiles = kv.getOrElse("bandFiles", cfg.bandFiles),
+      sigFiles = kv.getOrElse("sigFiles", cfg.sigFiles))
   }
 
   /** Partition bucket of a bands row: hash of the full bucket key. */
@@ -110,10 +138,15 @@ object LshIndex {
 
   /** (doc_id, sh, m0..m(k-1)) — one row per doc, all map-side.
     * Shingle-less docs are dropped: they have no minima (null band keys)
-    * and can never pair. */
+    * and can never pair. The scan is spread first: the k·|shingles| md5
+    * passes are the index's dominant compute, and an under-split input
+    * (one fat row group) would serialize them onto one core —
+    * Tables.spread is a no-op whenever the scan already has ≥
+    * parallelism splits, i.e. always at production scale. */
   private def signatures(docs: DataFrame, cfg: Config,
       id: String, text: String): DataFrame =
-    docs.select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("sh"))
+    graft.sources.Tables.spread(docs)
+      .select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col(id) +: col("sh") +:
         TextOps.minhashFromSet(col("sh"), cfg.k): _*)
@@ -122,14 +155,19 @@ object LshIndex {
     TextOps.lshBands(sig, id, cfg.k, cfg.r)
       .select(col("band"), col("key"), col(id).as("doc_id"))
 
-  /** Hive-partitioned clustered write: range-shuffle on (partition
-    * bucket, cluster key) so each task holds few bucket values and each
-    * bucket directory gets contiguous, sorted files — file counts stay
-    * O(files), and row groups within a directory are disjoint on the
-    * cluster key. */
+  /** Hive-partitioned clustered write: hash-shuffle on the partition
+    * bucket alone (a range shuffle would pay an extra sampling pass over
+    * the input per write — measurable per ingest batch), then sort each
+    * task on (bucket, cluster key). A task holds every row of its
+    * buckets, so the writer emits ONE file per bucket directory per
+    * write, fully sorted on the cluster key — row groups within a file
+    * are disjoint, and file counts grow by ≤ #buckets per append. Bucket
+    * size is governed by `indexPartitions` ([[sizedConfig]] keeps a
+    * directory at a few GB), so the one-task-per-bucket write is the
+    * scale-correct shape; `files` caps the shuffle parallelism. */
   private def writePartitioned(df: DataFrame, path: String, files: Int,
       mode: String, cluster: Column*): Unit =
-    df.repartitionByRange(files, col("__part") +: cluster: _*)
+    df.repartition(files, col("__part"))
       .sortWithinPartitions(col("__part") +: cluster: _*)
       .withColumnRenamed("__part", "pk")
       .write.partitionBy("pk").mode(mode).parquet(path)
@@ -151,6 +189,17 @@ object LshIndex {
     } finally sig.unpersist()
   }
 
+  /** [[build]] with the layout sized from a count of `docs` (one cheap
+    * metadata-friendly count job — negligible against the signature
+    * compute it right-sizes). Returns the chosen layout; probes need not
+    * see it (they adopt the persisted meta). */
+  def buildSized(docs: DataFrame, path: String, base: Config = Config(),
+      id: String = "doc_id", text: String = "text"): Config = {
+    val cfg = sizedConfig(docs.count(), base)
+    build(docs, path, cfg, id, text)
+    cfg
+  }
+
   /** The probe's plans, exposed (package-private) so the plan-health spec
     * can pin the EXACT scan frames the probe uses: `bandScan`/`sigScan`
     * are the partition-pruned index reads, `pairs` the verified result. */
@@ -168,8 +217,9 @@ object LshIndex {
     * specs (which assert the file-level pruning on the two index scans).
     * Returns the probe plans plus the batch band rows (for the append). */
   private def probePairs(spark: SparkSession, path: String, sig: DataFrame,
-      cfg: Config, id: String, extraCaches: Seq[DataFrame]): (Probe, DataFrame) = {
-    validateMeta(spark, path, cfg)
+      rawCfg: Config, id: String,
+      extraCaches: Seq[DataFrame]): (Probe, DataFrame, Config) = {
+    val cfg = adoptMeta(spark, path, rawCfg)
     val caches = scala.collection.mutable.Buffer[DataFrame](extraCaches: _*)
     val newBands = bandsOf(sig, cfg, id)
     // Only buckets the batch touches can yield new pairs. The batch's
@@ -236,7 +286,7 @@ object LshIndex {
     val pairs = withSets.where(j >= cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    (Probe(pairs, indexBands, indexSets, caches.toSeq), newBands)
+    (Probe(pairs, indexBands, indexSets, caches.toSeq), newBands, cfg)
   }
 
   /** Probe-only entry point for the plan-health spec: returns the probe
@@ -268,21 +318,21 @@ object LshIndex {
     val sig = signatures(newDocs, cfg, id, text).persist()
     var probeCaches: Seq[DataFrame] = Seq(sig)
     try {
-      val (probe, newBands) = probePairs(spark, path, sig, cfg, id,
+      val (probe, newBands, layout) = probePairs(spark, path, sig, cfg, id,
         extraCaches = Seq(sig))
       probeCaches = probe.caches
       val result = Caches.localize(probe.pairs, maxRows = 1 << 20)
         .getOrElse(probe.pairs.localCheckpoint())
       // Append AFTER the probe is materialized: the probe must see the
       // pre-batch index, and the localized result no longer reads it.
-      // Appends reuse the same hash-bucket partitioning, so the files
+      // Appends reuse the PERSISTED hash-bucket layout, so the files
       // land in (and future probes prune to) the right directories.
-      writePartitioned(newBands.withColumn("__part", bandPk(cfg)),
-        bandsPath(path), cfg.bandFiles, "append", col("band"), col("key"))
+      writePartitioned(newBands.withColumn("__part", bandPk(layout)),
+        bandsPath(path), layout.bandFiles, "append", col("band"), col("key"))
       writePartitioned(
         sig.select(col(id).as("doc_id"), col("sh"))
-          .withColumn("__part", sigPs(cfg, col("doc_id"))),
-        sigsPath(path), cfg.sigFiles, "append", col("doc_id"))
+          .withColumn("__part", sigPs(layout, col("doc_id"))),
+        sigsPath(path), layout.sigFiles, "append", col("doc_id"))
       result
     } finally probeCaches.foreach(_.unpersist())
   }

@@ -363,7 +363,7 @@ object ExtQueries {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isBatch = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.build(docs.where(!isBatch), tmp)
+      LshIndex.buildSized(docs.where(!isBatch), tmp)
       val pairs = LshIndex.probeAndAppend(spark, tmp, docs.where(isBatch))
       // probeAndAppend localizes unless the pair list is improbably huge;
       // in that fallback its (cached) plan still reads the scratch index

@@ -128,18 +128,57 @@ class LshIndexSpec extends SparkSpecBase {
     probe.release()
   }
 
-  test("probe refuses a Config whose indexPartitions mismatches the " +
-    "persisted build value") {
+  test("probe adopts the persisted layout: probing a 16-partition index " +
+    "under the default Config still prunes under the build modulus and " +
+    "appends into the right directories") {
     val idx = tmpDir("lsh_idx_meta")
-    LshIndex.build(base, idx)
+    val layout = LshIndex.Config(indexPartitions = 16, bandFiles = 4, sigFiles = 4)
+    LshIndex.build(base, idx, layout)
     val batch = docs(10L -> "the quick brown fox jumps over the lazy dog today")
-    val e = intercept[IllegalArgumentException] {
-      LshIndex.probeAndAppend(spark, idx, batch,
-        LshIndex.Config(indexPartitions = 16))
-    }
-    assert(e.getMessage.contains("indexPartitions"))
-    // matching Config still probes fine
-    assert(LshIndex.probeAndAppend(spark, idx, batch).count() > 0)
+    // default Config carries indexPartitions=32 — the probe must ignore it
+    val pairs = LshIndex.probeAndAppend(spark, idx, batch)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.exists(_._2 == 10L), s"planted near-dup missing from $pairs")
+    // the append landed under the BUILD modulus: index ≡ a fresh
+    // 16-partition rebuild including the derived pk column
+    val full = tmpDir("lsh_idx_meta_full")
+    LshIndex.build(base.unionByName(batch), full, layout)
+    def bands(p: String) = spark.read.parquet(s"$p/bands")
+      .select($"band", $"key", $"doc_id", $"pk")
+      .as[(Int, String, Long, Int)].collect().toSet
+    def sigs(p: String) = spark.read.parquet(s"$p/sigs")
+      .select($"doc_id", array_sort($"sh"), $"pk")
+      .as[(Long, Seq[String], Int)].collect().toSet
+    assert(bands(idx) == bands(full))
+    assert(sigs(idx) == sigs(full))
+  }
+
+  test("sizedConfig scales the layout to the corpus between its floor " +
+    "and its cap") {
+    assert(LshIndex.sizedConfig(0).indexPartitions == 4)
+    assert(LshIndex.sizedConfig(5000).indexPartitions == 4)      // toy floor
+    assert(LshIndex.sizedConfig(2000L * 256).indexPartitions == 256)
+    assert(LshIndex.sizedConfig(Long.MaxValue).indexPartitions == 4096) // cap
+    val c = LshIndex.sizedConfig(2000L * 256)
+    assert(c.bandFiles == 64 && c.sigFiles == 64)
+    // signature knobs pass through untouched
+    val b = LshIndex.Config(shingleN = 3, k = 12)
+    assert(LshIndex.sizedConfig(10, b).shingleN == 3)
+    assert(LshIndex.sizedConfig(10, b).k == 12)
+  }
+
+  test("buildSized indexes a toy corpus at the 4-directory floor and " +
+    "probes find pairs with no caller-side layout knowledge") {
+    val idx = tmpDir("lsh_idx_sized")
+    val chosen = LshIndex.buildSized(base, idx)
+    assert(chosen.indexPartitions == 4)
+    val pkDirs = Option(new java.io.File(s"$idx/bands").listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("pk="))
+    assert(pkDirs.nonEmpty && pkDirs.length <= 4, s"got ${pkDirs.length} pk dirs")
+    val batch = docs(10L -> "the quick brown fox jumps over the lazy dog today")
+    val pairs = LshIndex.probeAndAppend(spark, idx, batch)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.exists(_._2 == 10L), s"planted near-dup missing from $pairs")
   }
 
   test("probe fails loudly when the index metadata file is absent") {
