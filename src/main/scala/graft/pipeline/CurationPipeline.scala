@@ -123,6 +123,45 @@ object CurationPipeline {
   def piiScrub(docs: DataFrame, text: String = "text"): DataFrame =
     docs.withColumn(text, TextOps.redactPii(col(text)))
 
+  /** Stage 3b: cluster-canonical selection — the keep-ONE-survivor form
+    * of near-dedup. Pairwise removal (stage 3) drops the higher-id doc of
+    * each verified pair independently, which can drop every member of a
+    * chain (a–b, b–c can drop b and c while a–c was never a candidate);
+    * canonical selection instead clusters the verified pair EDGES
+    * (GraphOps connected components, O(log n) rounds) and keeps exactly
+    * the highest-`quality` member per cluster, ties to the lowest id.
+    * Docs in no pair are their own singleton cluster and survive.
+    *
+    * Returns every input doc annotated with (cluster_id, kept 1|0)
+    * rather than filtering, so callers either `.where($"kept" === 1)` or
+    * audit the drops. Scale shape: the cluster map covers only docs that
+    * appear in a pair (orders of magnitude smaller than the corpus —
+    * planner broadcasts it when small), and the survivor rank is one
+    * window shuffle on cluster_id; hot-bucket caps upstream bound the
+    * largest cluster, so the per-cluster sort cannot be the skew. */
+  def canonicalSelect(docs: DataFrame, edges: DataFrame, quality: Column,
+      id: String = "doc_id"): DataFrame = {
+    val clusters = graft.ops.GraphOps.connectedComponents(edges)
+      .select(col("node").as(id), col("component").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(quality.desc, col(id))
+    docs.join(clusters, Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
+      .withColumn("kept", when(row_number().over(w) === 1, 1).otherwise(0))
+  }
+
+  /** Stage 2d: per-source cap (the C4/CCNet-style domain cap) — keep at
+    * most `cap` docs per source, by `priority` (desc, ties to the lowest
+    * id). One window shuffle on the source key; output is bounded at
+    * cap × #sources regardless of corpus size. A mega-source serializes
+    * only its own partition — salt upstream (SkewOps) if one source
+    * dominates the corpus. */
+  def sourceCap(docs: DataFrame, cap: Int, priority: Column,
+      source: String = "source", id: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(source)).orderBy(priority.desc, col(id))
+    docs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap).drop("__rk")
+  }
+
   /** Stage 5: contiguous sequence packing — assign each row a token-bin
     * id within its shard (q68's operator as a pipeline stage): bin =
     * tokens-accumulated-before-this-row ÷ cap. Per-shard window state, so

@@ -1823,6 +1823,62 @@ object ExtQueries {
        |  round((SELECT n FROM ctrue) * 1.0 /
        |        (SELECT count(*) FROM cand), 4) AS cand_precision""".stripMargin
 
+  // ------------------------------------------------------------------ q85
+  /** Cluster-canonical near-dedup (CurationPipeline.canonicalSelect):
+    * cluster the verified near-dup pairs transitively and keep exactly
+    * the longest member per cluster (ties to the lowest doc_id) — the
+    * keep-one-survivor form of dedup that pairwise removal cannot
+    * express (a chain a–b, b–c may drop both b and c). Every doc is
+    * emitted with its cluster and a kept flag so drops are auditable.
+    * The oracle recomputes the clusters with a recursive CTE (q59's
+    * reachability) and ranks members with the same window. */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val edges = nearDupPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    CurationPipeline.canonicalSelect(docs, edges, length(col("text")))
+      .select(col("doc_id"), col("cluster_id"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+  private val q85Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM bi
+       |  UNION
+       |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u),
+       |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |ful AS (SELECT d.doc_id,
+       |          coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |          length(d.text) AS q
+       |        FROM documents d LEFT JOIN cl USING (doc_id)),
+       |rk AS (SELECT doc_id, cluster_id,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY q DESC, doc_id) AS rn
+       |       FROM ful)
+       |SELECT doc_id, cluster_id, CAST(rn = 1 AS INTEGER) AS kept
+       |FROM rk ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q86
+  /** Per-source cap (CurationPipeline.sourceCap, the C4/CCNet-style
+    * domain cap): keep at most 10 docs per source, longest first, ties
+    * to the lowest doc_id — output bounded at cap × #sources regardless
+    * of corpus size. */
+  private def q86(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.sourceCap(
+      Tables.spread(Tables.documents(spark, dir)), cap = 10,
+      priority = length(col("text")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  private val q86Sql =
+    """WITH rk AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY length(text) DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM rk WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1866,5 +1922,7 @@ object ExtQueries {
     Decl("q80_hashed_classifier", q80, Some(q80Sql)),
     Decl("q81_source_overlap", q81, Some(q81Sql)),
     Decl("q82_bpe_merge_round", q82, Some(q82Sql)),
-    Decl("q84_lsh_calibration_audit", q84, Some(q84Sql)))
+    Decl("q84_lsh_calibration_audit", q84, Some(q84Sql)),
+    Decl("q85_cluster_canonical", q85, Some(q85Sql)),
+    Decl("q86_source_cap", q86, Some(q86Sql)))
 }

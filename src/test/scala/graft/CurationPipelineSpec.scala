@@ -64,4 +64,38 @@ class CurationPipelineSpec extends SparkSpecBase {
     val (again, _) = CurationPipeline.curate(curated.select($"doc_id", $"text"))
     assert(again.count() === n1)
   }
+
+  test("canonicalSelect keeps exactly the best member per transitive " +
+    "cluster — including across a chain pairwise removal would break") {
+    // chain 1–2, 2–3 (no 1–3 edge), singleton 9
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "aaaaaa"), (3L, "aa"), (9L, "zz"))
+      .toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = CurationPipeline
+      .canonicalSelect(docs, edges, length($"text"))
+      .select($"doc_id", $"cluster_id", $"kept")
+      .as[(Long, Long, Int)].collect().toSet
+    // one cluster {1,2,3} keyed by its min member; survivor = longest (2)
+    assert(out == Set((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0), (9L, 9L, 1)))
+  }
+
+  test("canonicalSelect ties go to the lowest doc_id") {
+    val docs = Seq((5L, "same"), (6L, "same")).toDF("doc_id", "text")
+    val edges = Seq((5L, 6L)).toDF("src", "dst")
+    val kept = CurationPipeline.canonicalSelect(docs, edges, length($"text"))
+      .where($"kept" === 1).select($"doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(5L))
+  }
+
+  test("sourceCap keeps at most cap docs per source, highest priority " +
+    "first, and leaves under-cap sources whole") {
+    val docs = (1L to 10L).map(i => (i, "s1", "x" * i.toInt)) ++
+      Seq((100L, "s2", "yy"), (101L, "s2", "y"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val kept = CurationPipeline.sourceCap(df, cap = 3, length($"text"))
+      .select($"doc_id").as[Long].collect().toSet
+    // s1: the 3 longest are ids 8,9,10; s2 (2 docs) survives whole
+    assert(kept == Set(8L, 9L, 10L, 100L, 101L))
+  }
 }
