@@ -686,7 +686,10 @@ object ExtQueries {
       centroidPath: String): DataFrame =
     ivfAnn(spark, dir, graft.ops.IvfIndex.loadCentroids(spark, centroidPath))
 
-  private def ivfAnn(spark: SparkSession, dir: String,
+  /** The IVF candidate frame (probe_id, vec_id, cos): corpus rows in the
+    * probe's NPROBE nearest cells only — the frame both q54's top-k and
+    * q87's recall audit rank. */
+  private def ivfCandidates(spark: SparkSession, dir: String,
       cents: Seq[Seq[Float]]): DataFrame = {
     val K = cents.size; val NPROBE = 2
     val centArr = typedLit(cents)
@@ -706,18 +709,25 @@ object ExtQueries {
       .where(col("vec_id") >= K && col("vec_id") < K + 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
         topCells(col("embedding")).as("pcells"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     emb.crossJoin(broadcast(probes))
       .where(array_contains(col("pcells"), col("cell")) &&
         col("vec_id") =!= col("probe_id"))
       .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("cos"))
+  }
+
+  private def topNeighbors(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  private def ivfAnn(spark: SparkSession, dir: String,
+      cents: Seq[Seq[Float]]): DataFrame =
+    topNeighbors(ivfCandidates(spark, dir, cents), 3)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("probe_id"), col("rn"))
-  }
   private val q54Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1879,6 +1889,81 @@ object ExtQueries {
       |  FROM documents)
       |SELECT doc_id, source FROM rk WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q87
+  /** IVF-ANN recall audit — q84's calibration-audit pattern applied to
+    * the vector path: run q54's IVF plan (16 cells, nprobe=2) and
+    * brute-force ground truth over the SAME probes, and declare
+    * recall@3 plus the candidate fraction the cell pruning actually
+    * scanned. nprobe tuning at 100 TB needs this number to be a
+    * measured, oracle-checked quantity, not folklore. The ground-truth
+    * side is bounded by the fixed probe count (5 × corpus), the IVF
+    * side is q54's own plan; both rank with the identical
+    * (cos desc, vec_id) tie rule the oracle uses. */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val cand = ivfCandidates(spark, dir, cents).persist()
+    try {
+      val ivf = topNeighbors(cand, 3).select(col("probe_id"), col("vec_id"))
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      val probes = Tables.embeddings(spark, dir)
+        .where(col("vec_id") >= K && col("vec_id") < K + 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val bfCand = emb.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+      val bf = topNeighbors(bfCand, 3).select(col("probe_id"), col("vec_id"))
+      val out = ivf.join(bf, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("h"))
+        .crossJoin(cand.agg(count(lit(1)).as("nc")))
+        .crossJoin(emb.agg(count(lit(1)).as("ne")))
+        .select(lit(5).as("n_probes"),
+          round(col("h") / 15.0, 4).as("recall_at_3"),
+          round(col("nc") / (lit(5.0) * col("ne")), 4).as("avg_scan_frac"))
+      Caches.localize(out, maxRows = 1)
+        .getOrElse(sys.error("q87 audit must be one row"))
+    } finally cand.unpersist()
+  }
+  private val q87Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id),
+      |ivf AS (SELECT probe_id, vec_id FROM cand
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, vec_id) <= 3),
+      |bfc AS (SELECT p.probe_id, e.vec_id,
+      |          list_cosine_similarity(p.pv, e.v) AS cos
+      |        FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+      |bf AS (SELECT probe_id, vec_id FROM bfc
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, vec_id) <= 3)
+      |SELECT 5 AS n_probes,
+      |  round((SELECT count(*) FROM ivf JOIN bf USING (probe_id, vec_id)) / 15.0, 4)
+      |    AS recall_at_3,
+      |  round((SELECT count(*) FROM cand) /
+      |        (5.0 * (SELECT count(*) FROM e)), 4) AS avg_scan_frac""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -1924,5 +2009,6 @@ object ExtQueries {
     Decl("q82_bpe_merge_round", q82, Some(q82Sql)),
     Decl("q84_lsh_calibration_audit", q84, Some(q84Sql)),
     Decl("q85_cluster_canonical", q85, Some(q85Sql)),
-    Decl("q86_source_cap", q86, Some(q86Sql)))
+    Decl("q86_source_cap", q86, Some(q86Sql)),
+    Decl("q87_ivf_recall_audit", q87, Some(q87Sql)))
 }

@@ -181,4 +181,38 @@ class CorpusQualitySpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(5) - nCandTrue.toDouble / nCand) < 1e-3)
     assert(r.getDouble(4) > 0, "recall must be observable on the sample")
   }
+
+  test("q87: the IVF audit's invariants hold — recall in [0,1], the cell " +
+    "pruning actually pruned, and recall@3 matches an independent " +
+    "top-3-overlap recount") {
+    val r = run("q87_ivf_recall_audit").collect() match {
+      case Array(only) => only
+      case other       => fail(s"audit must be one row, got ${other.length}")
+    }
+    val (nProbes, recall, scanFrac) =
+      (r.getInt(0), r.getDouble(1), r.getDouble(2))
+    assert(nProbes == 5)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(scanFrac > 0.0 && scanFrac < 1.0,
+      s"IVF must scan a strict subset of the corpus, got $scanFrac")
+    // independent recount: brute-force top-3 per probe vs IVF top-3 per
+    // probe, recomputed from the declared q23-style primitives
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CosineSimilarity
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val probes = emb.where($"vec_id" >= 16 && $"vec_id" < 21)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    val bf = emb.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, $"embedding", $"probe"))
+      .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = run("q54_ann_ivf")
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = (ivf & bf).size.toDouble / 15.0
+    assert(math.abs(recall - expected) < 1e-3,
+      s"declared recall $recall != recounted $expected")
+  }
 }
