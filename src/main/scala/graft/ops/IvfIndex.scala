@@ -18,6 +18,59 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Lloyd's k-means over an embedding column — the trainer that turns
+    * the deterministic stand-in quantizer into a real one. Design for
+    * scale, per iteration:
+    *   - the K current centroids ship to every task as a LITERAL array
+    *     (IVF's defining property: the coarse quantizer fits on the
+    *     driver), so cell assignment is map-side — the corpus never
+    *     shuffles for the join;
+    *   - the element-wise mean per cell runs as posexplode →
+    *     partial+final hash aggregate: the shuffle carries exactly
+    *     K × dim partial rows per task, never corpus rows;
+    *   - empty cells keep their previous centroid (the standard rule).
+    * Assignment uses the ANN path's exact tie rule (cosine desc, ties
+    * to the HIGHER centroid id) so a trained quantizer drops into
+    * ivfAnn/annIvfPersisted unchanged; means are rounded back to float
+    * (the embedding element type — and `CAST(.. AS REAL)` makes the
+    * rounding oracle-reproducible). Seed = the first K vectors in id
+    * order (deterministic; callers wanting k-means++ can pass their own
+    * seed). `iters` jobs total, one corpus scan each. */
+  def kmeansTrain(emb: DataFrame, k: Int, iters: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      seed: Option[Seq[Seq[Float]]] = None): Seq[Seq[Float]] = {
+    val spark = emb.sparkSession
+    val spread = graft.sources.Tables.spread(emb)
+    var cents: Seq[Seq[Float]] = seed.getOrElse(
+      emb.orderBy(col(id)).select(col(vec)).limit(k).collect()
+        .map(_.getSeq[Number](0).map(_.floatValue()).toSeq).toSeq)
+    require(cents.size == k, s"seed has ${cents.size} centroids, want $k")
+    for (_ <- 1 to iters) {
+      val assigned = spread.withColumn("cell", cellOf(spark, col(vec), cents))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vec)))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"),
+          transform(col("ms"), s => s.getField("m").cast("float")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Map-side cell assignment under the ANN path's tie rule (cosine
+    * desc, ties to the higher centroid id) — the centroids ride the plan
+    * as a literal, so this is a pure per-row expression. */
+  def cellOf(spark: SparkSession, v: org.apache.spark.sql.Column,
+      cents: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
+    val centArr = typedLit(cents)
+    array_max(transform(sequence(lit(1), lit(cents.size)), i => struct(
+      graft.functions.CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+      (i - 1).as("i")))).getField("i")
+  }
+
   /** Persist `centroids` (centroid_id, embedding) at `path` — one
     * clusteredWrite, single file (the table is K rows). */
   def writeCentroids(centroids: DataFrame, path: String): Unit =

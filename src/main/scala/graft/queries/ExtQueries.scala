@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Caches, EventOps, GraphOps, Layout, LshIndex, TextOps}
+import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LshIndex, TextOps}
 import graft.sources.Tables
 import graft.pipeline.CurationPipeline
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
@@ -1964,6 +1964,61 @@ object ExtQueries {
       |  round((SELECT count(*) FROM cand) /
       |        (5.0 * (SELECT count(*) FROM e)), 4) AS avg_scan_frac""".stripMargin
 
+  // ------------------------------------------------------------------ q88
+  /** k-means quantizer TRAINING (IvfIndex.kmeansTrain) under the oracle:
+    * two Lloyd iterations from the deterministic first-8 seed, then the
+    * final cell assignment — declared as per-cell member counts plus the
+    * trained centroid norms (a compact fingerprint of the full centroid
+    * vectors). The oracle unrolls both iterations in SQL: correlated
+    * argmax assignment, per-dimension means with the same
+    * double-accumulate-then-REAL-round rule, empty cells keeping their
+    * previous centroid. This is the trainer behind q54/q65's quantizer
+    * — per iteration the corpus is scanned once, assignment is a
+    * map-side literal expression, and only K × dim partial-mean rows
+    * ever shuffle. */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = IvfIndex.kmeansTrain(emb, k = 8, iters = 2)
+    val counts = Tables.spread(emb)
+      .withColumn("c_id", IvfIndex.cellOf(spark, col("embedding"), cents))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+    val norms = cents.zipWithIndex
+      .map { case (cv, i) => (i, math.sqrt(cv.map(x => x.toDouble * x).sum)) }
+      .toDF("c_id", "norm")
+    norms.join(counts, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(col("norm"), 4).as("centroid_norm"))
+      .orderBy(col("c_id"))
+  }
+  private val q88Sql = {
+    def iter(n: Int, prev: String) =
+      s"""a$n AS (SELECT vec_id, v,
+         |  (SELECT c_id FROM $prev ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+         |   LIMIT 1) AS cell FROM e),
+         |m$n AS (SELECT cell, i, CAST(avg(v[i]) AS REAL) AS m
+         |        FROM a$n CROSS JOIN range(1, 65) r(i) GROUP BY cell, i),
+         |n$n AS (SELECT cell AS c_id, list(CAST(m AS DOUBLE) ORDER BY i) AS cv
+         |        FROM m$n GROUP BY cell),
+         |c$n AS (SELECT c0.c_id, coalesce(n$n.cv, p.cv) AS cv
+         |        FROM c0 JOIN $prev p USING (c_id)
+         |        LEFT JOIN n$n USING (c_id))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |a3 AS (SELECT vec_id,
+       |  (SELECT c_id FROM c2 ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+       |   LIMIT 1) AS cell FROM e),
+       |cnt AS (SELECT cell AS c_id, count(*) AS n_members FROM a3 GROUP BY cell)
+       |SELECT c2.c_id, coalesce(cnt.n_members, 0) AS n_members,
+       |  round(sqrt(list_aggregate(list_transform(c2.cv, x -> x * x), 'sum')), 4)
+       |    AS centroid_norm
+       |FROM c2 LEFT JOIN cnt USING (c_id)
+       |ORDER BY c_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -2010,5 +2065,6 @@ object ExtQueries {
     Decl("q84_lsh_calibration_audit", q84, Some(q84Sql)),
     Decl("q85_cluster_canonical", q85, Some(q85Sql)),
     Decl("q86_source_cap", q86, Some(q86Sql)),
-    Decl("q87_ivf_recall_audit", q87, Some(q87Sql)))
+    Decl("q87_ivf_recall_audit", q87, Some(q87Sql)),
+    Decl("q88_kmeans_train", q88, Some(q88Sql)))
 }

@@ -39,4 +39,36 @@ class IvfIndexSpec extends SparkSpecBase {
       IvfIndex.loadCentroids(spark, path, maxK = 8)
     }
   }
+
+  test("kmeansTrain converges to the obvious cluster means on separable " +
+    "data and empty cells keep their previous centroid") {
+    import spark.implicits._
+    // two tight clusters around +x and +y; seed = first 2 vectors, one
+    // drawn from each cluster
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)), (3L, Seq(0.1f, 0.9f, 0.0f)),
+      (4L, Seq(0.95f, 0.0f, 0.05f)), (5L, Seq(0.0f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfIndex.kmeansTrain(vecs, k = 2, iters = 2)
+    assert(cents.size == 2)
+    // cluster 0 (x-dominant) mean of vecs 0,2,4; cluster 1 of 1,3,5
+    def approx(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5 }
+    assert(approx(cents(0), Seq(0.95f, 0.1f / 3, 0.05f / 3)), s"got ${cents(0)}")
+    assert(approx(cents(1), Seq(0.1f / 3, 0.95f, 0.05f)), s"got ${cents(1)}")
+    // trained quantizer drops into the assignment expression unchanged
+    val cells = vecs.withColumn("cell",
+      IvfIndex.cellOf(spark, col("embedding"), cents))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
+
+    // identical vectors: every row ties to the HIGHER cell (the ANN tie
+    // rule), so cell 0 empties and must keep its previous centroid
+    val same = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c2 = IvfIndex.kmeansTrain(same, k = 2, iters = 1)
+    assert(c2(0) == Seq(1.0f, 0.0f), "empty cell 0 keeps its seed centroid")
+    assert(c2(1) == Seq(1.0f, 0.0f))
+  }
 }
