@@ -71,6 +71,22 @@ object IvfIndex {
       (i - 1).as("i")))).getField("i")
   }
 
+  /** Train a quantizer with [[kmeansTrain]] and persist it — the full
+    * production flow: train once, [[loadCentroids]] + annIvfPersisted
+    * per query. Returns the trained centroids. */
+  def trainAndWrite(emb: DataFrame, path: String, k: Int, iters: Int,
+      id: String = "vec_id", vec: String = "embedding"): Seq[Seq[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansTrain(emb, k, iters, id, vec)
+    writeCentroids(
+      cents.zipWithIndex.map { case (cv, i) => (i, cv) }
+        .toDF("centroid_id", "embedding")
+        .select(col("centroid_id"), col("embedding").cast("array<float>")),
+      path)
+    cents
+  }
+
   /** Persist `centroids` (centroid_id, embedding) at `path` — one
     * clusteredWrite, single file (the table is K rows). */
   def writeCentroids(centroids: DataFrame, path: String): Unit =

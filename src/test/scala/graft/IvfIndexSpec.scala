@@ -71,4 +71,16 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(c2(0) == Seq(1.0f, 0.0f), "empty cell 0 keeps its seed centroid")
     assert(c2(1) == Seq(1.0f, 0.0f))
   }
+
+  test("trainAndWrite roundtrips: loadCentroids returns the trained " +
+    "quantizer exactly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.8f, 0.2f)), (3L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_trained")
+    val trained = IvfIndex.trainAndWrite(vecs, path, k = 2, iters = 2)
+    assert(IvfIndex.loadCentroids(spark, path) == trained)
+  }
 }
