@@ -71,25 +71,57 @@ object CurationPipeline {
     // callers should use nearDedupStaged and own the handle.
     nearDedupStaged(docs, cfg, id, text, persistLargeDropSet = false)._1
 
+  /** The (id, shingle-set, minhash signature) table — the shared front
+    * half of every MinHash consumer in the pipeline. */
+  private def sigTable(docs: DataFrame, cfg: Config, id: String,
+      text: String): DataFrame =
+    docs.select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("__sh"))
+      .select(col(id) +: col("__sh") +:
+        TextOps.minhashFromSet(col("__sh"), cfg.minhashK): _*)
+
+  /** The verified near-dup pair plan over an in-scope (persisted)
+    * signature table: LSH candidates → broadcast → exact jaccard gate. */
+  private def verifiedPairs(sig: DataFrame, cfg: Config,
+      id: String): DataFrame = {
+    val cand = TextOps.lshCandidatePairs(
+      TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id, cfg.maxBucket)
+    sig.select(col(id).as("doc_a"), col("__sh").as("sa"))
+      .join(broadcast(cand), "doc_a")
+      .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
+      .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= cfg.jaccardThreshold)
+  }
+
+  /** Verified near-dup pair EDGES (doc_a, doc_b) over `docs` — the input
+    * [[canonicalSelect]] clusters. The pair list is localized when small
+    * (the common case — candidates are capped upstream) so no cache
+    * outlives the call; a larger one stays persisted and the returned
+    * cleanup releases it after the consumer is done. */
+  def nearDupEdges(docs: DataFrame, cfg: Config, id: String = "doc_id",
+      text: String = "text",
+      maxLocalPairs: Int = 1 << 20): (DataFrame, () => Unit) = {
+    val sig = sigTable(docs, cfg, id, text).persist()
+    try {
+      val pairs = verifiedPairs(sig, cfg, id)
+        .select(col("doc_a"), col("doc_b"))
+      Caches.localize(pairs, maxLocalPairs) match {
+        case Some(local) => (local, () => ())
+        case None =>
+          val p = pairs.persist(); p.count()
+          (p, () => { p.unpersist(); () })
+      }
+    } finally sig.unpersist()
+  }
+
   /** [[nearDedup]] plus a cleanup handle releasing any cache the drop set
     * still holds — call it after the returned DataFrame is consumed. */
   def nearDedupStaged(docs: DataFrame, cfg: Config, id: String = "doc_id",
       text: String = "text",
       maxLocalDropIds: Int = 1 << 20,
       persistLargeDropSet: Boolean = true): (DataFrame, () => Unit) = {
-    val sig = docs
-      .select(col(id), TextOps.shingleSet(col(text), cfg.shingleN).as("__sh"))
-      .select(col(id) +: col("__sh") +:
-        TextOps.minhashFromSet(col("__sh"), cfg.minhashK): _*)
-      .persist()
+    val sig = sigTable(docs, cfg, id, text).persist()
     try {
-      val cand = TextOps.lshCandidatePairs(
-        TextOps.lshBands(sig, id, cfg.minhashK, cfg.bandR), id, cfg.maxBucket)
-      val verified = sig.select(col(id).as("doc_a"), col("__sh").as("sa"))
-        .join(broadcast(cand), "doc_a")
-        .join(sig.select(col(id).as("doc_b"), col("__sh").as("sb")), "doc_b")
-        .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= cfg.jaccardThreshold)
-      val drop = verified.select(col("doc_b").as(id)).distinct()
+      val drop = verifiedPairs(sig, cfg, id)
+        .select(col("doc_b").as(id)).distinct()
       Caches.localize(drop, maxLocalDropIds) match {
         case Some(local) =>
           (docs.join(broadcast(local), Seq(id), "left_anti"), () => ())

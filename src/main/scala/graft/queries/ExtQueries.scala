@@ -2019,6 +2019,70 @@ object ExtQueries {
        |ORDER BY c_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q89
+  /** Curation v3 — the chain recomposed around the round's new stages:
+    * exact dedup → quality gate → CANONICAL near-dedup (cluster the
+    * verified pairs, keep the longest member — not pairwise
+    * drop-the-higher-id) → per-SOURCE cap (10 longest per source) →
+    * token accounting. One stage-order-sensitive oracle: the recursive
+    * CC + both ranking windows re-run in SQL over the same intermediate
+    * corpus, so a drifted stage order or tie rule hash-mismatches. */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val quality = CurationPipeline.qualityGate(
+      CurationPipeline.exactDedup(docs), cfg)
+    val (edges, cleanup) = CurationPipeline.nearDupEdges(quality, cfg)
+    try {
+      val canon = CurationPipeline
+        .canonicalSelect(quality,
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          length(col("text")))
+        .where(col("kept") === 1).drop("cluster_id", "kept")
+      val out = CurationPipeline
+        .sourceCap(canon, cap = 10, priority = length(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TextOps.words(col("text"))).as("ws_tokens"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private val q89Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""WITH RECURSIVE exact AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, source, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |${pairCtesWith("", "qual")},
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM bi
+       |  UNION
+       |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u),
+       |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |canon AS (
+       |  SELECT q.doc_id, q.lang, q.source, q.text FROM qual q
+       |  LEFT JOIN cl USING (doc_id)
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY coalesce(cl.cluster_id, q.doc_id)
+       |    ORDER BY length(q.text) DESC, q.doc_id) = 1),
+       |capped AS (
+       |  SELECT doc_id, lang, source, text FROM canon
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY length(text) DESC, doc_id) <= 10)
+       |SELECT doc_id, lang, source, CAST($nWords AS INT) AS ws_tokens
+       |FROM capped ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -2066,5 +2130,6 @@ object ExtQueries {
     Decl("q85_cluster_canonical", q85, Some(q85Sql)),
     Decl("q86_source_cap", q86, Some(q86Sql)),
     Decl("q87_ivf_recall_audit", q87, Some(q87Sql)),
-    Decl("q88_kmeans_train", q88, Some(q88Sql)))
+    Decl("q88_kmeans_train", q88, Some(q88Sql)),
+    Decl("q89_curation_canonical", q89, Some(q89Sql)))
 }

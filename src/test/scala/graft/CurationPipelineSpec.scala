@@ -88,6 +88,33 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(kept == Seq(5L))
   }
 
+  test("nearDupEdges emits the verified pair edges nearDedup acts on, " +
+    "in both the localized and persisted branches") {
+    // one near-dup chain (1–2 share a long prefix) plus a distinct doc
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$words tailone"), (2L, s"$words tailtwo"),
+      (9L, (0 until 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(jaccardThreshold = 0.5)
+
+    val (edges, cleanup) = CurationPipeline.nearDupEdges(docs, cfg)
+    val got = edges.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    cleanup()
+    assert(got == Set((1L, 2L)), s"expected the one verified pair, got $got")
+
+    // maxLocalPairs=0 forces the persisted branch; same edges, and the
+    // cleanup handle must release the cache it held
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (big, bigCleanup) = CurationPipeline.nearDupEdges(docs, cfg,
+      maxLocalPairs = 0)
+    val got2 = big.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got2 == got)
+    bigCleanup()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "persisted-branch cleanup must release the cache it held")
+  }
+
   test("sourceCap keeps at most cap docs per source, highest priority " +
     "first, and leaves under-cap sources whole") {
     val docs = (1L to 10L).map(i => (i, "s1", "x" * i.toInt)) ++
