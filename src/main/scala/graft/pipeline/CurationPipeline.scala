@@ -45,6 +45,52 @@ object CurationPipeline {
       .drop("__norm_hash")
   }
 
+  /** Stage 1b: cross-document boilerplate-block removal — the CCNet /
+    * RefinedWeb "line-level dedup" stage (Wenzek et al. arXiv:1911.00359
+    * §4.1; Penedo et al. arXiv:2306.01116) re-expressed over single-line
+    * docs: the unit is a consecutive `blockTokens`-token block instead of
+    * a newline-delimited line. Every block occurring in >= `minDocs`
+    * DISTINCT docs (nav bars, cookie banners, license footers) is
+    * stripped from every doc, and the surviving blocks are reassembled in
+    * order.
+    *
+    * Scale shape: blocks are computed IN-ROW and deduped in-row before
+    * the counting explode, so the frequency pass is one partial+final
+    * agg over block strings — the corpus text shuffles once, as blocks.
+    * The frequent set is tiny by construction (boilerplate = few
+    * distinct strings repeated widely), so the removal is a broadcast
+    * anti join; the per-doc reassembly groupBy is the only other
+    * corpus-sized exchange. Docs reduced to nothing come back with
+    * empty text (and their `n_dropped` audit trail), not silently
+    * filtered — dropping them is the quality gate's decision. */
+  def boilerplateStrip(docs: DataFrame, blockTokens: Int = 5,
+      minDocs: Int = 8, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val w = TextOps.words(col(text))
+    val nb = ceil(size(w) / lit(blockTokens.toDouble)).cast("int")
+    val blocks = transform(sequence(lit(1), nb),
+      i => concat_ws(" ", slice(w, (i - 1) * blockTokens + 1, lit(blockTokens))))
+    val freq = docs
+      .select(explode(array_distinct(blocks)).as("__blk"))
+      .groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minDocs)
+      .select(col("__blk"))
+    val positioned = docs.select(col(id),
+      posexplode(blocks).as(Seq("__bp", "__blk")))
+    val rebuilt = positioned
+      .join(broadcast(freq), Seq("__blk"), "left_anti")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__bp"), col("__blk")))),
+          s => s.getField("__blk"))).as("__clean"))
+    docs.withColumn("n_blocks", nb)
+      .join(rebuilt, Seq(id), "left")
+      .withColumn("n_dropped", col("n_blocks") - coalesce(col("__n_kept"), lit(0L)))
+      .withColumn(text, coalesce(col("__clean"), lit("")))
+      .drop("__n_kept", "__clean")
+  }
+
   /** Stage 2: quality gate on per-row signals. */
   def qualityGate(docs: DataFrame, cfg: Config, text: String = "text"): DataFrame = {
     val nWords = size(TextOps.words(col(text)))

@@ -2083,6 +2083,59 @@ object ExtQueries {
        |FROM capped ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q90
+  /** Cross-document boilerplate-block removal (CurationPipeline
+    * .boilerplateStrip): strip every 5-token block occurring in >= 8
+    * distinct docs and reassemble the survivors in order. A deterministic
+    * banner ("ad click banner buy now") is prepended to every doc_id%3==0
+    * doc — prepending exactly one block keeps the original block
+    * boundaries intact, so the op must return those docs to their
+    * original text while leaving the rest untouched (plus any naturally
+    * frequent blocks, which both engines count identically). Output
+    * carries the (n_blocks, n_dropped) audit columns the stage emits. */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val aug = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("ad click banner buy now "), col("text")))
+        .otherwise(col("text")))
+    CurationPipeline.boilerplateStrip(aug, blockTokens = 5, minDocs = 8)
+      .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+        col("text").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val q90Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'ad click banner buy now ' || text
+      |              ELSE text END AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             CAST(ceil(len(string_split(text, ' ')) / 5.0) AS INT) AS nb
+      |      FROM aug),
+      |blk AS (
+      |  SELECT doc_id,
+      |         unnest(range(1, nb + 1)) AS bp,
+      |         unnest(list_transform(range(1, nb + 1),
+      |           i -> array_to_string(w[(i - 1) * 5 + 1 : i * 5], ' '))) AS blk
+      |  FROM w),
+      |freq AS (
+      |  SELECT blk FROM (SELECT DISTINCT doc_id, blk FROM blk)
+      |  GROUP BY blk HAVING count(*) >= 8),
+      |kept AS (
+      |  SELECT doc_id, bp, blk FROM blk
+      |  WHERE blk NOT IN (SELECT blk FROM freq)),
+      |clean AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(blk, ' ' ORDER BY bp) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, w.nb AS n_blocks,
+      |       w.nb - coalesce(c.n_kept, 0) AS n_dropped,
+      |       coalesce(c.clean_text, '') AS clean_text
+      |FROM w LEFT JOIN clean c USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[Decl] = Seq(
@@ -2131,5 +2184,6 @@ object ExtQueries {
     Decl("q86_source_cap", q86, Some(q86Sql)),
     Decl("q87_ivf_recall_audit", q87, Some(q87Sql)),
     Decl("q88_kmeans_train", q88, Some(q88Sql)),
-    Decl("q89_curation_canonical", q89, Some(q89Sql)))
+    Decl("q89_curation_canonical", q89, Some(q89Sql)),
+    Decl("q90_boilerplate_removal", q90, Some(q90Sql)))
 }

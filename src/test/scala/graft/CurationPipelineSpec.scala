@@ -88,6 +88,40 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(kept == Seq(5L))
   }
 
+  test("boilerplateStrip removes globally-frequent blocks and " +
+    "reassembles the rest in order") {
+    // 10 docs share a 5-token banner + a unique 5-token tail; one doc is
+    // banner-only; one doc shares nothing
+    val banner = "ad click banner buy now"
+    val docs = ((1L to 10L).map(i =>
+      (i, s"$banner unique$i word$i tail$i x$i y$i")) ++
+      Seq((50L, banner), (60L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val out = CurationPipeline.boilerplateStrip(docs, blockTokens = 5,
+      minDocs = 8)
+    val m = out.select($"doc_id", $"text", $"n_blocks", $"n_dropped")
+      .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == "unique1 word1 tail1 x1 y1", "banner stripped")
+    assert(m(1L)._3 == 2 && m(1L)._4 == 1L)
+    assert(m(50L)._2 == "" && m(50L)._4 == 1L,
+      "all-boilerplate doc comes back empty, not silently filtered")
+    assert(m(60L)._2 == "alpha beta gamma delta epsilon zeta" &&
+      m(60L)._4 == 0L, "distinct doc untouched")
+  }
+
+  test("boilerplateStrip threshold: a block in fewer than minDocs docs " +
+    "survives, and partial tail blocks are preserved") {
+    val docs = (1L to 5L).map(i =>
+      (i, s"shared shared shared shared shared tail$i a b")) // 8 tokens
+      .toDF("doc_id", "text")
+    val out = CurationPipeline.boilerplateStrip(docs, blockTokens = 5,
+      minDocs = 8)
+    assert(out.where($"n_dropped" > 0).count() === 0)
+    val t1 = out.where($"doc_id" === 1).select($"text").as[String].head()
+    assert(t1 == "shared shared shared shared shared tail1 a b",
+      "3-token tail block reassembles in place")
+  }
+
   test("nearDupEdges emits the verified pair edges nearDedup acts on, " +
     "in both the localized and persisted branches") {
     // one near-dup chain (1–2 share a long prefix) plus a distinct doc
