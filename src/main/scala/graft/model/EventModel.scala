@@ -86,13 +86,28 @@ object EventModel {
   * inference per file) is the 100 TB posture: one footer read vs a
   * schema-merge pass over the whole tree. */
 object TestData {
-  /** On-disk schema: `ts` is parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType cannot read; it is bound as LongType (epoch nanos, via
+  /** On-disk schema for the NANOS generation of events.parquet: parquet
+    * TIMESTAMP(NANOS) is illegal for Spark's micros-based timestamp types,
+    * so `ts` is bound as LongType (epoch nanos, via
     * `spark.sql.legacy.parquet.nanosAsLong`) and converted to a proper
-    * TimestampType column in [[graft.sources.Tables.events]]. */
+    * TimestampType column in [[graft.sources.Tables.events]], which picks
+    * this schema or [[eventRawMicros]] by reading the footer's declared
+    * unit. */
   val eventRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** On-disk schema for the MICROS generation of events.parquet:
+    * TIMESTAMP(isAdjustedToUTC=false, MICROS) binds losslessly as
+    * TIMESTAMP_NTZ; [[graft.sources.Tables.events]] casts it to
+    * TimestampType (exact under the engine-wide UTC session timezone). */
+  val eventRawMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

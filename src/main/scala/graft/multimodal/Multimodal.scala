@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in batches via `mapPartitions`.
   *
-  * The actual byte decoding (JPEG decode, audio resample, video frame
-  * extraction) is STUBBED — the image/audio libraries are not in this
-  * container — behind [[StubCodec]], a deterministic fake. Everything
-  * around it is real and load-bearing: the binary schema, the batched
-  * iteration shape (decode codecs amortize per-batch setup, exactly like
-  * an Arrow-batched pandas UDF), the partition sizing, and the typed
-  * output schema.
+  * IMAGE decoding is REAL: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP
+  * payloads with the JDK's `javax.imageio` (no extra dependency) and
+  * resizes with an AWT `Graphics2D` bilinear kernel. Audio/video decoding
+  * and the embedding-model call remain STUBBED — those libraries are not
+  * in this container — behind [[StubCodec]], a deterministic fake;
+  * [[decodeBatched]] dispatches per record on the mime type. Everything
+  * around the codecs is real and load-bearing: the binary schema, the
+  * batched iteration shape (decode codecs amortize per-batch setup,
+  * exactly like an Arrow-batched pandas UDF), the partition sizing, and
+  * the typed output schema.
   *
   * Scale notes: binary payloads dominate row size → keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -50,6 +53,46 @@ object Multimodal {
       }
   }
 
+  /** REAL image codec on the JDK's `javax.imageio` — no extra dependency,
+    * decodes PNG/JPEG/GIF/BMP. `ImageIO.read` returns null (rather than
+    * throwing) on undecodable bytes; that surfaces as a loud per-record
+    * failure here because silently faking metadata for a corrupt blob is
+    * exactly the wrong-but-plausible failure this module must not have.
+    * Readers are sought per call (`ImageIO` caches SPI lookups); the
+    * batched shape still amortizes JIT + allocation across the batch. */
+  object ImageIoCodec {
+    /** Mimes this codec owns; everything else falls back to [[StubCodec]]. */
+    val Mimes: Set[String] =
+      Set("image/png", "image/jpeg", "image/gif", "image/bmp")
+
+    def decodeOne(r: MediaRecord): MediaMeta = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+      // still images: one frame (animated GIF frame counts need a reader
+      // loop; the first-frame contract matches what training pipelines
+      // keep from animations anyway)
+      MediaMeta(r.doc_id, r.mime, r.content.length, img.getWidth, img.getHeight, 1)
+    }
+
+    /** Bilinear `Graphics2D` resize, re-encoded as PNG (lossless — the
+      * deterministic choice for a fixture-pinned spec). */
+    def resizeOne(r: MediaRecord, targetW: Int, targetH: Int): ResizedMedia = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      require(src != null, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+      val dst = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      ResizedMedia(r.doc_id, "image/png", targetW, targetH, out.toByteArray)
+    }
+  }
+
   /** Wrap a text/doc table as media records: the text bytes stand in for
     * an image payload (same shape a real ingest would produce: id + blob +
     * mime + metadata columns). */
@@ -58,13 +101,17 @@ object Multimodal {
       lit(StubCodec.FakeMime).as("mime"))
 
   /** Batched decode over partitions: groups each partition's iterator into
-    * `batchSize` chunks (the Arrow-batch shape) and runs the codec once
-    * per chunk. No shuffle; output is a typed Dataset. */
+    * `batchSize` chunks (the Arrow-batch shape) and dispatches each chunk
+    * by mime — real `javax.imageio` for image mimes, the deterministic
+    * stub for everything else. No shuffle; output is a typed Dataset. */
   def decodeBatched(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => StubCodec.decode(batch))
+      it.grouped(batchSize).flatMap { batch =>
+        val (real, faked) = batch.partition(r => ImageIoCodec.Mimes(r.mime))
+        real.map(ImageIoCodec.decodeOne) ++ StubCodec.decode(faked)
+      }
     }
   }
 
@@ -72,17 +119,23 @@ object Multimodal {
       height: Int, content: Array[Byte])
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 
-  /** Batched resize: same mapPartitions batch shape as decode; the pixel
-    * work is the stub (here: truncate bytes to the target "resolution" —
-    * deterministic), the schema/batching/lineage are real. */
+  /** Batched resize: same mapPartitions batch shape as decode. Image
+    * mimes get the REAL bilinear `Graphics2D` kernel
+    * ([[ImageIoCodec.resizeOne]]); other mimes keep the deterministic
+    * stub (truncate bytes to the target "resolution"), so the
+    * schema/batching/lineage are exercised for every payload type. */
   def resizeBatched(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        // ??? <- real resampling kernel; deterministic fake:
-        val n = math.min(r.content.length, targetW * targetH / 64 + 1)
-        ResizedMedia(r.doc_id, r.mime, targetW, targetH, r.content.take(n))
+        if (ImageIoCodec.Mimes(r.mime)) ImageIoCodec.resizeOne(r, targetW, targetH)
+        else {
+          // ??? <- real resampling kernel for non-image payloads;
+          // deterministic fake:
+          val n = math.min(r.content.length, targetW * targetH / 64 + 1)
+          ResizedMedia(r.doc_id, r.mime, targetW, targetH, r.content.take(n))
+        }
       })
     }
   }

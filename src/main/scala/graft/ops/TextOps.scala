@@ -148,6 +148,27 @@ object TextOps {
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 
+  /** EXACT near-duplicate ground truth, at scale: candidate pairs come
+    * from the shingle inverted index with a DOCUMENT-FREQUENCY cap — a
+    * shingle appearing in more than `dfCap` docs is corpus boilerplate,
+    * and uncapped it makes the index self-join quadratic in its
+    * posting-list size (one stopword-ish shingle in 1M docs is 10¹² join
+    * rows — the shape that kills the audit at 100 TB). The surviving
+    * pairs then get their TRUE jaccard from the FULL uncapped sets via
+    * [[jaccardOnCandidates]], so the cap only gates candidate DISCOVERY:
+    * a jaccard ≥ t pair is missed only when every shared shingle is
+    * above the cap, i.e. the docs overlap on nothing but boilerplate —
+    * exactly the pairs a near-dup audit should not count. */
+  def exactNearDupPairs(shingles: DataFrame, id: String, threshold: Double,
+      dfCap: Int = DefaultMaxBucket): DataFrame = {
+    val rare = capHotBuckets(shingles, Seq("shingle"), dfCap, "exact_hot_shingles")
+    val a = rare.select(col("shingle"), col(id).as("doc_a"))
+    val b = rare.select(col("shingle"), col(id).as("doc_b"))
+    val cooc = a.join(b, "shingle").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardOnCandidates(cooc, shingles, id).where(col("jaccard") >= threshold)
+  }
+
   /** 16-bit SimHash over the DISTINCT words of a doc, as aggregate
     * expressions: bit j of md5(word)'s first 4 hex chars votes ±1; the
     * sign of the vote sum sets bit j of the fingerprint. Returns the

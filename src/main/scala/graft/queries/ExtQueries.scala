@@ -21,6 +21,7 @@ object ExtQueries {
   private val K = 8        // minhash signature width
   private val R = 2        // minhashes per LSH band -> 4 bands
   private val SHINGLE_N = 2 // word n-gram shingle size
+  private val Q84_SAMPLE = 300 // q84 audit sample size — FIXED, not proportional
 
   /** DuckDB CTEs producing DISTINCT (doc_id, shingle) word n-grams —
     * mirror of TextOps.shingleRows. */
@@ -1743,23 +1744,23 @@ object ExtQueries {
   // ------------------------------------------------------------------ q84
   /** LSH calibration audit — the recall/precision report a production
     * dedup pipeline runs to tune its banding (k, r, bands) before
-    * trusting MinHash+LSH at full scale: on a DETERMINISTIC md5 sample
-    * (3/4 of docs; both endpoints must sample in, so ~56% of true pairs
-    * remain observable), compute (a) EXACT ground-truth near-dup pairs
-    * (jaccard ≥ 0.5) via the shingle inverted index — an equi-join, the
-    * scalable exact algorithm, no cartesian — and (b) the production LSH
-    * path (bands → hot-bucket cap → candidates → jaccard verify), then
+    * trusting MinHash+LSH at full scale: on a FIXED-SIZE deterministic
+    * sample (top-[[Q84_SAMPLE]] docs by md5(doc_id) — a
+    * TakeOrderedAndProject, so the audit's cost is a constant independent
+    * of corpus size; both endpoints must sample in for a pair to be
+    * observable), compute (a) EXACT ground-truth near-dup pairs
+    * (jaccard ≥ 0.5) via [[TextOps.exactNearDupPairs]] — a
+    * document-frequency-capped inverted-index equi-join, no cartesian,
+    * no uncapped hot-shingle blowup — and (b) the production LSH path
+    * (bands → hot-bucket cap → candidates → jaccard verify), then
     * report candidate precision and verified recall. With r=2, b=4 the
     * theoretical candidate probability at j=0.5 is 1−(1−j²)⁴ ≈ 0.68 —
     * the audit makes the measured recall a declared, oracle-checked
-    * number instead of folklore. Scale shape: the sample is fixed-size
-    * by construction, which is what bounds the uncapped exact join; the
-    * LSH side is the same capped plan as q20. */
+    * number instead of folklore. */
   private def q84(spark: SparkSession, dir: String): DataFrame = {
-    val sampleHex = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-        .isin(sampleHex: _*))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(Q84_SAMPLE)
     val sigArr = MinHashSignature.minhashSig(spark, col("sh"), K)
     val sig = docs
       .select(col("doc_id"), TextOps.shingleSet(col("text"), SHINGLE_N).as("sh"))
@@ -1776,19 +1777,10 @@ object ExtQueries {
       val verified = withSets
         .where(TextOps.jaccardFromSets(col("sa"), col("sb")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      // exact ground truth: inverted index on shingles → intersection
-      // counts per co-occurring pair → jaccard from exact set sizes
+      // exact ground truth: df-capped inverted-index candidates, true
+      // jaccard from the full sets (TextOps.exactNearDupPairs)
       val shRows = sig.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val sizes = sig.select(col("doc_id"), size(col("sh")).as("n"))
-      val inter = shRows.as("a").join(shRows.as("b"), Seq("shingle"))
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val exact = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .where(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")) >= 0.5)
+      val exact = TextOps.exactNearDupPairs(shRows, "doc_id", 0.5)
         .select(col("doc_a"), col("doc_b"))
       // one pair-level frame → one aggregation; no 1-row scalar joins
       val tagged = cand.withColumn("c", lit(1L))
@@ -1811,15 +1803,20 @@ object ExtQueries {
   private val q84Sql =
     s"""WITH sample AS (
        |  SELECT * FROM documents
-       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
-       |    ('0','1','2','3','4','5','6','7','8','9','a','b')),
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $Q84_SAMPLE),
        |${pairCtesWith("", "sample")},
-       |einter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |sdf AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |rare AS (SELECT sh.* FROM sh JOIN sdf USING (shingle)),
+       |cooc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |einter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cooc c JOIN sh a ON a.doc_id = c.doc_a
+       |              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
        |exact AS (SELECT doc_a, doc_b
-       |  FROM einter JOIN sizes za ON za.doc_id = doc_a
-       |              JOIN sizes zb ON zb.doc_id = doc_b
+       |  FROM einter JOIN sizes za ON za.doc_id = einter.doc_a
+       |              JOIN sizes zb ON zb.doc_id = einter.doc_b
        |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5),
        |ctrue AS (SELECT count(*) AS n FROM cand c
        |  JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)

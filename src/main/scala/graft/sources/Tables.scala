@@ -28,22 +28,81 @@ object Tables {
     }
   }
 
-  /** The events table's `ts` is parquet TIMESTAMP(NANOS) — illegal for
-    * Spark's micros TimestampType. We read it as epoch-nanos LONG (the
-    * documented `nanosAsLong` escape hatch) and convert with integer
-    * division (a double division would lose precision: 2024 epoch-nanos
-    * ≈ 1.7e18 > 2^53). The generator emits whole microseconds, so the
-    * `div 1000` truncation is exact.
+  /** The events table's `ts` decode branches on the parquet footer's
+    * declared timestamp unit instead of assuming one. The producer has
+    * shipped the column as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across testdata generations; hard-coding either silently corrupts the
+    * other (a micros value put through the nanos path lands in January
+    * 1970 — the same wrong-but-plausible failure class as the reference's
+    * unvalidated hour-glob assumption, toy_glue.py:31 vs
+    * toy_lambda_function.py:14). One bounded footer read (a few KB, cached
+    * per path) resolves the unit; unknown units fail loudly rather than
+    * decode garbage.
     *
-    * The nanos flag is passed as a per-read datasource option (file-source
-    * options merge into the scan's hadoop conf), NOT `spark.conf.set` — a
-    * session-wide set would silently change nanos semantics for every
-    * later parquet read in the same session. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(schemas("events"))
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    *  - NANOS: illegal for Spark's micros-based timestamp types, so bind
+    *    LONG epoch-nanos via the documented `nanosAsLong` escape hatch and
+    *    convert with integer division (double division would lose
+    *    precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53; the generator emits
+    *    whole microseconds so the truncation is exact). The nanos flag is a
+    *    per-read datasource option, NOT `spark.conf.set` — a session-wide
+    *    set would silently change nanos semantics for every later parquet
+    *    read in the session.
+    *  - MICROS (isAdjustedToUTC either way): bind TIMESTAMP_NTZ — the
+    *    lossless parquet mapping — then cast to TimestampType so downstream
+    *    operators see one stable type. Every session in this engine pins
+    *    `spark.sql.session.timeZone=UTC` (see EventOps Scaladoc), under
+    *    which the NTZ→LTZ cast is the identity on the stored micros value,
+    *    matching what DuckDB (the oracle) reads from the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    eventsTsUnit(spark, path) match {
+      case TimeUnit.NANOS =>
+        spark.read.schema(schemas("events"))
+          .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimeUnit.MICROS =>
+        spark.read.schema(TestData.eventRawMicros)
+          .parquet(path)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet at $path stores ts as TIMESTAMP($other); " +
+            "this engine decodes NANOS and MICROS only - refusing to guess.")
+    }
+  }
+
+  /** Footer-declared time unit of the `ts` column, cached per path (the
+    * footer is immutable for a given file set; one probe per path per JVM).
+    * Probes the first parquet file when the path is a directory. */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit]()
+
+  private def eventsTsUnit(
+      spark: SparkSession, path: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit =
+    tsUnitCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      val fs = hPath.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hPath).isDirectory)
+          fs.listStatus(hPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+            .getOrElse(throw new IllegalStateException(s"no parquet files under $p"))
+        else hPath
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit
+          case other => throw new IllegalStateException(
+            s"events.parquet ts column is not a parquet TIMESTAMP (found: $other) in $file")
+        }
+      } finally r.close()
+    })
 
   /** Fan a small-but-compute-heavy input out to all cores — but ONLY when
     * the scan itself is under-parallel. The local test files are

@@ -20,6 +20,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(one.n_frames === 1 + one.n_bytes % 29)
   }
 
+  test("REAL png decode: ImageIO path reads actual pixel dimensions; " +
+    "stub mimes in the same batch keep the fake formulas") {
+    // Render genuine PNGs in-test (javax.imageio is the codec under test,
+    // but WRITING a fixture with it and reading back known w×h is still a
+    // real round-trip through the compressed format).
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7 + seed) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png(17, 9, 0), "image/png"),
+      Multimodal.MediaRecord(2L, png(320, 240, 1), "image/png"),
+      Multimodal.MediaRecord(3L, "not an image".getBytes, Multimodal.StubCodec.FakeMime)
+    ).toDF()
+    val meta = Multimodal.decodeBatched(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert((meta(1L).width, meta(1L).height) === (17, 9))
+    assert((meta(2L).width, meta(2L).height) === (320, 240))
+    assert(meta(1L).n_bytes > 0 && meta(1L).n_frames === 1)
+    // the stub record in the same batch still follows the fake formulas
+    val n = "not an image".getBytes.length
+    assert(meta(3L).width === 64 + n % 576)
+    // real RESIZE: bilinear kernel to 8×6, output re-decodes at 8×6
+    val resized = Multimodal.resizeBatched(spark,
+      media.where($"mime" === "image/png"), 8, 6).collect()
+    assert(resized.length === 2)
+    resized.foreach { r =>
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      assert((back.getWidth, back.getHeight) === (8, 6))
+    }
+    // corrupt bytes under an image mime fail LOUDLY, not silently
+    val bad = Seq(Multimodal.MediaRecord(9L, Array[Byte](1, 2, 3), "image/png")).toDF()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBatched(spark, bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("frame sampling explodes every Nth frame index") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf0001).limit(10))
     val meta = Multimodal.decodeBatched(spark, media)

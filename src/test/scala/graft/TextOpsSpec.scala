@@ -47,6 +47,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(j === 1.0)
   }
 
+  test("exactNearDupPairs: df cap removes a planted hot shingle from " +
+    "candidate discovery, true pairs keep their FULL-set jaccard") {
+    // 12 docs all share the boilerplate bigram "hot shingle" (df=12 >
+    // cap=8 → pruned from the index); docs 1/2 are true near-dups
+    // through their own content; the rest are pairwise unrelated.
+    val dup = "hot shingle alpha beta gamma delta"
+    val df = Seq((1L, dup), (2L, dup)) ++
+      (3L to 12L).map(i => (i, s"hot shingle u$i v$i w$i x$i"))
+    val sh = TextOps.shingleRows(df.toDF("doc_id", "text"), "doc_id", "text", 2)
+    val pairs = TextOps.exactNearDupPairs(sh, "doc_id", 0.5, dfCap = 8)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    // only (1,2) survives; its jaccard is computed on the FULL sets
+    // (both 5 bigrams incl. the capped one, all shared) = 1.0, NOT the
+    // 4/4 of the capped index — the cap gates discovery, not the value
+    assert(pairs === Seq((1L, 2L, 1.0)))
+    // without the cap the hot shingle alone would have manufactured
+    // C(12,2)=66 co-occurring candidate pairs; the capped run's
+    // candidate generation never touches them
+    val uncapped = TextOps.exactNearDupPairs(sh, "doc_id", 0.0, dfCap = 1000)
+    assert(uncapped.count() === 66)
+  }
+
   test("hot-bucket cap drops oversized buckets") {
     // 5 docs all sharing one band key via identical text
     val df = (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
