@@ -623,6 +623,46 @@ object ExtQueries {
       |       1 + octet_length(encode(text)) % 29 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q91
+  /** REAL image decode round-trip: render each document a genuine PNG
+    * (javax.imageio encode) whose pixel dimensions derive from table
+    * columns, ship the compressed bytes as the opaque BINARY media
+    * column, and run the production decode path
+    * ([[graft.multimodal.Multimodal.decodeBatched]] → ImageIoCodec) to
+    * read the dimensions back off the bytes. The oracle recomputes the
+    * dimension formulas relationally — the hash can only match if the
+    * engine actually parsed the PNG format (q29's stub spelling could
+    * not know the width without decoding). Scale shape: encode and
+    * decode are two narrow mapPartitions stages — blobs never cross a
+    * shuffle; only the (doc_id, dims) result is sorted for the oracle. */
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val w = 8 + (docId % 24).toInt
+        val h = 4 + (nChars % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0 // deterministic one-row fill; pixel content is not the contract
+        while (x < w) { img.setRGB(x, 0, (x * 2654435761L & 0xffffff).toInt); x += 1 }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "image/png")
+      })
+    Multimodal.decodeBatched(spark, media.toDF()).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+  private val q91Sql =
+    """SELECT doc_id, 'image/png' AS mime,
+      |       8 + doc_id % 24 AS width,
+      |       4 + n_chars % 16 AS height,
+      |       1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q30
   /** Embedding-cosine near-dup: top-20 same-bucket pairs by cosine (the
     * corpus has no >0.5-cosine pairs, so a threshold would return empty;
@@ -2182,5 +2222,6 @@ object ExtQueries {
     Decl("q87_ivf_recall_audit", q87, Some(q87Sql)),
     Decl("q88_kmeans_train", q88, Some(q88Sql)),
     Decl("q89_curation_canonical", q89, Some(q89Sql)),
-    Decl("q90_boilerplate_removal", q90, Some(q90Sql)))
+    Decl("q90_boilerplate_removal", q90, Some(q90Sql)),
+    Decl("q91_image_decode", q91, Some(q91Sql)))
 }
