@@ -389,6 +389,61 @@ object ExtQueries {
     s"""WITH ${pairCtesWith(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")}
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------------ q92
+  /** STREAMING incremental LSH dedup — the PRODUCTION operator
+    * (`StreamingPipeline.startNearDupIngest`: foreachBatch →
+    * `LshIndex.probeAndAppend` → batch-tagged pair log) put under the
+    * oracle end-to-end: documents arrive in 3 micro-batches, each batch
+    * probes the index as built from the base corpus PLUS every earlier
+    * batch, logs its verified new near-dup pairs, and appends its own
+    * signatures for the next batch. Cross-micro-batch stream-vs-stream
+    * pairs are found through the index (batch 3 pairs with batch 1
+    * without either being re-scanned), so the union of the logged
+    * emissions equals the one-shot incremental result — q62's oracle,
+    * recomputed from scratch in SQL. Scale shape: per batch the cost is
+    * O(batch signatures) + the file-pruned touched-bucket reads
+    * (LshIndex Scaladoc); the stream's own state store is EMPTY — the
+    * index on storage IS the state, which is what makes the dedup
+    * restartable and horizontally scalable. */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q92_").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
+      // The stream feed: batch docs in doc_id order, 3 micro-batches (the
+      // harness chunking used by every streaming oracle query).
+      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingPipeline.startNearDupIngest(
+        mem.toDF().toDF("doc_id", "text"),
+        indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
+        checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // Pull the (tiny) pair log fully driver-side so no lineage outlives
+      // the scratch dir, then hand back a sorted local relation.
+      val logged = spark.read.parquet(s"$tmp/pairs")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val schema = logged.schema
+      spark.createDataFrame(
+          java.util.Arrays.asList(logged.collect(): _*), schema)
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp)) // result rows are driver-local; safe now
+    }
+  }
+
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
     * (distinct word set + 16 vote sums inside the row; the only shuffles
@@ -2223,5 +2278,6 @@ object ExtQueries {
     Decl("q88_kmeans_train", q88, Some(q88Sql)),
     Decl("q89_curation_canonical", q89, Some(q89Sql)),
     Decl("q90_boilerplate_removal", q90, Some(q90Sql)),
-    Decl("q91_image_decode", q91, Some(q91Sql)))
+    Decl("q91_image_decode", q91, Some(q91Sql)),
+    Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)))
 }
