@@ -210,6 +210,35 @@ object TextOps {
   def charFingerprint(text: Column, k: Int): Column =
     array_min(transform(charShingles(text, k), s => md5(s)))
 
+  /** One BPE merge-APPLY round, fully in-row: fuse adjacent (t1, t2)
+    * token pairs into "t1_t2" with greedy LEFT-TO-RIGHT non-overlapping
+    * semantics — the tokenizer-side contract ("a a a" under merge (a,a)
+    * → ["a_a", "a"], never ["a", "a_a"]). A single `aggregate` fold over
+    * the token array: accumulator = (emitted tokens, pending token); a
+    * pending/current match emits the fused token and clears pending, so
+    * an overlapping second match cannot fire. No explode, no shuffle —
+    * the full tokenizer applies its 32k learned merges by iterating
+    * exactly this operator. */
+  def bpeApplyMerge(tokens: Column, t1: Column, t2: Column): Column = {
+    val none = lit(null).cast("string")
+    def st(out: Column, pending: Column) =
+      struct(out.as("out"), pending.as("pending"))
+    aggregate(
+      tokens,
+      st(array().cast("array<string>"), none),
+      (acc, t) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pending")
+        when(pend.isNotNull && pend === t1 && t === t2,
+          st(array_append(out, concat_ws("_", pend, t)), none))
+          .when(pend.isNotNull, st(array_append(out, pend), t))
+          .otherwise(st(out, t))
+      },
+      acc => when(acc.getField("pending").isNotNull,
+        array_append(acc.getField("out"), acc.getField("pending")))
+        .otherwise(acc.getField("out")))
+  }
+
   /** Token count under a BPE-ish regex (letter runs / digit runs / single
     * other non-space chars). `expr` because the Scala functions API has no
     * regexp_extract_all binding; the SQL function is the same codegen'd

@@ -1836,6 +1836,69 @@ object ExtQueries {
       |ORDER BY pair_count DESC, t1, t2
       |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------ q93
+  /** BPE merge APPLY — the other half of tokenizer training (q82 COUNTS
+    * merge candidates; this applies the learned top merge to the corpus,
+    * the step that runs between q82 rounds and, at inference, 32k times
+    * inside the tokenizer): greedy LEFT-TO-RIGHT non-overlapping fusion
+    * of the highest-count adjacent pair ("a a a" under merge (a,a) →
+    * ["a_a", "a"], never ["a", "a_a"]). Scale shape: the merge pair is
+    * one TakeOrderedAndProject row cross-joined as a broadcast scalar;
+    * the apply is a single in-row `aggregate` fold per document — no
+    * explode, no shuffle beyond the pair-count aggregate and the output
+    * sort. The oracle reformulates the same greedy semantics
+    * relationally (runs of consecutive matches merge at even offsets —
+    * gaps-and-islands + run parity), so the two independent spellings
+    * must agree on every document. */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val top = docs
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sh"))
+      .limit(1)
+      .select(substring_index(col("sh"), " ", 1).as("mt1"),
+        substring_index(col("sh"), " ", -1).as("mt2"))
+    val w = TextOps.words(col("text"))
+    val merged = TextOps.bpeApplyMerge(w, col("mt1"), col("mt2"))
+    docs.crossJoin(broadcast(top)) // 1-row scalar: the learned merge
+      .select(col("doc_id"), size(w).as("n_before"),
+        size(merged).as("n_after"),
+        concat_ws(" ", merged).as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+  private val q93Sql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pp AS (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM words),
+      |pairs AS (SELECT doc_id, pos, w[pos] AS t1, w[pos + 1] AS t2 FROM pp),
+      |m AS (SELECT t1 AS mt1, t2 AS mt2 FROM (
+      |        SELECT t1, t2, count(*) AS c FROM pairs GROUP BY 1, 2)
+      |      ORDER BY c DESC, t1 || ' ' || t2 LIMIT 1),
+      |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM words),
+      |tt AS (SELECT doc_id, pos, w[pos] AS t,
+      |              CASE WHEN pos < len(w) THEN w[pos + 1] END AS nt
+      |       FROM tok),
+      |p AS (SELECT tt.*, coalesce(tt.t = m.mt1 AND tt.nt = m.mt2, FALSE) AS isp
+      |      FROM tt, m),
+      |r AS (SELECT *, CASE WHEN isp
+      |        THEN pos - ROW_NUMBER() OVER (PARTITION BY doc_id, isp ORDER BY pos)
+      |      END AS grp FROM p),
+      |ma AS (SELECT *, isp AND
+      |         (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS merge_at
+      |       FROM r),
+      |cons AS (SELECT doc_id, pos + 1 AS pos FROM ma WHERE merge_at),
+      |outt AS (SELECT ma.doc_id, ma.pos,
+      |                CASE WHEN ma.merge_at THEN ma.t || '_' || ma.nt ELSE ma.t END AS otok
+      |         FROM ma LEFT JOIN cons ON cons.doc_id = ma.doc_id AND cons.pos = ma.pos
+      |         WHERE cons.pos IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS n_after,
+      |               string_agg(otok, ' ' ORDER BY pos) AS text_out
+      |        FROM outt GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.w) AS n_before, agg.n_after, agg.text_out
+      |FROM words w JOIN agg USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q84
   /** LSH calibration audit — the recall/precision report a production
     * dedup pipeline runs to tune its banding (k, r, bands) before
@@ -2279,5 +2342,6 @@ object ExtQueries {
     Decl("q89_curation_canonical", q89, Some(q89Sql)),
     Decl("q90_boilerplate_removal", q90, Some(q90Sql)),
     Decl("q91_image_decode", q91, Some(q91Sql)),
-    Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)))
+    Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)),
+    Decl("q93_bpe_apply_merge", q93, Some(q93Sql)))
 }

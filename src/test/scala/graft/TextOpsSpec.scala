@@ -70,6 +70,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(uncapped.count() === 66)
   }
 
+  test("bpeApplyMerge: greedy left-to-right non-overlapping fusion") {
+    def apply1(text: String, t1: String, t2: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(graft.ops.TextOps.bpeApplyMerge(
+          split($"text", " "), lit(t1), lit(t2)).as("m"))
+        .as[Seq[String]].head()
+    // overlap run: leftmost pair wins, second cannot reuse the consumed token
+    assert(apply1("a a a", "a", "a") === Seq("a_a", "a"))
+    assert(apply1("a a a a", "a", "a") === Seq("a_a", "a_a"))
+    // non-adjacent and interleaved occurrences
+    assert(apply1("x a b y a b", "a", "b") === Seq("x", "a_b", "y", "a_b"))
+    // no match -> identity
+    assert(apply1("p q r", "a", "b") === Seq("p", "q", "r"))
+    // match at the very end: pending token fuses, nothing dangles
+    assert(apply1("x a b", "a", "b") === Seq("x", "a_b"))
+    // asymmetric pair does not fire on the reversed order
+    assert(apply1("b a b a", "a", "b") === Seq("b", "a_b", "a"))
+  }
+
   test("hot-bucket cap drops oversized buckets") {
     // 5 docs all sharing one band key via identical text
     val df = (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
