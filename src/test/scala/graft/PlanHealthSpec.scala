@@ -69,10 +69,11 @@ class PlanHealthSpec extends SparkSpecBase {
     "filters") {
     // queries that broadcast a tiny probe/scalar frame against the corpus
     // by design: kNN probes (q23/q54), the q15 cosine probe row, q38's
-    // 1-row corpus count, q74's 1-row (n_tot, w_tot) mixture totals
+    // 1-row corpus count, q74's 1-row (n_tot, w_tot) mixture totals,
+    // q93's 1-row learned merge pair
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
       "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk",
-      "q74_mixture_sampling")
+      "q74_mixture_sampling", "q93_bpe_apply_merge")
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
