@@ -89,6 +89,56 @@ class PropertySpec extends SparkSpecBase {
     }, trials = 10)
   }
 
+  test("bpeApplyMerge agrees with a reference greedy implementation on " +
+    "random token sequences and merge pairs") {
+    def ref(ts: List[String], t1: String, t2: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var pending: Option[String] = None
+      ts.foreach { t =>
+        pending match {
+          case Some(p) if p == t1 && t == t2 => out += s"${p}_$t"; pending = None
+          case Some(p) => out += p; pending = Some(t)
+          case None => pending = Some(t)
+        }
+      }
+      pending.foreach(out += _)
+      out.toList
+    }
+    val vocab = Seq("a", "b", "ab", "x")
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf(vocab))
+    check(Prop.forAll(tokGen, Gen.oneOf(vocab), Gen.oneOf(vocab)) { (ts, t1, t2) =>
+      val got = Seq(ts.mkString(" ")).toDF("text")
+        .select(TextOps.bpeApplyMerge(split($"text", " "), lit(t1), lit(t2)).as("m"))
+        .as[Seq[String]].head()
+      got == ref(ts, t1, t2)
+    }, trials = 20)
+  }
+
+  test("exactNearDupPairs with an unbinding df cap equals brute-force " +
+    "ground truth on random corpora") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("red", "green", "blue", "fox", "dog")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.choose(3, 6).flatMap(n => Gen.listOfN(n, textGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2)
+      val got = TextOps.exactNearDupPairs(sh, "doc_id", 0.3, dfCap = 1000)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      // independent driver-side brute force over every pair
+      def bigrams(t: String): Set[String] =
+        t.split(" ").toList.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) => i.toLong -> bigrams(t) }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        union = (sa ++ sb).size
+        if union > 0 && (sa & sb).size.toDouble / union >= 0.3
+      } yield (ia, ib)).toSet
+      got == want
+    }, trials = 8)
+  }
+
   test("EventGen is deterministic: same n generates the identical relation") {
     check(Prop.forAll(Gen.choose(50L, 400L)) { n =>
       val a = graft.pipeline.EventGen.events(spark, n)
