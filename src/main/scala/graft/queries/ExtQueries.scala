@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LshIndex, TextOps}
+import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LogReg, LshIndex, TextOps}
 import graft.sources.Tables
 import graft.pipeline.CurationPipeline
 import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
@@ -2174,6 +2174,68 @@ object ExtQueries {
        |ORDER BY c_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q94
+  /** Quality-classifier TRAINING (ops.LogReg) under the oracle — the
+    * "train" half of q80's hashed-feature scorer (the DCLM/fastText
+    * pipeline stage that learns the weights q80 then applies map-side):
+    * two full-batch logistic-regression gradient steps on 16 hashed
+    * token-frequency features predicting lang = 'en', declared as the
+    * learned per-dim weights. The oracle unrolls both iterations in SQL
+    * from the same w = 0 start (iteration 1's sigmoid(0) = 0.5 exactly,
+    * so the unroll is closed-form), with the q88 determinism rule:
+    * weights round to 6 decimals between iterations so double-sum order
+    * differences cannot compound. Scale shape: the model rides plans as
+    * a 16-double literal, per iteration one job scans the persisted
+    * sparse feature table, and the driver collects exactly 16 gradient
+    * rows — corpus rows never leave the cluster. */
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D = 16
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val tok = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+    val nt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val feat = tok
+      .select(col("doc_id"), LogReg.bucketOf(col("term"), D).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("j"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .persist()
+    try {
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = LogReg.train(feat, labels, D, iters = 2)
+      w.zipWithIndex.map { case (wj, j) =>
+        (j, BigDecimal(wj).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("dim", "weight").orderBy(col("dim"))
+    } finally { feat.unpersist(); () }
+  }
+  private val q94Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |feat0 AS (SELECT doc_id,
+      |            CAST(('0x' || substr(md5(term), 1, 6))::BIGINT % 16 AS INT) AS j,
+      |            count(*) AS c
+      |          FROM tok GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |x AS (SELECT doc_id, j, c * 1.0 / n AS x FROM feat0 JOIN nt USING (doc_id)),
+      |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |      FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |dims AS (SELECT unnest(range(0, 16)) AS j),
+      |g1 AS (SELECT x.j, sum((0.5 - y.y) * x.x) AS g
+      |       FROM x JOIN y USING (doc_id) GROUP BY 1),
+      |w1 AS (SELECT dims.j,
+      |         round(0.0 - coalesce(g1.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM dims LEFT JOIN g1 USING (j)),
+      |z2 AS (SELECT x.doc_id, sum(x.x * w1.w) AS z
+      |       FROM x JOIN w1 USING (j) GROUP BY 1),
+      |g2 AS (SELECT x.j, sum((1.0 / (1.0 + exp(-z2.z)) - y.y) * x.x) AS g
+      |       FROM x JOIN z2 USING (doc_id) JOIN y USING (doc_id) GROUP BY 1),
+      |w2 AS (SELECT w1.j, round(w1.w - coalesce(g2.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM w1 LEFT JOIN g2 USING (j))
+      |SELECT j AS dim, round(w, 4) AS weight FROM w2 ORDER BY dim""".stripMargin
+
   // ------------------------------------------------------------------ q89
   /** Curation v3 — the chain recomposed around the round's new stages:
     * exact dedup → quality gate → CANONICAL near-dedup (cluster the
@@ -2343,5 +2405,6 @@ object ExtQueries {
     Decl("q90_boilerplate_removal", q90, Some(q90Sql)),
     Decl("q91_image_decode", q91, Some(q91Sql)),
     Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)),
-    Decl("q93_bpe_apply_merge", q93, Some(q93Sql)))
+    Decl("q93_bpe_apply_merge", q93, Some(q93Sql)),
+    Decl("q94_logreg_train", q94, Some(q94Sql)))
 }

@@ -14,6 +14,27 @@ class CorpusQualitySpec extends SparkSpecBase {
   private def run(name: String) =
     Queries.all.find(_.name == name).get.fn(spark, sf0001)
 
+  test("LogReg.train learns the separating signs on a linearly separable " +
+    "toy problem, and the loss direction is monotone in the iterations") {
+    import spark.implicits._
+    import graft.ops.LogReg
+    // dim 0 fires only on positives, dim 1 only on negatives
+    val feat = ((1L to 20L).map(d => (d, 0, 1.0)) ++
+      (21L to 40L).map(d => (d, 1, 1.0))).toDF("doc_id", "j", "x")
+    val labels = (1L to 40L).map(d => (d, if (d <= 20) 1.0 else 0.0))
+      .toDF("doc_id", "y")
+    val w2 = LogReg.train(feat, labels, dims = 2, iters = 2)
+    assert(w2(0) > 0 && w2(1) < 0,
+      s"separating signs not learned: ${w2.toSeq}")
+    // more iterations push the margin further in the same direction
+    val w5 = LogReg.train(feat, labels, dims = 2, iters = 5)
+    assert(w5(0) > w2(0) && w5(1) < w2(1),
+      s"no monotone progress: ${w2.toSeq} -> ${w5.toSeq}")
+    // dims never touched by any feature row stay exactly zero
+    val w3 = LogReg.train(feat, labels, dims = 3, iters = 3)
+    assert(w3(2) === 0.0)
+  }
+
   test("q76: buckets are per-lang surprisal gates — every head doc scores " +
     "below every tail doc of the same language") {
     val rows = run("q76_unigram_lm_quality").collect()
