@@ -59,9 +59,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
-    // One full sweep: calibrate → time every query best-of-N → calibrate.
+    // One full sweep: calibrate → time every query ONCE → calibrate.
+    // The N repetitions (default 2) run as N whole sweeps merged by
+    // per-query MIN, not as N back-to-back runs of each query: a
+    // time-localized disturbance (one slow GC phase, a co-tenant burst)
+    // spans BOTH back-to-back runs of whichever query it lands on —
+    // recorded r10 evidence: q11 timed 15.9 s under best-of-2-adjacent
+    // with clean bracketing calibrations, then 1.2 s standalone — but
+    // minutes later, in the next sweep, the same query lands at a
+    // different wall-clock instant, so the per-query min across sweeps
+    // survives it. Same total cost, strictly better rejection.
     case class Sweep(
-        results: Seq[(String, Double, Option[String], Option[String])],
+        results: Seq[(String, Double, Option[String])],
         calibBefore: Double, calibAfter: Double,
         loadBefore: String, loadAfter: String) {
       // Load-skew test: on an idle box both probes sit well under a
@@ -79,45 +88,52 @@ object Bench {
       val calibBefore = calibrate()
       val loadBefore = loadavg()
       val results = selected.map { case (name, fn) =>
-        // Best-of-N (default 2): a transient machine-load spike on one run
-        // cannot corrupt the recorded artifact. Min, not mean — load noise
-        // is strictly additive.
-        val timed = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          // noop sink: full evaluation of every output column (a bare count()
-          // would let Catalyst prune all projection work from map-only queries)
-          val err =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name: $e"); Some(e.toString)
-            }
-          ((System.nanoTime() - t0) / 1e9, err)
-        }
-        val best = timed.filter(_._2.isEmpty).map(_._1).sorted.headOption
-        // A run that failed and then passed is FLAKY, not clean: the best
-        // time is kept but the failure is preserved for the artifact.
-        val runErrs = timed.flatMap(_._2)
-        (name, best.getOrElse(-1.0),
-          if (best.isEmpty) runErrs.headOption else None,
-          if (best.isDefined) runErrs.headOption else None)
+        val t0 = System.nanoTime()
+        // noop sink: full evaluation of every output column (a bare count()
+        // would let Catalyst prune all projection work from map-only queries)
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); Some(e.toString)
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
       Sweep(results, calibBefore, calibrate(), loadBefore, loadavg())
     }
-    // Act on the calibration, don't just record it: a load-skewed first
-    // pass gets ONE retry, and the pass with the cleaner (lower-peak)
-    // calibration is the recorded artifact. Bounded at one retry so a
-    // persistently-loaded box still terminates; the kept pass's calib
-    // fields tell the judge whether even the retry was clean.
-    val first = sweep()
-    val (kept, retried, discarded) =
-      if (first.skewed) {
+    val passes0 = Seq.fill(runs)(sweep())
+    // Act on the calibration, don't just record it: if ANY pass was
+    // load-skewed, ONE extra pass runs (bounded, so a persistently-loaded
+    // box still terminates). Skewed passes are NOT dropped from the merge:
+    // under a per-query MIN, a noisy pass can only improve the result
+    // (min(clean, noisy) ≤ clean), and dropping one would leave single
+    // unprotected timings — exactly the fragility the multi-pass design
+    // exists to remove. Calibration is evidence for the reader, not a
+    // filter on the data.
+    val passes =
+      if (passes0.exists(_.skewed) && only.isEmpty) {
         System.err.println(
-          s"[bench] calibration skewed (${first.calibBefore}/${first.calibAfter}); retrying sweep once")
-        val second = sweep()
-        val k = if (second.score <= first.score) second else first
-        (k, true, Some(if (k eq first) second else first))
-      } else (first, false, None)
-    val results = kept.results
+          s"[bench] ${passes0.count(_.skewed)}/${passes0.size} sweeps calibration-skewed; one extra sweep")
+        passes0 :+ sweep()
+      } else passes0
+    val discardedPasses = passes.filter(_.skewed)
+    // Per-query merge across ALL passes: min over successful runs; a
+    // query is an error only when NO pass ran it clean, and FLAKY (time
+    // kept, failure preserved in the artifact) when some pass failed it.
+    val byName = passes.flatMap(_.results).groupBy(_._1)
+    val results = selected.map { case (name, _) =>
+      val rs = byName.getOrElse(name, Seq.empty)
+      val best = rs.filter(_._3.isEmpty).map(_._2).sorted.headOption
+      val errs = rs.flatMap(_._3)
+      (name, best.getOrElse(-1.0),
+        if (best.isEmpty) errs.headOption else None,
+        if (best.isDefined) errs.headOption else None)
+    }
+    // Artifact calib/load fields come from the cleanest pass; the worst
+    // skewed pass's calibration is preserved under discardedCalib (the
+    // name is historical — its TIMES still participate in the min).
+    val kept = passes.minBy(_.score)
+    val retried = passes.size > passes0.size
+    val discarded = discardedPasses.sortBy(_.score).lastOption
     val calibBefore = kept.calibBefore
     val loadBefore = kept.loadBefore
     // Times at millisecond precision: the artifact is read from a bounded
@@ -146,10 +162,11 @@ object Bench {
     val total = ok.map(_._2).sum
     val calibAfter = kept.calibAfter
     // `retried` + `discardedCalib` make the retry auditable: a reader can
-    // see both the kept pass's probes and how bad the rejected pass was.
+    // see both the kept pass's probes and how bad the worst rejected pass
+    // was (absent when every pass stayed in the merge).
     val retryJson = if (!retried) "" else {
-      val d = discarded.get
-      s""","calibRetried":true,"discardedCalib":{"before":${sec(d.calibBefore)},"after":${sec(d.calibAfter)}}"""
+      ""","calibRetried":true""" + discarded.map(d =>
+        s""","discardedCalib":{"before":${sec(d.calibBefore)},"after":${sec(d.calibAfter)}}""").getOrElse("")
     }
     val noise = s""","calib":{"before":${sec(calibBefore)},"after":${sec(calibAfter)}},"loadavg":{"before":${jstr(loadBefore)},"after":${jstr(kept.loadAfter)}}$retryJson"""
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs$flakyJson,"failed":${results.size - ok.size}$noise,"sf":"$sfDir"}""")
