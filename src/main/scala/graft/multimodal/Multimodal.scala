@@ -93,6 +93,46 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(doc_id: Long, mime: String, n_bytes: Int,
+      sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL audio metadata codec on the JDK's `javax.sound.sampled` — no
+    * extra dependency, parses WAV/AIFF/AU headers. Like [[ImageIoCodec]],
+    * undecodable bytes fail loudly rather than fake plausible metadata.
+    * (PCM frame data itself stays opaque: resample/feature-extract remain
+    * behind the deterministic stubs — only video now has no real codec
+    * path in this container.) */
+  object SoundCodec {
+    val Mimes: Set[String] =
+      Set("audio/wav", "audio/x-wav", "audio/aiff", "audio/basic")
+
+    def decodeOne(r: MediaRecord): AudioMeta = {
+      val fmt =
+        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.content))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: payload is not a decodable ${r.mime}", e)
+        }
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength.toLong
+      AudioMeta(r.doc_id, r.mime, r.content.length,
+        af.getSampleRate.toInt, af.getChannels, frames,
+        if (af.getSampleRate > 0) frames * 1000L / af.getSampleRate.toLong else -1L)
+    }
+  }
+
+  /** Batched audio-metadata decode: the same mapPartitions batch shape as
+    * [[decodeBatched]], typed to the audio schema. */
+  def decodeAudioBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(SoundCodec.decodeOne))
+    }
+  }
+
   /** Wrap a text/doc table as media records: the text bytes stand in for
     * an image payload (same shape a real ingest would produce: id + blob +
     * mime + metadata columns). */

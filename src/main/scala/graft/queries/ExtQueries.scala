@@ -718,6 +718,53 @@ object ExtQueries {
       |       1 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q95
+  /** REAL audio decode round-trip — q91's contract for the audio
+    * modality: render each document a genuine WAVE file
+    * (javax.sound.sampled encode) whose sample rate / channel count /
+    * duration derive from table columns, ship the bytes as the opaque
+    * BINARY media column, and run the production decode path
+    * ([[graft.multimodal.Multimodal.decodeAudioBatched]] → SoundCodec)
+    * to read them back off the RIFF headers. The oracle recomputes the
+    * parameter formulas relationally — the hash only matches if the
+    * engine actually parsed the format. Durations are chosen to divide
+    * the sample rate exactly, so frames·1000/rate is integer-exact on
+    * both sides. Same scale shape as q91: two narrow mapPartitions
+    * stages, blobs never cross a shuffle. */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val rate = if (docId % 2 == 0) 8000 else 16000
+        val channels = 1 + (docId % 2).toInt
+        val dMs = 100 + (nChars % 400).toInt
+        val ns = rate / 1000 * dMs
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](ns * 2 * channels) // silence; content is
+        val out = new java.io.ByteArrayOutputStream() // not the contract
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "audio/wav")
+      })
+    Multimodal.decodeAudioBatched(spark, media.toDF()).toDF()
+      .select(col("doc_id"), col("mime"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+  private val q95Sql =
+    """SELECT doc_id, 'audio/wav' AS mime,
+      |  CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END) * (100 + n_chars % 400)
+      |    AS n_samples,
+      |  100 + n_chars % 400 AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q30
   /** Embedding-cosine near-dup: top-20 same-bucket pairs by cosine (the
     * corpus has no >0.5-cosine pairs, so a threshold would return empty;
@@ -2406,5 +2453,6 @@ object ExtQueries {
     Decl("q91_image_decode", q91, Some(q91Sql)),
     Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)),
     Decl("q93_bpe_apply_merge", q93, Some(q93Sql)),
-    Decl("q94_logreg_train", q94, Some(q94Sql)))
+    Decl("q94_logreg_train", q94, Some(q94Sql)),
+    Decl("q95_audio_decode", q95, Some(q95Sql)))
 }

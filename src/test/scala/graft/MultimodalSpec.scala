@@ -64,6 +64,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(ex.getMessage != null)
   }
 
+  test("REAL wav decode: sample rate, channels, frame count and duration " +
+    "read from genuine WAVE headers; corrupt bytes fail loudly") {
+    import javax.sound.sampled._
+    def wav(rateHz: Float, channels: Int, nSamples: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = new Array[Byte](nSamples * 2 * channels) // silence
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav(8000f, 1, 4000), "audio/wav"),
+      Multimodal.MediaRecord(2L, wav(44100f, 2, 22050), "audio/wav")
+    ).toDF()
+    val meta = Multimodal.decodeAudioBatched(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert((meta(1L).sample_rate, meta(1L).channels, meta(1L).n_samples) ===
+      (8000, 1, 4000L))
+    assert(meta(1L).duration_ms === 500L) // 4000 samples at 8 kHz
+    assert((meta(2L).sample_rate, meta(2L).channels, meta(2L).n_samples) ===
+      (44100, 2, 22050L))
+    assert(meta(2L).duration_ms === 500L)
+    val bad = Seq(Multimodal.MediaRecord(9L, "not audio".getBytes, "audio/wav")).toDF()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioBatched(spark, bad).collect()
+    }
+  }
+
   test("frame sampling explodes every Nth frame index") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf0001).limit(10))
     val meta = Multimodal.decodeBatched(spark, media)
