@@ -2221,6 +2221,68 @@ object ExtQueries {
        |ORDER BY c_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q96
+  /** DATASET BUILD — the complete "corpus in, training shards out"
+    * manifest, extending q89's curation-v3 chain with the two writer
+    * stages (q68's packing, q71's shard assignment) so one declared
+    * query covers the full path a 100 TB training-data job runs:
+    *
+    *   exact dedup → quality gate → canonical near-dedup → per-source
+    *   cap → token accounting → per-lang sequence packing → md5 shard
+    *
+    * Output: one row per surviving document with its token count,
+    * packed bin and shard — exactly what a shard writer consumes
+    * (`write.partitionBy(shard)` of this frame IS the dataset). The
+    * oracle replays all seven stages from the SHARED curation-v3 CTE
+    * chain (q89 and q96 cannot drift apart stage-wise) plus the pack
+    * window and shard expression; any stage reorder, threshold drift,
+    * or tie-rule change flips the hash. Scale shape inherits the
+    * stages': the only additions over q89 are one per-lang window and
+    * a map-side md5. */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val quality = CurationPipeline.qualityGate(
+      CurationPipeline.exactDedup(docs), cfg)
+    val (edges, cleanup) = CurationPipeline.nearDupEdges(quality, cfg)
+    try {
+      val canon = CurationPipeline
+        .canonicalSelect(quality,
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          length(col("text")))
+        .where(col("kept") === 1).drop("cluster_id", "kept")
+      val capped = CurationPipeline
+        .sourceCap(canon, cap = 10, priority = length(col("text")))
+        .withColumn("ws_tokens", size(TextOps.words(col("text"))))
+      val manifest = CurationPipeline
+        .packed(capped, col("lang"), col("doc_id"), col("ws_tokens"))
+        .withColumn("shard",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("ws_tokens"), col("bin"), col("shard"))
+        .orderBy(col("doc_id"))
+      Caches.localize(manifest, maxRows = 1 << 22).getOrElse {
+        val p = manifest.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private val q96Sql =
+    s"""WITH RECURSIVE $curationV3Ctes,
+       |toks AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+       |  FROM capped),
+       |binned AS (
+       |  SELECT doc_id, lang, source, ws_tokens,
+       |         CAST(floor((sum(ws_tokens) OVER (PARTITION BY lang
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |           CURRENT ROW) - ws_tokens) / 512.0) AS BIGINT) AS bin
+       |  FROM toks)
+       |SELECT doc_id, lang, source, ws_tokens, bin,
+       |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+       |FROM binned ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q94
   /** Quality-classifier TRAINING (ops.LogReg) under the oracle — the
     * "train" half of q80's hashed-feature scorer (the DCLM/fastText
@@ -2314,11 +2376,15 @@ object ExtQueries {
       }
     } finally cleanup()
   }
-  private val q89Sql = {
+  /** The curation-v3 chain's CTEs through the source-capped corpus —
+    * shared by q89 (token accounting tail) and q96 (pack + shard tail)
+    * so the two oracles cannot drift apart stage-wise. `lazy` because
+    * q96Sql initializes earlier in the object body than this val. */
+  private lazy val curationV3Ctes: String = {
     val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
     val nWords = "len(string_split(text, ' '))"
     val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
-    s"""WITH RECURSIVE exact AS (
+    s"""exact AS (
        |  SELECT doc_id, lang, source, text FROM documents
        |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
        |qual AS (
@@ -2342,10 +2408,14 @@ object ExtQueries {
        |capped AS (
        |  SELECT doc_id, lang, source, text FROM canon
        |  QUALIFY row_number() OVER (PARTITION BY source
-       |    ORDER BY length(text) DESC, doc_id) <= 10)
-       |SELECT doc_id, lang, source, CAST($nWords AS INT) AS ws_tokens
-       |FROM capped ORDER BY doc_id""".stripMargin
+       |    ORDER BY length(text) DESC, doc_id) <= 10)""".stripMargin
   }
+
+  private val q89Sql =
+    s"""WITH RECURSIVE $curationV3Ctes
+       |SELECT doc_id, lang, source,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+       |FROM capped ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q90
   /** Cross-document boilerplate-block removal (CurationPipeline
@@ -2454,5 +2524,6 @@ object ExtQueries {
     Decl("q92_stream_lsh_dedup", q92, Some(q62Sql)),
     Decl("q93_bpe_apply_merge", q93, Some(q93Sql)),
     Decl("q94_logreg_train", q94, Some(q94Sql)),
-    Decl("q95_audio_decode", q95, Some(q95Sql)))
+    Decl("q95_audio_decode", q95, Some(q95Sql)),
+    Decl("q96_dataset_build", q96, Some(q96Sql)))
 }
