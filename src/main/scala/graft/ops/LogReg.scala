@@ -38,6 +38,7 @@ object LogReg {
   def train(feat: DataFrame, labels: DataFrame, dims: Int, iters: Int,
       lr: Double = 1.0): Array[Double] = {
     val n = labels.count().toDouble
+    require(n > 0, "LogReg.train: empty label table (gradient would be 0/0)")
     var w = Array.fill(dims)(0.0)
     for (_ <- 0 until iters) {
       val wLit = array(w.map(lit): _*)
