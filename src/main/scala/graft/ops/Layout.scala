@@ -26,11 +26,23 @@ object Layout {
   /** Write `df` to `path` as parquet clustered on `cols`: `files` range
     * partitions, rows sorted by `cols` within each. Returns nothing; the
     * layout contract (disjoint per-file key ranges) is pinned by
-    * LayoutSpec reading the written footers. */
+    * LayoutSpec reading the written footers.
+    *
+    * `mode = "append"` is the incremental-ingest form: each append adds
+    * `files` NEW files whose key ranges are disjoint among themselves
+    * (they range-partition the batch, not the table), so per-file min/max
+    * pruning keeps working as the table grows — a range predicate reads
+    * ≤ its selectivity's worth of every generation's files. Periodic
+    * compaction (rewrite with "overwrite") restores one-generation
+    * tightness when file counts accumulate. */
   def clusteredWrite(df: DataFrame, path: String, files: Int, cols: Column*): Unit =
+    clusteredWrite(df, path, files, "overwrite", cols: _*)
+
+  def clusteredWrite(df: DataFrame, path: String, files: Int, mode: String,
+      cols: Column*): Unit =
     df.repartitionByRange(files, cols: _*)
       .sortWithinPartitions(cols: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** Multi-column Z-ORDER write: single-column clustering serves one
     * predicate column and scatters every other — `clusteredWrite` on

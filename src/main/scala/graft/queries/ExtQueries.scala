@@ -898,6 +898,105 @@ object ExtQueries {
       |QUALIFY rn <= 3
       |ORDER BY probe_id, rn""".stripMargin
 
+  // ------------------------------------------------------------------ q97
+  /** INCREMENTAL IVF ingest — the vector twin of q62's incremental LSH
+    * index: the corpus is PERSISTED cell-clustered under a FROZEN coarse
+    * quantizer (the first 16 base vectors, q54's deterministic
+    * convention trained on the base generation only), an ingest batch
+    * (vec_id % 4 == 0) is assigned to cells map-side under the SAME
+    * centroid literals and APPENDED — cell-local, no rebuild, no
+    * reshuffle of the existing table — and the ANN probe then runs
+    * against the persisted table only. The oracle recomputes the same
+    * top-3 from scratch over the full corpus with base-derived
+    * centroids: an incremental ingest that drifted the quantizer,
+    * mis-assigned a cell, or lost batch rows hash-mismatches. Scale
+    * shape: the frozen-quantizer append IS the IVF production contract
+    * (FAISS-style add-after-train); each append range-partitions only
+    * its own batch, and the clustered layout keeps per-file cell ranges
+    * prunable across generations (Layout.clusteredWrite append mode). */
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+    try {
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val isBatch = pmod(col("vec_id"), lit(4)) === 0
+      val cents: Seq[Seq[Float]] = emb.where(!isBatch)
+        .orderBy(col("vec_id")).limit(K)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val centArr = typedLit(cents)
+      def cellScores(v: Column): Column =
+        transform(sequence(lit(1), lit(K)), i => struct(
+          CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+          (i - 1).as("i")))
+      def cellOf(v: Column): Column = array_max(cellScores(v)).getField("i")
+      def topCells(v: Column): Column =
+        transform(slice(reverse(array_sort(cellScores(v))), 1, NPROBE),
+          s => s.getField("i"))
+      val path = s"$tmp/corpus"
+      // build: base generation, cell-clustered
+      Layout.clusteredWrite(
+        Tables.spread(emb.where(!isBatch))
+          .withColumn("cell", cellOf(col("embedding"))),
+        path, files = 4, col("cell"))
+      // ingest: batch under the SAME frozen centroids, appended
+      Layout.clusteredWrite(
+        Tables.spread(emb.where(isBatch))
+          .withColumn("cell", cellOf(col("embedding"))),
+        path, files = 2, "append", col("cell"))
+      // probe: persisted table only — the original frames never re-read
+      val corpus = spark.read.parquet(path)
+      val probes = corpus.where(col("vec_id") >= K && col("vec_id") < K + 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+          topCells(col("embedding")).as("pcells"))
+      val cand = corpus.crossJoin(broadcast(probes))
+        .where(array_contains(col("pcells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+      val out = topNeighbors(cand, 3)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("probe_id"), col("rn"))
+      Caches.localize(out, maxRows = 1 << 16).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp)) // result is localized (15 rows); safe now
+    }
+  }
+  private val q97Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM (
+      |        SELECT * FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16)),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------------ q51
   /** Incremental dedup against a seen corpus via a Bloom pre-filter —
     * the "is this document new?" pattern every continuously-ingesting
@@ -2525,5 +2624,6 @@ object ExtQueries {
     Decl("q93_bpe_apply_merge", q93, Some(q93Sql)),
     Decl("q94_logreg_train", q94, Some(q94Sql)),
     Decl("q95_audio_decode", q95, Some(q95Sql)),
-    Decl("q96_dataset_build", q96, Some(q96Sql)))
+    Decl("q96_dataset_build", q96, Some(q96Sql)),
+    Decl("q97_ann_ivf_incremental", q97, Some(q97Sql)))
 }
