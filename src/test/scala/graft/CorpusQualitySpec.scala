@@ -14,6 +14,33 @@ class CorpusQualitySpec extends SparkSpecBase {
   private def run(name: String) =
     Queries.all.find(_.name == name).get.fn(spark, sf0001)
 
+  test("q96 manifest invariants: per-source cap respected, bins fill " +
+    "contiguously within langs, shards are md5 prefixes") {
+    val rows = run("q96_dataset_build").collect()
+    assert(rows.nonEmpty)
+    // source cap: at most 10 survivors per source
+    rows.groupBy(_.getString(2)).foreach { case (src, docs) =>
+      assert(docs.length <= 10, s"source $src has ${docs.length} > 10 docs")
+    }
+    // contiguous packing: within a lang (doc_id order), bin ids are
+    // non-decreasing and start at 0
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val bins = docs.sortBy(_.getLong(0)).map(_.getLong(4))
+      assert(bins.head === 0L, s"$lang first bin ${bins.head}")
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, s"$lang bins decrease: $a -> $b")
+        case _ =>
+      }
+    }
+    // shard = 2-hex md5 prefix of doc_id (independent recompute)
+    rows.take(20).foreach { r =>
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes)
+        .take(1).map("%02x".format(_)).mkString
+      assert(r.getString(5) === want)
+    }
+  }
+
   test("LogReg.train learns the separating signs on a linearly separable " +
     "toy problem, and the loss direction is monotone in the iterations") {
     import spark.implicits._
