@@ -2382,6 +2382,60 @@ object ExtQueries {
        |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard
        |FROM binned ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q98
+  /** Temperature UPSAMPLING — the complement of q74's downsampling and
+    * the other half of multilingual data mixing: tail languages are
+    * REPEATED so the mix follows c^α (α = 0.5; the largest language
+    * keeps factor exactly 1.0), the standard epoch-repetition recipe
+    * for low-resource languages. Per-doc repeat count is DETERMINISTIC:
+    * n_copies = floor(r_lang) + 1 more iff the doc's md5 u-value falls
+    * strictly below the fractional part's 6-hex threshold (q74's
+    * u-value convention, so both engines compare identical strings —
+    * no rand()). Emits the exploded copy manifest (doc_id, lang,
+    * copy_id) a repetition-aware shard writer consumes. Scale shape:
+    * per-lang factors are a tiny agg broadcast back; the copy explosion
+    * is map-side `explode(sequence(...))` — one scan, no wide exchange
+    * except the output sort. */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max(col("n")).as("n_max"))
+    val factors = counts.crossJoin(broadcast(nMax))
+      .withColumn("rr",
+        round(sqrt(col("n_max").cast("double") / col("n")), 9))
+      .select(col("lang"), col("rr"))
+    val withCopies = docs.join(broadcast(factors), "lang")
+      .withColumn("base", floor(col("rr")))
+      .withColumn("thr", format_string("%06x",
+        floor((col("rr") - floor(col("rr"))) * 16777215d).cast("int")))
+      .withColumn("n_copies",
+        col("base") + when(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+            < col("thr"), 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+    withCopies
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+  private val q98Sql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT max(n) AS n_max FROM c),
+      |f AS (SELECT lang, round(sqrt(CAST(n_max AS DOUBLE) / n), 9) AS rr
+      |      FROM c, m),
+      |k AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CAST(floor(rr) AS BIGINT) +
+      |         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+      |                   printf('%06x', CAST(floor((rr - floor(rr)) * 16777215)
+      |                     AS INT))
+      |              THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN f USING (lang))
+      |SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id
+      |FROM k WHERE n_copies > 0
+      |ORDER BY doc_id, copy_id""".stripMargin
+
   // ------------------------------------------------------------------ q94
   /** Quality-classifier TRAINING (ops.LogReg) under the oracle — the
     * "train" half of q80's hashed-feature scorer (the DCLM/fastText
@@ -2625,5 +2679,6 @@ object ExtQueries {
     Decl("q94_logreg_train", q94, Some(q94Sql)),
     Decl("q95_audio_decode", q95, Some(q95Sql)),
     Decl("q96_dataset_build", q96, Some(q96Sql)),
-    Decl("q97_ann_ivf_incremental", q97, Some(q97Sql)))
+    Decl("q97_ann_ivf_incremental", q97, Some(q97Sql)),
+    Decl("q98_temperature_upsampling", q98, Some(q98Sql)))
 }

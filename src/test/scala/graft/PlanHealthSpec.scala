@@ -74,7 +74,7 @@ class PlanHealthSpec extends SparkSpecBase {
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
       "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk",
       "q74_mixture_sampling", "q93_bpe_apply_merge",
-      "q97_ann_ivf_incremental")
+      "q97_ann_ivf_incremental", "q98_temperature_upsampling")
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
