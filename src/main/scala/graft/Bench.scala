@@ -103,7 +103,10 @@ object Bench {
     val passes0 = Seq.fill(runs)(sweep())
     // Act on the calibration, don't just record it: if ANY pass was
     // load-skewed, ONE extra pass runs (bounded, so a persistently-loaded
-    // box still terminates). Skewed passes are NOT dropped from the merge:
+    // box still terminates) — but only for full sweeps: a
+    // SPARK_GRAFT_BENCH_ONLY-filtered run is a local iteration aid, not an
+    // artifact, so it skips the anti-skew extra pass on purpose.
+    // Skewed passes are NOT dropped from the merge:
     // under a per-query MIN, a noisy pass can only improve the result
     // (min(clean, noisy) ≤ clean), and dropping one would leave single
     // unprotected timings — exactly the fragility the multi-pass design

@@ -113,6 +113,19 @@ object TestData {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** On-disk schema for a MICROS generation written with
+    * isAdjustedToUTC=true (pyarrow's default for tz-aware timestamps):
+    * instant semantics bind directly as TimestampType — Spark's reader
+    * REFUSES to bind an adjusted column as TIMESTAMP_NTZ, so this cannot
+    * share [[eventRawMicros]]. */
+  val eventRawMicrosAdjusted: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val document: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),

@@ -39,6 +39,14 @@ object LogReg {
       lr: Double = 1.0): Array[Double] = {
     val n = labels.count().toDouble
     require(n > 0, "LogReg.train: empty label table (gradient would be 0/0)")
+    // Loud-failure contract: a j outside [0, dims) would make element_at
+    // return null, silently dropping the row from the margin and gradient
+    // sums — quietly wrong weights. One bounded validation job per train
+    // call (not per iteration) catches mis-bucketed features instead.
+    val badJ = feat.where(col("j") < 0 || col("j") >= dims).count()
+    require(badJ == 0,
+      s"LogReg.train: $badJ feature rows have j outside [0, $dims) - " +
+        "features must be bucketed with LogReg.bucketOf(term, dims)")
     var w = Array.fill(dims)(0.0)
     for (_ <- 0 until iters) {
       val wLit = array(w.map(lit): _*)

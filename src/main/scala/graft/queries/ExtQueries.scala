@@ -958,9 +958,11 @@ object ExtQueries {
         .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("probe_id"), col("rn"))
-      Caches.localize(out, maxRows = 1 << 16).getOrElse {
-        val p = out.persist(); p.count(); p
-      }
+      // Fallback is localCheckpoint, NOT persist: the finally below deletes
+      // the scratch parquet this plan reads, and a persisted frame can be
+      // evicted/recomputed after cleanup — a checkpoint severs the lineage.
+      Caches.localize(out, maxRows = 1 << 16)
+        .getOrElse(out.localCheckpoint())
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -47,40 +47,48 @@ object Tables {
     *    per-read datasource option, NOT `spark.conf.set` — a session-wide
     *    set would silently change nanos semantics for every later parquet
     *    read in the session.
-    *  - MICROS (isAdjustedToUTC either way): bind TIMESTAMP_NTZ — the
-    *    lossless parquet mapping — then cast to TimestampType so downstream
+    *  - MICROS, isAdjustedToUTC=false: bind TIMESTAMP_NTZ — the lossless
+    *    parquet mapping — then cast to TimestampType so downstream
     *    operators see one stable type. Every session in this engine pins
     *    `spark.sql.session.timeZone=UTC` (see EventOps Scaladoc), under
     *    which the NTZ→LTZ cast is the identity on the stored micros value,
-    *    matching what DuckDB (the oracle) reads from the same file. */
+    *    matching what DuckDB (the oracle) reads from the same file.
+    *  - MICROS, isAdjustedToUTC=true: bind TimestampType DIRECTLY — the
+    *    canonical parquet mapping for instant semantics. Forcing NTZ here
+    *    would throw (Spark's reader refuses an adjusted column as NTZ:
+    *    `ParquetSchemaConverter.validateTimestampNTZType`), so the adjusted
+    *    flag must branch the bound schema, not just the unit. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     eventsTsUnit(spark, path) match {
-      case TimeUnit.NANOS =>
+      case (TimeUnit.NANOS, _) =>
         spark.read.schema(schemas("events"))
           .option("spark.sql.legacy.parquet.nanosAsLong", "true")
           .parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimeUnit.MICROS =>
+      case (TimeUnit.MICROS, false) =>
         spark.read.schema(TestData.eventRawMicros)
           .parquet(path)
           .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case other =>
+      case (TimeUnit.MICROS, true) =>
+        spark.read.schema(TestData.eventRawMicrosAdjusted).parquet(path)
+      case (other, adj) =>
         throw new IllegalStateException(
-          s"events.parquet at $path stores ts as TIMESTAMP($other); " +
+          s"events.parquet at $path stores ts as TIMESTAMP($other, isAdjustedToUTC=$adj); " +
             "this engine decodes NANOS and MICROS only - refusing to guess.")
     }
   }
 
-  /** Footer-declared time unit of the `ts` column, cached per path (the
-    * footer is immutable for a given file set; one probe per path per JVM).
-    * Probes the first parquet file when the path is a directory. */
+  /** Footer-declared (time unit, isAdjustedToUTC) of the `ts` column,
+    * cached per path (the footer is immutable for a given file set; one
+    * probe per path per JVM). Probes the first parquet file when the path
+    * is a directory. */
   private val tsUnitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit]()
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit, Boolean)]()
 
   private def eventsTsUnit(
-      spark: SparkSession, path: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit =
+      spark: SparkSession, path: String): (org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit, Boolean) =
     tsUnitCache.computeIfAbsent(path, { p =>
       import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
       val conf = spark.sessionState.newHadoopConf()
@@ -97,7 +105,7 @@ object Tables {
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
         schema.getType(schema.getFieldIndex("ts")).asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit
+          case t: TimestampLogicalTypeAnnotation => (t.getUnit, t.isAdjustedToUTC)
           case other => throw new IllegalStateException(
             s"events.parquet ts column is not a parquet TIMESTAMP (found: $other) in $file")
         }

@@ -91,6 +91,28 @@ class EventsTsUnitSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("MICROS isAdjustedToUTC=true generation: direct TimestampType bind is value-exact") {
+    // pyarrow's default for tz-aware timestamps; NTZ-binding this would
+    // throw in Spark's reader (validateTimestampNTZType), so the footer
+    // probe must branch on the adjusted flag too, not just the unit.
+    val dir = tmpDir("ev_micros_adj")
+    writeEvents(dir,
+      Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named("ts"),
+      i => (EpochS + i * 60) * 1000000L)
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val t0 = ev.where(col("event_id") === 0)
+      .select(unix_timestamp(col("ts"))).head().getLong(0)
+    assert(t0 === EpochS)
+    // all three generations agree on the decoded instants
+    val ntzDir = tmpDir("ev_micros_ntz")
+    writeEvents(ntzDir, tsCol(TimeUnit.MICROS), i => (EpochS + i * 60) * 1000000L)
+    val a = Tables.events(spark, dir).select("event_id", "ts").collect().toSet
+    val b = Tables.events(spark, ntzDir).select("event_id", "ts").collect().toSet
+    assert(a === b)
+  }
+
   test("unknown units fail loudly instead of decoding garbage") {
     val millisDir = tmpDir("ev_millis")
     writeEvents(millisDir, tsCol(TimeUnit.MILLIS), i => (EpochS + i * 60) * 1000L)
