@@ -43,11 +43,25 @@ import org.apache.spark.sql.functions._
   * New-vs-new pairs inside the batch are found in the same pass as
   * new-vs-old — the batch's own band rows ride the combined table.
   *
-  * Append-only: `probeAndAppend` writes the batch's bands/sigs into the
-  * index after probing (appends land in the same hash-bucket directories,
-  * so pruning keeps working as the index grows). Deletions are out of
-  * scope (training corpora are append-only; a tombstone column is the
-  * standard extension).
+  * Incremental writes: `probeAndAppend` writes the batch's bands/sigs
+  * into the index after probing. Both tables carry a SECOND hive
+  * partition level, `gen` (generation): the build writes `gen=base`, and
+  * a batch append with a caller-supplied `batchId` writes `gen=b<id>`
+  * via DYNAMIC partition overwrite — a foreachBatch retry of the same
+  * batch REPLACES its own generation instead of duplicating rows, which
+  * is what makes the streaming ingest exactly-once on storage
+  * (StreamingPipeline.startNearDupIngest). A batchId-probe also EXCLUDES
+  * its own generation from the index scans (partition-pruned on `gen`),
+  * so a retried batch probes the identical pre-batch state — including
+  * hot-bucket-cap counts — and emits the identical pairs. Appends land
+  * in the same pk hash-bucket directories either way, so file-level
+  * pruning keeps working as the index grows.
+  *
+  * Deletions: [[markDeleted]] writes doc tombstones next to the tables;
+  * probes anti-join them out of the emitted pairs, and [[compact]] —
+  * which also folds accumulated generations back into one tight
+  * `gen=base` layout — physically drops tombstoned rows and clears the
+  * tombstone log.
   */
 object LshIndex {
 
@@ -82,7 +96,12 @@ object LshIndex {
 
   private def bandsPath(path: String) = s"$path/bands"
   private def sigsPath(path: String) = s"$path/sigs"
+  private def tombsPath(path: String) = s"$path/tombstones"
   private def metaPath(path: String) = new HPath(path, "_index_meta")
+
+  /** Generation partition value for a batch append. */
+  private def genOf(batchId: Option[Long]): String =
+    batchId.map(b => s"b$b").getOrElse("adhoc")
 
   /** The partition modulus and file counts are a LAYOUT contract between
     * build and probe: a probe under a different modulus derives the wrong
@@ -164,13 +183,28 @@ object LshIndex {
     * are disjoint, and file counts grow by ≤ #buckets per append. Bucket
     * size is governed by `indexPartitions` ([[sizedConfig]] keeps a
     * directory at a few GB), so the one-task-per-bucket write is the
-    * scale-correct shape; `files` caps the shuffle parallelism. */
+    * scale-correct shape; `files` caps the shuffle parallelism.
+    *
+    * `gen` is the second partition level. Write modes:
+    *  - "overwrite" (build/compact): static overwrite, wipes the table;
+    *  - "append": accumulates into `gen` (the non-idempotent ad-hoc path);
+    *  - "replace-gen": DYNAMIC partition overwrite — replaces exactly the
+    *    (pk, gen) partitions present in `df`, i.e. this write's own
+    *    generation, leaving every other generation untouched. Re-running
+    *    the same batch lands on the same partitions: idempotent. */
   private def writePartitioned(df: DataFrame, path: String, files: Int,
-      mode: String, cluster: Column*): Unit =
-    df.repartition(files, col("__part"))
+      mode: String, gen: String, cluster: Column*): Unit = {
+    val out = df.repartition(files, col("__part"))
       .sortWithinPartitions(col("__part") +: cluster: _*)
       .withColumnRenamed("__part", "pk")
-      .write.partitionBy("pk").mode(mode).parquet(path)
+      .withColumn("gen", lit(gen))
+      .write.partitionBy("pk", "gen")
+    (mode match {
+      case "replace-gen" =>
+        out.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      case m => out.mode(m)
+    }).parquet(path)
+  }
 
   /** Build the index at `path` from a base corpus (full recompute — run
     * once; subsequent batches go through [[probeAndAppend]]). */
@@ -180,11 +214,11 @@ object LshIndex {
     try {
       writePartitioned(
         bandsOf(sig, cfg, id).withColumn("__part", bandPk(cfg)),
-        bandsPath(path), cfg.bandFiles, "overwrite", col("band"), col("key"))
+        bandsPath(path), cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
       writePartitioned(
         sig.select(col(id).as("doc_id"), col("sh"))
           .withColumn("__part", sigPs(cfg, col("doc_id"))),
-        sigsPath(path), cfg.sigFiles, "overwrite", col("doc_id"))
+        sigsPath(path), cfg.sigFiles, "overwrite", "base", col("doc_id"))
       writeMeta(docs.sparkSession, path, cfg)
     } finally sig.unpersist()
   }
@@ -217,11 +251,17 @@ object LshIndex {
     * specs (which assert the file-level pruning on the two index scans).
     * Returns the probe plans plus the batch band rows (for the append). */
   private def probePairs(spark: SparkSession, path: String, sig: DataFrame,
-      rawCfg: Config, id: String,
-      extraCaches: Seq[DataFrame]): (Probe, DataFrame, Config) = {
+      rawCfg: Config, id: String, extraCaches: Seq[DataFrame],
+      excludeGen: Option[String] = None): (Probe, DataFrame, Config) = {
     val cfg = adoptMeta(spark, path, rawCfg)
     val caches = scala.collection.mutable.Buffer[DataFrame](extraCaches: _*)
     val newBands = bandsOf(sig, cfg, id)
+    // A retried batch must probe the identical PRE-batch state even though
+    // its own earlier append is already on disk — excluding its generation
+    // (a partition filter, file-pruned like pk) restores it exactly,
+    // hot-bucket counts included.
+    def dropOwnGen(df: DataFrame): DataFrame =
+      excludeGen.fold(df)(g => df.where(col("gen") =!= g))
     // Only buckets the batch touches can yield new pairs. The batch's
     // distinct pk values (≤ indexPartitions ints — bounded regardless of
     // batch size) become a partition predicate, so the bands scan LISTS
@@ -231,8 +271,8 @@ object LshIndex {
     val touchedKeys = newBands.select(col("band"), col("key")).distinct()
     val touchedPk = touchedKeys.select(bandPk(cfg).as("pk")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val indexBands = spark.read.parquet(bandsPath(path))
-      .where(col("pk").isin(touchedPk: _*))
+    val indexBands = dropOwnGen(spark.read.parquet(bandsPath(path))
+        .where(col("pk").isin(touchedPk: _*)))
       .select(col("band"), col("key"), col("doc_id"))
       .join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
     val combined = indexBands.withColumn("is_new", lit(false))
@@ -274,8 +314,8 @@ object LshIndex {
     // values (again ≤ indexPartitions ints) prune the sigs scan to the
     // touched directories — at 100 TB sigs are corpus-sized, so this is
     // the pruning that matters most.
-    val indexSets = spark.read.parquet(sigsPath(path))
-      .where(col("pk").isin(candPs: _*))
+    val indexSets = dropOwnGen(spark.read.parquet(sigsPath(path))
+        .where(col("pk").isin(candPs: _*)))
       .select(col("doc_id"), col("sh"))
     val sets = indexSets
       .unionByName(sig.select(col(id).as("doc_id"), col("sh")))
@@ -283,10 +323,28 @@ object LshIndex {
       .join(broadcast(cand), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
     val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
-    val pairs = withSets.where(j >= cfg.jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+    // Tombstoned docs are dead on arrival: their index rows survive until
+    // the next compact, but no probe may emit a pair naming them. The
+    // tombstone log is takedown-sized (≪ corpus), so two broadcast anti
+    // joins on the (already tiny) verified-pair frame cost nothing.
+    val tombs = tombstones(spark, path)
+    def dropTombstoned(df: DataFrame): DataFrame = tombs.fold(df) { t =>
+      df.join(broadcast(t), df("doc_a") === t("doc_id"), "left_anti")
+        .join(broadcast(t), df("doc_b") === t("doc_id"), "left_anti")
+    }
+    val pairs = dropTombstoned(withSets.where(j >= cfg.jaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard")))
       .orderBy(col("doc_a"), col("doc_b"))
     (Probe(pairs, indexBands, indexSets, caches.toSeq), newBands, cfg)
+  }
+
+  /** The tombstone log as a (doc_id) frame, or None when no doc was ever
+    * deleted (the common case — probes then pay zero extra plan nodes). */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new HPath(tombsPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(tombsPath(path)).select(col("doc_id")))
+    else None
   }
 
   /** Probe-only entry point for the plan-health spec: returns the probe
@@ -307,6 +365,16 @@ object LshIndex {
     * from the batch; doc_a < doc_b), then appends the batch's bands and
     * shingle sets to the index so the next batch sees them.
     *
+    * `batchId` selects the delivery contract:
+    *  - `Some(id)`: EXACTLY-ONCE on storage — the append replaces
+    *    generation `b<id>` (dynamic partition overwrite) and the probe
+    *    excludes that generation, so re-running the same batch (a
+    *    foreachBatch retry after a crash between append and checkpoint
+    *    commit) returns the identical pairs and leaves index row counts
+    *    unchanged. Streaming callers MUST pass their micro-batch id.
+    *  - `None`: ad-hoc at-least-once append into `gen=adhoc` — fine for
+    *    one-shot jobs that never retry a completed write.
+    *
     * The returned pair list is localized (it is orders of magnitude
     * smaller than the batch) so no cache outlives the call; an over-cap
     * (> 2^20 pairs) result is eagerly localCheckpoint-ed instead —
@@ -314,12 +382,12 @@ object LshIndex {
     * RDD by the context cleaner. */
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text", batchId: Option[Long] = None): DataFrame = {
     val sig = signatures(newDocs, cfg, id, text).persist()
     var probeCaches: Seq[DataFrame] = Seq(sig)
     try {
       val (probe, newBands, layout) = probePairs(spark, path, sig, cfg, id,
-        extraCaches = Seq(sig))
+        extraCaches = Seq(sig), excludeGen = batchId.map(b => genOf(Some(b))))
       probeCaches = probe.caches
       val result = Caches.localize(probe.pairs, maxRows = 1 << 20)
         .getOrElse(probe.pairs.localCheckpoint())
@@ -327,13 +395,71 @@ object LshIndex {
       // pre-batch index, and the localized result no longer reads it.
       // Appends reuse the PERSISTED hash-bucket layout, so the files
       // land in (and future probes prune to) the right directories.
+      val mode = if (batchId.isDefined) "replace-gen" else "append"
+      val gen = genOf(batchId)
       writePartitioned(newBands.withColumn("__part", bandPk(layout)),
-        bandsPath(path), layout.bandFiles, "append", col("band"), col("key"))
+        bandsPath(path), layout.bandFiles, mode, gen, col("band"), col("key"))
       writePartitioned(
         sig.select(col(id).as("doc_id"), col("sh"))
           .withColumn("__part", sigPs(layout, col("doc_id"))),
-        sigsPath(path), layout.sigFiles, "append", col("doc_id"))
+        sigsPath(path), layout.sigFiles, mode, gen, col("doc_id"))
       result
     } finally probeCaches.foreach(_.unpersist())
+  }
+
+  /** Tombstone `docIds`: the docs stay physically in the index until the
+    * next [[compact]], but no subsequent probe emits a pair naming them.
+    * The standard takedown shape for an append-only training corpus —
+    * O(deletions) writes, no index rebuild, no rewrite on the hot path. */
+  def markDeleted(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    adoptMeta(spark, path, Config()) // loud failure on a non-index path
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(tombsPath(path))
+  }
+
+  /** Rewrite the index back to single-generation tightness: fold every
+    * generation's rows (minus tombstoned docs) into a fresh `gen=base`
+    * layout with the same persisted pk modulus, then clear the tombstone
+    * log. File counts return to one file per pk directory — the shape a
+    * fresh [[build]] produces — so probes stop paying one extra file per
+    * past ingest batch. Run it off the ingest path at whatever cadence
+    * keeps per-directory file counts bounded (e.g. every N batches).
+    *
+    * The swap is delete-then-rename per table (staged fully before either
+    * table is touched); a production deployment would commit via a
+    * manifest instead — the window where a crash leaves a half-swapped
+    * index is the price of staying filesystem-only here, and rebuilding
+    * from [[build]] recovers it. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val cfg = adoptMeta(spark, path, Config())
+    val conf = spark.sessionState.newHadoopConf()
+    val tombs = tombstones(spark, path)
+    def dropTombstoned(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    def rewrite(tablePath: String, files: Int, dataCols: Seq[String],
+        cluster: Column*): Unit = {
+      val staged = s"$tablePath.compacting"
+      val rows = dropTombstoned(
+        spark.read.parquet(tablePath).select(dataCols.map(col): _*))
+      // recompute __part rather than trusting the read-back pk: identical
+      // by construction, but the hash is the layout's source of truth
+      val keyed =
+        if (dataCols.contains("band")) rows.withColumn("__part", bandPk(cfg))
+        else rows.withColumn("__part", sigPs(cfg, col("doc_id")))
+      writePartitioned(keyed, staged, files, "overwrite", "base", cluster: _*)
+      val (cur, stg) = (new HPath(tablePath), new HPath(staged))
+      val fs = cur.getFileSystem(conf)
+      if (!fs.delete(cur, true) || !fs.rename(stg, cur))
+        throw new IllegalStateException(
+          s"compact: failed to swap $staged into $tablePath - index left in " +
+            "staged state; re-run compact or rebuild")
+    }
+    rewrite(bandsPath(path), cfg.bandFiles,
+      Seq("band", "key", "doc_id"), col("band"), col("key"))
+    rewrite(sigsPath(path), cfg.sigFiles, Seq("doc_id", "sh"), col("doc_id"))
+    val tp = new HPath(tombsPath(path))
+    val fs = tp.getFileSystem(conf)
+    if (fs.exists(tp)) { fs.delete(tp, true); () }
   }
 }
