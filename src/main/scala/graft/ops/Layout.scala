@@ -44,6 +44,30 @@ object Layout {
       .sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
 
+  /** Fold an append-grown clustered layout back to ONE tight generation:
+    * each append range-partitioned only its own batch, so after N ingest
+    * batches a range predicate still prunes correctly but pays ~N files
+    * per key range. One full rewrite (the same one-pass range shuffle as
+    * [[clusteredWrite]]) restores `files` globally-disjoint files — run
+    * off the ingest path at whatever cadence keeps per-range file counts
+    * bounded. The swap is stage-then-delete-then-rename (the LshIndex
+    * compaction contract: a production deployment commits via a manifest;
+    * re-running compact — or the original writes — recovers the rare
+    * half-swapped crash window). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      files: Int, cols: Column*): Unit = {
+    val staged = s"$path.compacting"
+    clusteredWrite(spark.read.parquet(path), staged, files, "overwrite", cols: _*)
+    val conf = spark.sessionState.newHadoopConf()
+    val (cur, stg) = (new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(staged))
+    val fs = cur.getFileSystem(conf)
+    if (!fs.delete(cur, true) || !fs.rename(stg, cur))
+      throw new IllegalStateException(
+        s"Layout.compact: failed to swap $staged into $path - layout left " +
+          "in staged state; re-run compact")
+  }
+
   /** Multi-column Z-ORDER write: single-column clustering serves one
     * predicate column and scatters every other — `clusteredWrite` on
     * user_id makes an event_id range read the whole table. Z-ordering

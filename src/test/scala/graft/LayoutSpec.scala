@@ -72,6 +72,34 @@ class LayoutSpec extends SparkSpecBase {
       events.where($"user_id".between(100L, 110L)).count())
   }
 
+  test("compact folds an append-grown clustered layout back to `files` " +
+    "globally-disjoint files with identical content") {
+    val events = Tables.events(spark, sf0001).select($"event_id", $"user_id")
+    val dir = tmpDir("layout_compact")
+    // base write + three ingest appends: each generation is internally
+    // disjoint, but generations overlap each other
+    Layout.clusteredWrite(events.where($"event_id" % 4 =!= 0), dir, files = 4, $"user_id")
+    (1L to 3L).foreach { g =>
+      Layout.clusteredWrite(events.where($"event_id" % 4 === 0 && $"event_id" % 3 === g % 3),
+        dir, files = 2, "append", $"user_id")
+    }
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && f.length > 0)
+    assert(files(dir) > 4, s"appends added no files (${files(dir)})")
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq
+    Layout.compact(spark, dir, files = 4, $"user_id")
+    assert(files(dir) === 4, s"compact left ${files(dir)} files, expected 4")
+    // content identical, and the compacted layout is one tight generation:
+    // per-row-group user_id ranges are pairwise disjoint again
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq === before)
+    val cs = int64Stats(dir, "user_id").sortBy(_._1)
+    cs.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"compacted ranges overlap: ($aMax) vs ($bMin)")
+      case _ =>
+    }
+  }
+
   /** Fraction of row groups whose [min,max] on `colName` overlaps
     * [lo, hi] — the fraction a pushed range predicate must read. */
   private def overlapFrac(dir: String, colName: String, lo: Long, hi: Long): Double = {
