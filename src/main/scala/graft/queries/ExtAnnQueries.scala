@@ -1,0 +1,537 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LogReg, LshIndex, TextOps}
+import graft.sources.Tables
+import graft.pipeline.CurationPipeline
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
+
+/** Vector/ANN family: brute-force kNN, LSH buckets, IVF (one-shot,
+  * persisted, incremental), quantization, random projection,
+  * k-means training, recall audit. */
+private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
+  // ------------------------------------------------------------------ q23
+  /** Brute-force k-NN (k=3) for probe vectors vec_id < 5: broadcast the
+    * probes, one map-side pass over the corpus, per-probe top-k window.
+    * The scale baseline every ANN variant is judged against. */
+  private[queries] def q23(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q23Sql =
+    """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+      |  FROM embeddings WHERE vec_id < 5)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe) DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id,
+      |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe), 4) AS cos_sim
+      |FROM embeddings CROSS JOIN probes
+      |WHERE vec_id <> probe_id
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ------------------------------------------------------------------ q24
+  /** LSH-bucketed ANN: sign-bucket on the first 8 dims (256 buckets), then
+    * search only within the probe's bucket. The scale path: the bucket id
+    * is a narrow int computed map-side; the candidate join shuffles
+    * corpus-size/256 rows per probe instead of corpus-size.
+    *
+    * Deliberately NOT hot-bucket-capped (unlike the pair ops q20/q30):
+    * probe→corpus matching is linear in bucket size — a hot bucket costs
+    * at most what brute force (q23) pays for those probes, never
+    * quadratic — and dropping the probe's own bucket would return zero
+    * neighbors for exactly the probes that have the most candidates. */
+  private[queries] def q24(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+    val probes = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+      .where(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q24Sql =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
+       |  FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, e AS probe, bucket FROM b WHERE vec_id < 50)
+       |SELECT probe_id,
+       |       row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY list_cosine_similarity(e, probe) DESC, vec_id) AS rn,
+       |       vec_id AS neighbor_id,
+       |       round(list_cosine_similarity(e, probe), 4) AS cos_sim
+       |FROM b JOIN probes USING (bucket)
+       |WHERE vec_id <> probe_id
+       |QUALIFY rn <= 3
+       |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ------------------------------------------------------------------ q30
+  /** Embedding-cosine near-dup: top-20 same-bucket pairs by cosine (the
+    * corpus has no >0.5-cosine pairs, so a threshold would return empty;
+    * top-k keeps the op observable at every scale factor). */
+  private[queries] def q30(spark: SparkSession, dir: String): DataFrame = {
+    // hot-bucket cap: within-bucket pairing is quadratic in bucket size,
+    // so a degenerate bucket (e.g. all-zero embeddings) is dropped rather
+    // than paid — mirrored in the oracle SQL below.
+    val emb = TextOps.capHotBuckets(
+      Tables.embeddings(spark, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8)),
+      Seq("bucket"), TextOps.DefaultMaxBucket, "ann_hot_buckets")
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSimilarity.cosineSim(spark, col("ea"), col("eb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+  private[queries] val q30Sql =
+    s"""WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ${bucketSql(8)} AS bucket
+       |  FROM embeddings),
+       |sz AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |b AS (SELECT b0.* FROM b0 JOIN sz USING (bucket))
+       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |       round(list_cosine_similarity(a.e, c.e), 4) AS cos_sim
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |ORDER BY cos_sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+
+
+  // ------------------------------------------------------------------ q54
+  /** IVF ANN — the OTHER scale path next to q24's LSH buckets: a coarse
+    * quantizer of 16 deterministic centroids (the first 16 corpus
+    * vectors; production trains k-means, same plumbing) partitions the
+    * corpus into cells, and each probe searches only its `nprobe=2`
+    * nearest cells.
+    *
+    * The IVF scale property is that centroids always fit on the driver:
+    * they ship as ONE literal array inside the assignment expression, so
+    * corpus→cell assignment is a pure map-side pass (zero shuffle, full
+    * codegen via the fused cosine), and the candidate join carries
+    * ~nprobe/K of the corpus per probe. Deterministic end to end —
+    * argmax ties break toward the higher centroid id in BOTH engines —
+    * so unlike typical ANN this variant is exactly oracle-checkable. */
+  private[queries] def q54(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    ivfAnn(spark, dir, cents)
+  }
+
+  /** Production spelling of q54: centroids come from a PERSISTED table
+    * (ops/IvfIndex — one clusteredWrite at train time, one bounded
+    * read-back per query) instead of being re-derived from the corpus
+    * inside every query. Same plan after the centroids are in hand —
+    * IvfIndexSpec pins result-equality with the declared q54. */
+  def annIvfPersisted(spark: SparkSession, dir: String,
+      centroidPath: String): DataFrame =
+    ivfAnn(spark, dir, graft.ops.IvfIndex.loadCentroids(spark, centroidPath))
+
+  private[queries] val q54Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ------------------------------------------------------------------ q97
+  /** INCREMENTAL IVF ingest — the vector twin of q62's incremental LSH
+    * index: the corpus is PERSISTED cell-clustered under a FROZEN coarse
+    * quantizer (the first 16 base vectors, q54's deterministic
+    * convention trained on the base generation only), an ingest batch
+    * (vec_id % 4 == 0) is assigned to cells map-side under the SAME
+    * centroid literals and APPENDED — cell-local, no rebuild, no
+    * reshuffle of the existing table — and the ANN probe then runs
+    * against the persisted table only. The oracle recomputes the same
+    * top-3 from scratch over the full corpus with base-derived
+    * centroids: an incremental ingest that drifted the quantizer,
+    * mis-assigned a cell, or lost batch rows hash-mismatches. Scale
+    * shape: the frozen-quantizer append IS the IVF production contract
+    * (FAISS-style add-after-train); each append range-partitions only
+    * its own batch, and the clustered layout keeps per-file cell ranges
+    * prunable across generations (Layout.clusteredWrite append mode). */
+  private[queries] def q97(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+    try {
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val isBatch = pmod(col("vec_id"), lit(4)) === 0
+      val cents: Seq[Seq[Float]] = emb.where(!isBatch)
+        .orderBy(col("vec_id")).limit(K)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val centArr = typedLit(cents)
+      def cellScores(v: Column): Column =
+        transform(sequence(lit(1), lit(K)), i => struct(
+          CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+          (i - 1).as("i")))
+      def cellOf(v: Column): Column = array_max(cellScores(v)).getField("i")
+      def topCells(v: Column): Column =
+        transform(slice(reverse(array_sort(cellScores(v))), 1, NPROBE),
+          s => s.getField("i"))
+      val path = s"$tmp/corpus"
+      // build: base generation, cell-clustered
+      Layout.clusteredWrite(
+        Tables.spread(emb.where(!isBatch))
+          .withColumn("cell", cellOf(col("embedding"))),
+        path, files = 4, col("cell"))
+      // ingest: batch under the SAME frozen centroids, appended
+      Layout.clusteredWrite(
+        Tables.spread(emb.where(isBatch))
+          .withColumn("cell", cellOf(col("embedding"))),
+        path, files = 2, "append", col("cell"))
+      // probe: persisted table only — the original frames never re-read
+      val corpus = spark.read.parquet(path)
+      val probes = corpus.where(col("vec_id") >= K && col("vec_id") < K + 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+          topCells(col("embedding")).as("pcells"))
+      val cand = corpus.crossJoin(broadcast(probes))
+        .where(array_contains(col("pcells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+      val out = topNeighbors(cand, 3)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("probe_id"), col("rn"))
+      // Fallback is localCheckpoint, NOT persist: the finally below deletes
+      // the scratch parquet this plan reads, and a persisted frame can be
+      // evicted/recomputed after cleanup — a checkpoint severs the lineage.
+      Caches.localize(out, maxRows = 1 << 16)
+        .getOrElse(out.localCheckpoint())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp)) // result is localized (15 rows); safe now
+    }
+  }
+  private[queries] val q97Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM (
+      |        SELECT * FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16)),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ------------------------------------------------------------------ q65
+  /** Persisted-quantizer IVF ANN — q54's production spelling end-to-end
+    * under the oracle: train (= the same deterministic first-16 stand-in
+    * q54 uses), persist via one IvfIndex.writeCentroids, read back, and
+    * query. Result ≡ q54 by construction (IvfIndexSpec pins it too), so
+    * the oracle IS q54's SQL. The centroid read-back localizes eagerly,
+    * so the scratch dir can be deleted before the result is consumed. */
+  private[queries] def q65(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+    try {
+      graft.ops.IvfIndex.writeCentroids(
+        Tables.embeddings(spark, dir).where(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("embedding")),
+        tmp)
+      annIvfPersisted(spark, dir, tmp)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+
+  // ------------------------------------------------------------------ q66
+  /** Int8 quantization audit, oracle-checked: per-vector scale and worst
+    * reconstruction error. err(x) = |x − round(x/scale)·scale| is
+    * derivable from x alone, so DuckDB verifies the DEFINITIONAL scale/2
+    * bound on every vector — the quantizer's exactness contract runs
+    * under the hash compare, not just a spec. Map-side only + sort. */
+  private[queries] def q66(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.quantizeInt8(col("embedding")).as("q"))
+    val scale = col("q").getField("scale")
+    val maxErr = aggregate(
+      transform(col("embedding"), x => {
+        val xd = x.cast("double")
+        abs(xd - round(xd / scale) * scale)
+      }),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    emb.select(col("vec_id"),
+        round(scale, 6).as("scale_r"),
+        round(maxErr, 6).as("max_err_r"),
+        (maxErr <= scale / 2 + lit(1e-9)).as("within_bound"))
+      .orderBy(col("vec_id"))
+  }
+  private[queries] val q66Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+      |              ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
+      |  FROM e),
+      |m AS (
+      |  SELECT vec_id, scale,
+      |         list_max(list_transform(v, x -> abs(x - round(x / scale) * scale))) AS max_err
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale_r, round(max_err, 6) AS max_err_r,
+      |       max_err <= scale / 2 + 1e-9 AS within_bound
+      |FROM m ORDER BY vec_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q79
+  /** Signed random projection of embeddings to 8 dims — the
+    * Johnson-Lindenstrauss / Achlioptas ±1 projection ("Database-friendly
+    * random projections", PODS'01) every large-corpus pipeline uses to
+    * cheapen downstream similarity work: distances survive within (1±ε)
+    * at a fraction of the width. The projection matrix is never stored
+    * or broadcast as data: sign s(i,j) ∈ {+1,−1} is a pure function of
+    * (i,j) — first hex nibble of md5(i||'|'||j) < '8' — so any engine,
+    * any executor, any scale regenerates the identical matrix from the
+    * formula. Since it is ROW-INVARIANT it is rendered ONCE at
+    * plan-build time into a literal (64×8 doubles), leaving the per-row
+    * work a pure fused multiply-add over the array — no per-row hashing
+    * (the first spelling md5'd in-row: 512 digests/row, ~6× slower).
+    * Map-side only (one scan, no shuffle before the output sort); long
+    * (vec_id, dim, v) shape keeps the oracle trivial, array_agg per
+    * vec_id when a vector column is needed. */
+  private[queries] def q79(spark: SparkSession, dir: String): DataFrame = {
+    val D = 8; val SRC_DIM = 64 // embeddings.parquet is fixed 64-wide
+    def signOf(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    // signs(j) = the ±1 column for output dim j, indexable by i (1-based)
+    val signs = typedLit(Seq.tabulate(D)(j => Seq.tabulate(SRC_DIM)(i => signOf(i, j))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(D - 1))).as("dim"))
+      .select(col("vec_id"), col("dim"),
+        round(aggregate(
+          transform(sequence(lit(1), size(col("embedding"))), i =>
+            element_at(col("embedding"), i).cast("double") *
+              element_at(element_at(signs, col("dim") + 1), i)),
+          lit(0.0d), (acc, x) => acc + x), 4).as("v"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+  private[queries] val q79Sql =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(0, 8)) AS dim),
+      |terms AS (
+      |  SELECT vec_id, dim,
+      |         x * (CASE WHEN substr(md5((i - 1) || '|' || dim), 1, 1)
+      |                        BETWEEN '0' AND '7'
+      |                   THEN 1.0 ELSE -1.0 END) AS t
+      |  FROM u CROSS JOIN dims)
+      |SELECT vec_id, dim, round(sum(t), 4) AS v
+      |FROM terms GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+
+  // ------------------------------------------------------------------ q87
+  /** IVF-ANN recall audit — q84's calibration-audit pattern applied to
+    * the vector path: run q54's IVF plan (16 cells, nprobe=2) and
+    * brute-force ground truth over the SAME probes, and declare
+    * recall@3 plus the candidate fraction the cell pruning actually
+    * scanned. nprobe tuning at 100 TB needs this number to be a
+    * measured, oracle-checked quantity, not folklore. The ground-truth
+    * side is bounded by the fixed probe count (5 × corpus), the IVF
+    * side is q54's own plan; both rank with the identical
+    * (cos desc, vec_id) tie rule the oracle uses. */
+  private[queries] def q87(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val cand = ivfCandidates(spark, dir, cents).persist()
+    try {
+      val ivf = topNeighbors(cand, 3).select(col("probe_id"), col("vec_id"))
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      val probes = Tables.embeddings(spark, dir)
+        .where(col("vec_id") >= K && col("vec_id") < K + 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val bfCand = emb.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+      val bf = topNeighbors(bfCand, 3).select(col("probe_id"), col("vec_id"))
+      val out = ivf.join(bf, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("h"))
+        .crossJoin(cand.agg(count(lit(1)).as("nc")))
+        .crossJoin(emb.agg(count(lit(1)).as("ne")))
+        .select(lit(5).as("n_probes"),
+          round(col("h") / 15.0, 4).as("recall_at_3"),
+          round(col("nc") / (lit(5.0) * col("ne")), 4).as("avg_scan_frac"))
+      Caches.localize(out, maxRows = 1)
+        .getOrElse(sys.error("q87 audit must be one row"))
+    } finally cand.unpersist()
+  }
+  private[queries] val q87Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id),
+      |ivf AS (SELECT probe_id, vec_id FROM cand
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, vec_id) <= 3),
+      |bfc AS (SELECT p.probe_id, e.vec_id,
+      |          list_cosine_similarity(p.pv, e.v) AS cos
+      |        FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+      |bf AS (SELECT probe_id, vec_id FROM bfc
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, vec_id) <= 3)
+      |SELECT 5 AS n_probes,
+      |  round((SELECT count(*) FROM ivf JOIN bf USING (probe_id, vec_id)) / 15.0, 4)
+      |    AS recall_at_3,
+      |  round((SELECT count(*) FROM cand) /
+      |        (5.0 * (SELECT count(*) FROM e)), 4) AS avg_scan_frac""".stripMargin
+
+
+  // ------------------------------------------------------------------ q88
+  /** k-means quantizer TRAINING (IvfIndex.kmeansTrain) under the oracle:
+    * two Lloyd iterations from the deterministic first-8 seed, then the
+    * final cell assignment — declared as per-cell member counts plus the
+    * trained centroid norms (a compact fingerprint of the full centroid
+    * vectors). The oracle unrolls both iterations in SQL: correlated
+    * argmax assignment, per-dimension means with the same
+    * double-accumulate-then-REAL-round rule, empty cells keeping their
+    * previous centroid. This is the trainer behind q54/q65's quantizer
+    * — per iteration the corpus is scanned once, assignment is a
+    * map-side literal expression, and only K × dim partial-mean rows
+    * ever shuffle. */
+  private[queries] def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = IvfIndex.kmeansTrain(emb, k = 8, iters = 2)
+    val counts = Tables.spread(emb)
+      .withColumn("c_id", IvfIndex.cellOf(spark, col("embedding"), cents))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+    val norms = cents.zipWithIndex
+      .map { case (cv, i) => (i, math.sqrt(cv.map(x => x.toDouble * x).sum)) }
+      .toDF("c_id", "norm")
+    norms.join(counts, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(col("norm"), 4).as("centroid_norm"))
+      .orderBy(col("c_id"))
+  }
+  private[queries] val q88Sql = {
+    def iter(n: Int, prev: String) =
+      s"""a$n AS (SELECT vec_id, v,
+         |  (SELECT c_id FROM $prev ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+         |   LIMIT 1) AS cell FROM e),
+         |m$n AS (SELECT cell, i, CAST(avg(v[i]) AS REAL) AS m
+         |        FROM a$n CROSS JOIN range(1, 65) r(i) GROUP BY cell, i),
+         |n$n AS (SELECT cell AS c_id, list(CAST(m AS DOUBLE) ORDER BY i) AS cv
+         |        FROM m$n GROUP BY cell),
+         |c$n AS (SELECT c0.c_id, coalesce(n$n.cv, p.cv) AS cv
+         |        FROM c0 JOIN $prev p USING (c_id)
+         |        LEFT JOIN n$n USING (c_id))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |a3 AS (SELECT vec_id,
+       |  (SELECT c_id FROM c2 ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+       |   LIMIT 1) AS cell FROM e),
+       |cnt AS (SELECT cell AS c_id, count(*) AS n_members FROM a3 GROUP BY cell)
+       |SELECT c2.c_id, coalesce(cnt.n_members, 0) AS n_members,
+       |  round(sqrt(list_aggregate(list_transform(c2.cv, x -> x * x), 'sum')), 4)
+       |    AS centroid_norm
+       |FROM c2 LEFT JOIN cnt USING (c_id)
+       |ORDER BY c_id""".stripMargin
+  }
+
+
+}

@@ -1,0 +1,1152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LogReg, LshIndex, TextOps}
+import graft.sources.Tables
+import graft.pipeline.CurationPipeline
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
+
+/** Text-curation family: lang-id, quality, tokens, PII, packing,
+  * contamination, mixtures, vocab, classifiers, BPE, curation
+  * chains and the dataset-build manifest. */
+private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
+  // ------------------------------------------------------------------ q64
+  /** The end-to-end curation pipeline under the oracle: exact dedup on
+    * normalized text → quality gate (min words + stopword ratio) →
+    * MinHash+LSH near-dedup (drop the higher-id doc of every verified
+    * pair) → per-doc token accounting. The oracle replays the identical
+    * 4-stage chain in SQL — including the LSH pair CTEs over the
+    * QUALITY-GATED corpus, not the raw one, because stage order changes
+    * which pairs exist (a low-quality doc must not shield its near-dup
+    * from removal). The pipeline's own funnel report + cache lifetimes
+    * are pinned by CurationPipelineSpec. */
+  private[queries] def q64(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val exact = CurationPipeline.exactDedup(docs)
+    val quality = CurationPipeline.qualityGate(exact, cfg)
+    val (near, cleanup) = CurationPipeline.nearDedupStaged(quality, cfg)
+    try {
+      val out = CurationPipeline.withTokenCounts(near)
+        .select(col("doc_id"), col("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private[queries] val q64Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""WITH exact AS (
+       |  SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |${pairCtesWith("", "qual")},
+       |dropids AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT doc_id,
+       |       CAST($nWords AS INT) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+       |FROM qual
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+
+  // ------------------------------------------------------------------ q25
+  /** Heuristic language-ID (stopword-marker scoring), aggregated per true
+    * lang label — doubles as a confusion summary of the heuristic. */
+  private[queries] def q25(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("pred", TextOps.langIdHeuristic(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q25Sql =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.05
+      |         THEN 'en' ELSE 'other' END AS pred
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+
+  // ------------------------------------------------------------------ q26
+  /** Per-document quality scoring: word count, chars-per-word, stopword
+    * ratio, and a bounded composite score — all exact-int-derived doubles
+    * so the 4-dp rounding is engine-stable. */
+  private[queries] def q26(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val nWords = size(w)
+    val swRatio = TextOps.stopwordRatio(col("text"), Seq("the", "a"))
+    val score = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - swRatio) * 0.5
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(col("n_chars").cast("double") / nWords, 4).as("chars_per_word"),
+        round(swRatio, 4).as("stopword_ratio"),
+        round(score, 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q26Sql =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS sw
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |       round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word,
+      |       round(sw, 4) AS stopword_ratio,
+      |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 + (1.0 - sw) * 0.5, 4) AS quality_score
+      |FROM base ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q27
+  /** Token counting per language: whitespace tokens + BPE-ish regex
+    * tokens, aggregated per lang. */
+  private[queries] def q27(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"),
+        size(TextOps.words(col("text"))).as("ws_tokens"),
+        TextOps.bpeishTokenCountOf("text").as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q27Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+
+  // ------------------------------------------------------------------ q28
+  /** Rolling-hash fingerprint: min-md5 over char 8-grams, computed fully
+    * within the row (array_min ∘ transform — no explode, no shuffle). */
+  private[queries] def q28(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        TextOps.charFingerprint(col("text"), 8).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q28Sql =
+    """SELECT doc_id,
+      |       list_aggregate(list_transform(range(1, greatest(length(text) - 6, 1)),
+      |         i -> md5(substr(text, i, 8))), 'min') AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q58
+  /** Document chunking: split every document into 40-token windows with a
+    * 30-token stride (10-token overlap) — the op every training-data
+    * pipeline runs between curation and tokenization. All in-row: the
+    * token array and the window starts are computed inside the row and
+    * posexploded, so the only wide ops are the spread and the output
+    * sort; chunk rows inherit the document's partitioning. */
+  private[queries] def q58(spark: SparkSession, dir: String): DataFrame = {
+    val CHUNK = 40; val STRIDE = 30
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(STRIDE))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        array_join(slice(col("toks"), col("col") + 1, lit(CHUNK)), " ").as("chunk"),
+        least(lit(CHUNK), size(col("toks")) - col("col")).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  private[queries] val q58Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 30)) AS st
+      |      FROM t)
+      |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_id,
+      |       array_to_string(list_slice(toks, st + 1, st + 40), ' ') AS chunk,
+      |       CAST(least(40, len(toks) - st) AS INT) AS n_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q67
+  /** PII redaction (TextOps.redactPii) over documents with
+    * deterministically fabricated PII (the corpus itself has none):
+    * doc_id % 3 == 0 gains an email, % 5 == 0 a phone, % 15 both. Output
+    * carries the full redacted text — the hash compare certifies every
+    * byte of the replace chain, in both engines' regex dialects. */
+  private[queries] def q67(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555 01"),
+              pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit("")))
+          .as("text"))
+    withPii.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"))
+      .withColumn("had_email", col("redacted").contains("[EMAIL]"))
+      .withColumn("had_phone", col("redacted").contains("[PHONE]"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q67Sql =
+    """WITH withpii AS (
+      |  SELECT doc_id,
+      |         text ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+      |              ELSE '' END AS text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |           '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+      |  FROM withpii)
+      |SELECT doc_id, redacted,
+      |       contains(redacted, '[EMAIL]') AS had_email,
+      |       contains(redacted, '[PHONE]') AS had_phone
+      |FROM red ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q68
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (CAP = 512 whitespace tokens) by running token count, per lang
+    * shard in doc_id order — the packing pass a training pipeline runs
+    * per shard before writing examples. The window partitions by lang:
+    * per-shard state, horizontally scalable — a single global ordering
+    * would serialize the whole corpus through one partition at 100 TB.
+    * Contiguous fill (bin = tokens-before-this-doc ÷ CAP) keeps the
+    * assignment a pure window expression — deterministic and
+    * oracle-expressible, unlike iterative first-fit. */
+  private[queries] def q68(spark: SparkSession, dir: String): DataFrame = {
+    val CAP = 512
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.words(col("text"))).as("tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens")) / lit(CAP.toDouble)))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+  private[queries] val q68Sql =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+      |  FROM documents),
+      |binned AS (
+      |  SELECT lang, doc_id, tokens,
+      |         CAST(floor((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+      |           / 512.0) AS BIGINT) AS bin
+      |  FROM toks)
+      |SELECT lang, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+
+  // ------------------------------------------------------------------ q69
+  /** Benchmark-contamination detection: which training documents share
+    * ≥ 30% of an eval-set document's word trigrams? The eval set is
+    * doc_id % 10 == 0, plus one FABRICATED exact leak per eval doc
+    * (doc_id + 1,000,000, same text) so the operator's positive path is
+    * deterministic at every scale factor — mirroring q67's fabricated-PII
+    * pattern. Scale shape: the eval set is the small side by definition
+    * (benchmarks are MBs against a 100 TB corpus), so its exploded
+    * trigrams BROADCAST to both the overlap join and the per-benchmark
+    * totals join — the corpus side never shuffles for the match; the
+    * only wide exchange is the per-pair overlap count, whose input is
+    * already filtered to matching trigrams. */
+  private[queries] def q69(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val leaked = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val tri = Tables.spread(docs.unionByName(leaked))
+      .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), 3)).as("sh"))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 1000000L
+    val bench = tri.where(isBench).select(col("doc_id").as("bench_id"), col("sh"))
+    val train = tri.where(!isBench).select(col("doc_id").as("train_id"), col("sh"))
+    val benchSize = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_sh"))
+    train.join(broadcast(bench), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(benchSize), "bench_id")
+      .where(col("overlap").cast("double") / col("n_sh") >= 0.3)
+      .select(col("train_id"), col("bench_id"), col("overlap"),
+        round(col("overlap").cast("double") / col("n_sh"), 4).as("frac"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+  private[queries] val q69Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM w),
+      |tri AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+      |bench AS (SELECT doc_id AS bench_id, sh FROM tri
+      |          WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+      |train AS (SELECT doc_id AS train_id, sh FROM tri
+      |          WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+      |bc AS (SELECT bench_id, count(*) AS n_sh FROM bench GROUP BY 1),
+      |ov AS (SELECT train_id, bench_id, count(*) AS overlap
+      |       FROM train JOIN bench USING (sh) GROUP BY 1, 2)
+      |SELECT train_id, bench_id, overlap,
+      |       round(CAST(overlap AS DOUBLE) / n_sh, 4) AS frac
+      |FROM ov JOIN bc USING (bench_id)
+      |WHERE CAST(overlap AS DOUBLE) / n_sh >= 0.3
+      |ORDER BY train_id, bench_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q70
+  /** Repetition-ratio quality signal: 1 − distinct/total word bigrams —
+    * high values flag boilerplate/spam (the "repeated n-gram" filter
+    * every corpus-quality pipeline runs). Fully in-row: the bigram LIST
+    * (non-distinct, unlike shingleSet) and its distinct size are derived
+    * inside the row; no explode, no shuffle beyond the output sort. */
+  private[queries] def q70(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val grams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    Tables.spread(Tables.documents(spark, dir))
+      .where(size(w) >= 2)
+      .select(col("doc_id"), size(grams).as("total_bigrams"),
+        size(array_distinct(grams)).as("uniq_bigrams"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("uniq_bigrams").cast("double") / col("total_bigrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q70Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         len(w) - 1 AS total_bigrams,
+      |         len(list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1]))) AS uniq_bigrams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 2)
+      |SELECT doc_id, CAST(total_bigrams AS INT) AS total_bigrams,
+      |       CAST(uniq_bigrams AS INT) AS uniq_bigrams,
+      |       round(1.0 - CAST(uniq_bigrams AS DOUBLE) / total_bigrams, 4) AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q71
+  /** Deterministic shard assignment — the reproducible "shuffle" step
+    * before writing training shards: shard = first two hex chars of
+    * md5(doc_id), i.e. a 256-way content-independent hash split both
+    * engines compute identically (md5 is the cross-engine hash the repo
+    * already standardizes on; production swaps xxhash64 at half the
+    * cost). Pure map-side assignment + one aggregation; the per-shard
+    * counts/token totals are the shard-balance audit a pipeline runs
+    * before training. */
+  private[queries] def q71(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(Tables.documents(spark, dir))
+      .select(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("shard"),
+        size(TextOps.words(col("text"))).as("tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"))
+      .orderBy(col("shard"))
+  }
+  private[queries] val q71Sql =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS shard_tokens
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+
+  // ------------------------------------------------------------------ q72
+  /** Extended curation pipeline — the round-9 operators composed into the
+    * full training-data chain a 100 TB corpus job runs, each stage the
+    * CurationPipeline function, under a stage-order-sensitive oracle:
+    *
+    *   fabricate PII (the "raw corpus") → exact dedup → quality gate →
+    *   repetition gate → PII scrub → MinHash+LSH near-dedup (over the
+    *   SCRUBBED text — redaction markers participate in similarity) →
+    *   token accounting → per-lang sequence packing.
+    *
+    * Output: every surviving doc with its token count and packed bin.
+    * The oracle replays the identical 8 stages in SQL; any stage
+    * reordering or threshold drift flips the hash. */
+  private[queries] def q72(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val withPii = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555 01"),
+              pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit("")))
+          .as("text"))
+    val exact = CurationPipeline.exactDedup(withPii)
+    val quality = CurationPipeline.qualityGate(exact, cfg)
+    val rep = CurationPipeline.repetitionGate(quality, maxRepetition = 0.2)
+    val red = CurationPipeline.piiScrub(rep)
+    val (near, cleanup) = CurationPipeline.nearDedupStaged(red, cfg)
+    try {
+      val toks = near.withColumn("ws_tokens", size(TextOps.words(col("text"))))
+      val out = CurationPipeline
+        .packed(toks, col("lang"), col("doc_id"), col("ws_tokens"))
+        .select(col("doc_id"), col("lang"), col("ws_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private[queries] val q72Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    val uniqBigrams = "len(list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))"
+    s"""WITH pii AS (
+       |  SELECT doc_id, lang,
+       |         text ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+       |              ELSE '' END AS text
+       |  FROM documents),
+       |exact AS (
+       |  SELECT doc_id, lang, text FROM pii
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |rep AS (
+       |  SELECT doc_id, lang, text FROM qual
+       |  WHERE 1.0 - CAST($uniqBigrams AS DOUBLE) / ($nWords - 1) <= 0.2),
+       |red AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(regexp_replace(text,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+       |           '\\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS text
+       |  FROM rep),
+       |${pairCtesWith("", "red")},
+       |dropids AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |survivors AS (
+       |  SELECT doc_id, lang, text FROM red
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+       |toks AS (SELECT doc_id, lang, $nWords AS ws_tokens FROM survivors),
+       |binned AS (
+       |  SELECT doc_id, lang, ws_tokens,
+       |         CAST(floor((sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens)
+       |           / 512.0) AS BIGINT) AS bin
+       |  FROM toks)
+       |SELECT doc_id, lang, CAST(ws_tokens AS INT) AS ws_tokens, bin
+       |FROM binned ORDER BY doc_id""".stripMargin
+  }
+
+
+  // ------------------------------------------------------------------ q74
+  /** Domain-temperature mixture sampling — the data-mixing step of every
+    * corpus build: resample languages so the mix follows c^α (α=0.5,
+    * target 60% of the corpus) instead of raw counts, up-weighting tail
+    * languages exactly as multilingual-LM recipes do. The per-doc
+    * keep/drop decision is DETERMINISTIC: doc u-value = first 6 hex
+    * chars of md5(doc_id), kept iff u ≤ the per-lang rate threshold
+    * rendered as 6-digit hex — both engines compare the same strings, so
+    * the sample is reproducible and oracle-checkable (no rand()).
+    * Scale shape: per-lang counts are a tiny agg (one row per language)
+    * joined back by BROADCAST; the keep test is then pure map-side —
+    * a 100 TB corpus is sampled in one scan with the only wide exchange
+    * being the few-hundred-row audit aggregation. Rates are rounded to
+    * 9 dp before thresholding so both engines floor identical doubles. */
+  private[queries] def q74(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_tot"), sum(sqrt(col("n_docs"))).as("w_tot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("n_tot") * lit(0.6) * sqrt(col("n_docs")) /
+            (col("w_tot") * col("n_docs"))), 9))
+      .select(col("lang"), col("n_docs"), col("rate"))
+    val kept = docs.join(broadcast(rates), "lang")
+      .where(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) <=
+          format_string("%06x", floor(col("rate") * 16777215d).cast("int")))
+    kept.groupBy(col("lang"), col("n_docs"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("rate"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q74Sql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(n_docs) AS n_tot, sum(sqrt(n_docs)) AS w_tot FROM counts),
+      |rates AS (
+      |  SELECT lang, n_docs,
+      |         round(least(1.0, n_tot * 0.6 * sqrt(n_docs) / (w_tot * n_docs)), 9) AS rate
+      |  FROM counts, tot),
+      |kept AS (
+      |  SELECT d.lang, r.n_docs, r.rate
+      |  FROM documents d JOIN rates r USING (lang)
+      |  WHERE r.rate >= 1.0
+      |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <=
+      |        printf('%06x', CAST(floor(r.rate * 16777215) AS INT)))
+      |SELECT lang, n_docs, count(*) AS n_kept, rate
+      |FROM kept GROUP BY lang, n_docs, rate
+      |ORDER BY lang""".stripMargin
+
+
+  // ------------------------------------------------------------------ q75
+  /** Corpus version delta — the incremental-ingest diff a versioned 100 TB
+    * corpus runs between snapshots: which docs were added, removed, or
+    * changed. Old snapshot is fabricated deterministically from the
+    * table (docs with id%10==0 absent → "added"; id%13==0 re-published
+    * under id+3,000,000 → "removed"; id%7==0 carried a 'draft: ' prefix
+    * → "changed"). Scale shape: each side reduces to (doc_id, md5(text))
+    * MAP-SIDE, so only 16-byte content hashes ever cross the wire — the
+    * full-outer join on doc_id shuffles hashes, never text; on the
+    * bucketed-by-id layout (sources/Bucketing) the join is zero-Exchange.
+    * Unchanged docs (the overwhelming majority between real snapshots)
+    * are filtered before the output sort. */
+  private[queries] def q75(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val vOld = Tables.spread(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("draft: "), col("text"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+    val vNew = Tables.spread(docs)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_new"))
+    vOld.join(vNew, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q75Sql =
+    """WITH v_old AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN 'draft: ' || text ELSE text END) AS h_old
+      |  FROM documents WHERE doc_id % 10 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+      |v_new AS (SELECT doc_id, md5(text) AS h_new FROM documents),
+      |delta AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.h_old IS NULL THEN 'added'
+      |              WHEN n.h_new IS NULL THEN 'removed'
+      |              WHEN o.h_old != n.h_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status FROM delta
+      |WHERE status != 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q76
+  /** Corpus-derived unigram LM quality scoring — the perplexity-filter
+    * stage of CCNet-style corpus builds (Wenzek et al., arXiv:1911.00359):
+    * score each doc by the mean unigram surprisal of its tokens under the
+    * corpus's OWN term distribution, then gate each doc against its
+    * language's mean score (head = ≥0.01 ln-units better than the lang
+    * mean, tail = ≥0.01 worse, middle between). CCNet ships absolute
+    * per-lang cutoffs, not global terciles — deliberately mirrored here
+    * because cutoffs need NO global sort/rank: after two tiny broadcast
+    * joins the bucketing is a pure map-side compare at any corpus size.
+    *
+    * `surprisal` is mean −ln(cnt(term)) — the corpus-size ln(N) constant
+    * is dropped so no 1-row scalar frame has to join the plan (the bucket
+    * compare is translation-invariant). Scale shape: the LM is one
+    * (term, cnt) aggregate (vocab-bounded; web-scale practice prunes to
+    * top-N + OOV backoff before broadcast), the per-lang means are a
+    * second few-row aggregate, both joined back BROADCAST; the corpus
+    * never shuffles. Both engines round score and cutoffs to 4 dp before
+    * comparing so identical doubles gate both sides. */
+  private[queries] def q76(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("term"))
+    val lm = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val scored = tokens.join(broadcast(lm), "term")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("cnt")))).as("s"))
+    val langMeans = scored.groupBy(col("lang")).agg(avg(col("s")).as("mean_s"))
+    val sR = round(col("s"), 4)
+    scored.join(broadcast(langMeans), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        sR.as("surprisal"),
+        when(sR <= round(col("mean_s") - 0.01, 4), lit("head"))
+          .when(sR >= round(col("mean_s") + 0.01, 4), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q76Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |lm AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+      |s AS (SELECT doc_id, lang, count(*) AS n_tokens, -avg(ln(cnt)) AS s
+      |      FROM tokens t JOIN lm USING (term) GROUP BY 1, 2),
+      |m AS (SELECT lang, avg(s) AS mean_s FROM s GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.n_tokens, round(s.s, 4) AS surprisal,
+      |       CASE WHEN round(s.s, 4) <= round(m.mean_s - 0.01, 4) THEN 'head'
+      |            WHEN round(s.s, 4) >= round(m.mean_s + 0.01, 4) THEN 'tail'
+      |            ELSE 'middle' END AS bucket
+      |FROM s JOIN m USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q78
+  /** Vocabulary coverage / OOV-rate audit — the tokenizer-fit check run
+    * before training: build the top-16 vocabulary by global term count
+    * (ties break lexicographically) and report each doc's out-of-vocab
+    * token rate. Scale shape: the vocab is a TakeOrderedAndProject over
+    * the (term, cnt) aggregate — top-k never materializes the full
+    * ranked vocab on one node — and joins back BROADCAST (a real
+    * tokenizer vocab is ≤ a few hundred k entries); the corpus-side pass
+    * is then map-side. Production swaps the exact count agg for the
+    * Space-Saving sketch (q60) when the raw term cardinality itself is
+    * the bottleneck; the exact spelling is declared so the oracle stays
+    * sharp. */
+  private[queries] def q78(spark: SparkSession, dir: String): DataFrame = {
+    val V = 16
+    val tokens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+    val vocab = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(V)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q78Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnts AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+      |vocab AS (SELECT term FROM cnts ORDER BY cnt DESC, term LIMIT 16)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+      |       round(count(*) FILTER (WHERE v.term IS NULL) * 1.0 / count(*), 4)
+      |         AS oov_rate
+      |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q80
+  /** Model-based quality scoring via the hashing trick — the classifier
+    * stage of DCLM / FineWeb-Edu-style pipelines (a linear model over
+    * hashed token features), with the weights a documented deterministic
+    * stand-in (same convention as the multimodal stub codec): w(term) =
+    * 2·h/0xffffff − 1 ∈ [−1,1] where h = first 6 md5 hex digits, exactly
+    * reproducible in both engines. The Spark-side plumbing is the real
+    * thing and is the point: hashed features mean the "model" needs NO
+    * vocabulary table, NO broadcast, NO join — scoring is one in-row
+    * pass (margin = mean token weight, score = sigmoid(4·margin), keep
+    * at margin ≥ 0), so a 100 TB corpus is classifier-filtered in a
+    * single map-side scan. Swapping trained fasttext weights in means
+    * replacing the md5 expression with a weight lookup — the plan shape
+    * (map-only, shuffle-free until the output sort) is unchanged. */
+  private[queries] def q80(spark: SparkSession, dir: String): DataFrame = {
+    val w = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("double") *
+        2.0 / 16777215.0 - 1.0
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(w(col("term"))).as("margin"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("margin"), 4).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(col("margin") * -4.0)), 4).as("score"),
+        (col("margin") >= 0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q80Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         avg(('0x' || substr(md5(term), 1, 6))::BIGINT * 2.0 / 16777215.0 - 1.0)
+      |           AS margin
+      |  FROM tokens GROUP BY 1)
+      |SELECT doc_id, n_tokens, round(margin, 4) AS margin,
+      |       round(1.0 / (1.0 + exp(margin * -4.0)), 4) AS score,
+      |       margin >= 0 AS kept
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q81
+  /** Source-overlap forensics — the provenance audit a multi-source
+    * corpus runs before mixing: which SOURCES republish each other's
+    * content (mirror sites, scraper overlap), measured as distinct
+    * shared span fingerprints per source pair. Reuses q73's mod-p
+    * k-gram scheme (content-defined, alignment-independent); fabricated
+    * mirrors (doc_id%5==0 re-published verbatim under a rotated source)
+    * keep the positive path deterministic. Scale shape: only the 1-in-4
+    * selected 16-byte hashes shuffle, the >64-doc boilerplate cap
+    * bounds the fp self-join, and the final (src_a, src_b) aggregate is
+    * at most |sources|²/2 rows — a broadcast-sized forensics report
+    * regardless of corpus size. */
+  private[queries] def q81(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val mirrors = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(lit("src"), pmod(col("doc_id") + 7, lit(20))).as("source"),
+        col("text"))
+    val w = TextOps.words(col("text"))
+    val gramHashes = transform(sequence(lit(1), size(w) - 7),
+      i => md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")))
+    val fps = Tables.spread(docs.unionByName(mirrors))
+      .where(size(w) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(filter(gramHashes,
+          h => substring(h, 32, 1).isin("0", "4", "8", "c")))).as("fp"))
+    val common = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
+    val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
+      .select(col("source"), col("fp")).distinct()
+    rare.as("a").join(rare.as("b"), Seq("fp"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private[queries] val q81Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, 'src' || ((doc_id + 7) % 20), text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM corpus
+      |      WHERE len(string_split(text, ' ')) >= 8),
+      |fp0 AS (
+      |  SELECT DISTINCT doc_id, source, unnest(
+      |    list_filter(
+      |      list_transform(range(1, len(w) - 6),
+      |        i -> md5(array_to_string(w[i:i+7], ' '))),
+      |      h -> substr(h, 32, 1) IN ('0','4','8','c'))) AS fp
+      |  FROM w),
+      |rarefp AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 64),
+      |rare AS (
+      |  SELECT DISTINCT f.source, f.fp FROM fp0 f JOIN rarefp USING (fp))
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+      |FROM rare a JOIN rare b USING (fp)
+      |WHERE a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+
+  // ------------------------------------------------------------------ q82
+  /** One corpus-scale BPE merge round — the inner step of tokenizer
+    * training (Sennrich et al., ACL'16): count every ADJACENT symbol
+    * pair across the corpus and rank merge candidates. The full trainer
+    * is a driver loop over exactly this operator (apply merge #1,
+    * recount, repeat); one round is the declared, oracle-checkable unit.
+    * Scale shape: pair extraction is a per-doc window (lead over token
+    * position — partitioned by doc, never global), the pair count is a
+    * standard partial+final aggregate, and the top-10 lands via
+    * TakeOrderedAndProject — the full pair distribution never sits on
+    * one node. */
+  private[queries] def q82(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("pos", "t1")))
+      .withColumn("t2", lead(col("t1"), 1).over(byPos))
+      .where(col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("t1"), col("t2"))
+      .limit(10)
+  }
+  private[queries] val q82Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS t1
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT t1, lead(t1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |  FROM tokens)
+      |SELECT t1, t2, count(*) AS pair_count
+      |FROM pairs WHERE t2 IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY pair_count DESC, t1, t2
+      |LIMIT 10""".stripMargin
+
+
+  // ------------------------------------------------------------------ q93
+  /** BPE merge APPLY — the other half of tokenizer training (q82 COUNTS
+    * merge candidates; this applies the learned top merge to the corpus,
+    * the step that runs between q82 rounds and, at inference, 32k times
+    * inside the tokenizer): greedy LEFT-TO-RIGHT non-overlapping fusion
+    * of the highest-count adjacent pair ("a a a" under merge (a,a) →
+    * ["a_a", "a"], never ["a", "a_a"]). Scale shape: the merge pair is
+    * one TakeOrderedAndProject row cross-joined as a broadcast scalar;
+    * the apply is a single in-row `aggregate` fold per document — no
+    * explode, no shuffle beyond the pair-count aggregate and the output
+    * sort. The oracle reformulates the same greedy semantics
+    * relationally (runs of consecutive matches merge at even offsets —
+    * gaps-and-islands + run parity), so the two independent spellings
+    * must agree on every document. */
+  private[queries] def q93(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val top = docs
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sh"))
+      .limit(1)
+      .select(substring_index(col("sh"), " ", 1).as("mt1"),
+        substring_index(col("sh"), " ", -1).as("mt2"))
+    val w = TextOps.words(col("text"))
+    val merged = TextOps.bpeApplyMerge(w, col("mt1"), col("mt2"))
+    docs.crossJoin(broadcast(top)) // 1-row scalar: the learned merge
+      .select(col("doc_id"), size(w).as("n_before"),
+        size(merged).as("n_after"),
+        concat_ws(" ", merged).as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q93Sql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pp AS (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM words),
+      |pairs AS (SELECT doc_id, pos, w[pos] AS t1, w[pos + 1] AS t2 FROM pp),
+      |m AS (SELECT t1 AS mt1, t2 AS mt2 FROM (
+      |        SELECT t1, t2, count(*) AS c FROM pairs GROUP BY 1, 2)
+      |      ORDER BY c DESC, t1 || ' ' || t2 LIMIT 1),
+      |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM words),
+      |tt AS (SELECT doc_id, pos, w[pos] AS t,
+      |              CASE WHEN pos < len(w) THEN w[pos + 1] END AS nt
+      |       FROM tok),
+      |p AS (SELECT tt.*, coalesce(tt.t = m.mt1 AND tt.nt = m.mt2, FALSE) AS isp
+      |      FROM tt, m),
+      |r AS (SELECT *, CASE WHEN isp
+      |        THEN pos - ROW_NUMBER() OVER (PARTITION BY doc_id, isp ORDER BY pos)
+      |      END AS grp FROM p),
+      |ma AS (SELECT *, isp AND
+      |         (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS merge_at
+      |       FROM r),
+      |cons AS (SELECT doc_id, pos + 1 AS pos FROM ma WHERE merge_at),
+      |outt AS (SELECT ma.doc_id, ma.pos,
+      |                CASE WHEN ma.merge_at THEN ma.t || '_' || ma.nt ELSE ma.t END AS otok
+      |         FROM ma LEFT JOIN cons ON cons.doc_id = ma.doc_id AND cons.pos = ma.pos
+      |         WHERE cons.pos IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS n_after,
+      |               string_agg(otok, ' ' ORDER BY pos) AS text_out
+      |        FROM outt GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.w) AS n_before, agg.n_after, agg.text_out
+      |FROM words w JOIN agg USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q86
+  /** Per-source cap (CurationPipeline.sourceCap, the C4/CCNet-style
+    * domain cap): keep at most 10 docs per source, longest first, ties
+    * to the lowest doc_id — output bounded at cap × #sources regardless
+    * of corpus size. */
+  private[queries] def q86(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.sourceCap(
+      Tables.spread(Tables.documents(spark, dir)), cap = 10,
+      priority = length(col("text")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  private[queries] val q86Sql =
+    """WITH rk AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY length(text) DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM rk WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q96
+  /** DATASET BUILD — the complete "corpus in, training shards out"
+    * manifest, extending q89's curation-v3 chain with the two writer
+    * stages (q68's packing, q71's shard assignment) so one declared
+    * query covers the full path a 100 TB training-data job runs:
+    *
+    *   exact dedup → quality gate → canonical near-dedup → per-source
+    *   cap → token accounting → per-lang sequence packing → md5 shard
+    *
+    * Output: one row per surviving document with its token count,
+    * packed bin and shard — exactly what a shard writer consumes
+    * (`write.partitionBy(shard)` of this frame IS the dataset). The
+    * oracle replays all seven stages from the SHARED curation-v3 CTE
+    * chain (q89 and q96 cannot drift apart stage-wise) plus the pack
+    * window and shard expression; any stage reorder, threshold drift,
+    * or tie-rule change flips the hash. Scale shape inherits the
+    * stages': the only additions over q89 are one per-lang window and
+    * a map-side md5. */
+  private[queries] def q96(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val quality = CurationPipeline.qualityGate(
+      CurationPipeline.exactDedup(docs), cfg)
+    val (edges, cleanup) = CurationPipeline.nearDupEdges(quality, cfg)
+    try {
+      val canon = CurationPipeline
+        .canonicalSelect(quality,
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          length(col("text")))
+        .where(col("kept") === 1).drop("cluster_id", "kept")
+      val capped = CurationPipeline
+        .sourceCap(canon, cap = 10, priority = length(col("text")))
+        .withColumn("ws_tokens", size(TextOps.words(col("text"))))
+      val manifest = CurationPipeline
+        .packed(capped, col("lang"), col("doc_id"), col("ws_tokens"))
+        .withColumn("shard",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("ws_tokens"), col("bin"), col("shard"))
+        .orderBy(col("doc_id"))
+      Caches.localize(manifest, maxRows = 1 << 22).getOrElse {
+        val p = manifest.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  private[queries] val q96Sql =
+    s"""WITH RECURSIVE $curationV3Ctes,
+       |toks AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+       |  FROM capped),
+       |binned AS (
+       |  SELECT doc_id, lang, source, ws_tokens,
+       |         CAST(floor((sum(ws_tokens) OVER (PARTITION BY lang
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |           CURRENT ROW) - ws_tokens) / 512.0) AS BIGINT) AS bin
+       |  FROM toks)
+       |SELECT doc_id, lang, source, ws_tokens, bin,
+       |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+       |FROM binned ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q98
+  /** Temperature UPSAMPLING — the complement of q74's downsampling and
+    * the other half of multilingual data mixing: tail languages are
+    * REPEATED so the mix follows c^α (α = 0.5; the largest language
+    * keeps factor exactly 1.0), the standard epoch-repetition recipe
+    * for low-resource languages. Per-doc repeat count is DETERMINISTIC:
+    * n_copies = floor(r_lang) + 1 more iff the doc's md5 u-value falls
+    * strictly below the fractional part's 6-hex threshold (q74's
+    * u-value convention, so both engines compare identical strings —
+    * no rand()). Emits the exploded copy manifest (doc_id, lang,
+    * copy_id) a repetition-aware shard writer consumes. Scale shape:
+    * per-lang factors are a tiny agg broadcast back; the copy explosion
+    * is map-side `explode(sequence(...))` — one scan, no wide exchange
+    * except the output sort. */
+  private[queries] def q98(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max(col("n")).as("n_max"))
+    val factors = counts.crossJoin(broadcast(nMax))
+      .withColumn("rr",
+        round(sqrt(col("n_max").cast("double") / col("n")), 9))
+      .select(col("lang"), col("rr"))
+    val withCopies = docs.join(broadcast(factors), "lang")
+      .withColumn("base", floor(col("rr")))
+      .withColumn("thr", format_string("%06x",
+        floor((col("rr") - floor(col("rr"))) * 16777215d).cast("int")))
+      .withColumn("n_copies",
+        col("base") + when(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+            < col("thr"), 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+    withCopies
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+  private[queries] val q98Sql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT max(n) AS n_max FROM c),
+      |f AS (SELECT lang, round(sqrt(CAST(n_max AS DOUBLE) / n), 9) AS rr
+      |      FROM c, m),
+      |k AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CAST(floor(rr) AS BIGINT) +
+      |         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+      |                   printf('%06x', CAST(floor((rr - floor(rr)) * 16777215)
+      |                     AS INT))
+      |              THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN f USING (lang))
+      |SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id
+      |FROM k WHERE n_copies > 0
+      |ORDER BY doc_id, copy_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q94
+  /** Quality-classifier TRAINING (ops.LogReg) under the oracle — the
+    * "train" half of q80's hashed-feature scorer (the DCLM/fastText
+    * pipeline stage that learns the weights q80 then applies map-side):
+    * two full-batch logistic-regression gradient steps on 16 hashed
+    * token-frequency features predicting lang = 'en', declared as the
+    * learned per-dim weights. The oracle unrolls both iterations in SQL
+    * from the same w = 0 start (iteration 1's sigmoid(0) = 0.5 exactly,
+    * so the unroll is closed-form), with the q88 determinism rule:
+    * weights round to 6 decimals between iterations so double-sum order
+    * differences cannot compound. Scale shape: the model rides plans as
+    * a 16-double literal, per iteration one job scans the persisted
+    * sparse feature table, and the driver collects exactly 16 gradient
+    * rows — corpus rows never leave the cluster. */
+  private[queries] def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D = 16
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val tok = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+    val nt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val feat = tok
+      .select(col("doc_id"), LogReg.bucketOf(col("term"), D).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("j"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .persist()
+    try {
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = LogReg.train(feat, labels, D, iters = 2)
+      w.zipWithIndex.map { case (wj, j) =>
+        (j, BigDecimal(wj).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("dim", "weight").orderBy(col("dim"))
+    } finally { feat.unpersist(); () }
+  }
+  private[queries] val q94Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |feat0 AS (SELECT doc_id,
+      |            CAST(('0x' || substr(md5(term), 1, 6))::BIGINT % 16 AS INT) AS j,
+      |            count(*) AS c
+      |          FROM tok GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |x AS (SELECT doc_id, j, c * 1.0 / n AS x FROM feat0 JOIN nt USING (doc_id)),
+      |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |      FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |dims AS (SELECT unnest(range(0, 16)) AS j),
+      |g1 AS (SELECT x.j, sum((0.5 - y.y) * x.x) AS g
+      |       FROM x JOIN y USING (doc_id) GROUP BY 1),
+      |w1 AS (SELECT dims.j,
+      |         round(0.0 - coalesce(g1.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM dims LEFT JOIN g1 USING (j)),
+      |z2 AS (SELECT x.doc_id, sum(x.x * w1.w) AS z
+      |       FROM x JOIN w1 USING (j) GROUP BY 1),
+      |g2 AS (SELECT x.j, sum((1.0 / (1.0 + exp(-z2.z)) - y.y) * x.x) AS g
+      |       FROM x JOIN z2 USING (doc_id) JOIN y USING (doc_id) GROUP BY 1),
+      |w2 AS (SELECT w1.j, round(w1.w - coalesce(g2.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM w1 LEFT JOIN g2 USING (j))
+      |SELECT j AS dim, round(w, 4) AS weight FROM w2 ORDER BY dim""".stripMargin
+
+
+  // ------------------------------------------------------------------ q89
+  /** Curation v3 — the chain recomposed around the round's new stages:
+    * exact dedup → quality gate → CANONICAL near-dedup (cluster the
+    * verified pairs, keep the longest member — not pairwise
+    * drop-the-higher-id) → per-SOURCE cap (10 longest per source) →
+    * token accounting. One stage-order-sensitive oracle: the recursive
+    * CC + both ranking windows re-run in SQL over the same intermediate
+    * corpus, so a drifted stage order or tie rule hash-mismatches. */
+  private[queries] def q89(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CurationPipeline.Config()
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val quality = CurationPipeline.qualityGate(
+      CurationPipeline.exactDedup(docs), cfg)
+    val (edges, cleanup) = CurationPipeline.nearDupEdges(quality, cfg)
+    try {
+      val canon = CurationPipeline
+        .canonicalSelect(quality,
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          length(col("text")))
+        .where(col("kept") === 1).drop("cluster_id", "kept")
+      val out = CurationPipeline
+        .sourceCap(canon, cap = 10, priority = length(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TextOps.words(col("text"))).as("ws_tokens"))
+        .orderBy(col("doc_id"))
+      Caches.localize(out, maxRows = 1 << 22).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally cleanup()
+  }
+  /** The curation-v3 chain's CTEs through the source-capped corpus —
+    * shared by q89 (token accounting tail) and q96 (pack + shard tail)
+    * so the two oracles cannot drift apart stage-wise. `lazy` because
+    * q96Sql initializes earlier in the object body than this val. */
+  private lazy val curationV3Ctes: String = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""exact AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, source, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |${pairCtesWith("", "qual")},
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM bi
+       |  UNION
+       |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u),
+       |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |canon AS (
+       |  SELECT q.doc_id, q.lang, q.source, q.text FROM qual q
+       |  LEFT JOIN cl USING (doc_id)
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY coalesce(cl.cluster_id, q.doc_id)
+       |    ORDER BY length(q.text) DESC, q.doc_id) = 1),
+       |capped AS (
+       |  SELECT doc_id, lang, source, text FROM canon
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY length(text) DESC, doc_id) <= 10)""".stripMargin
+  }
+
+  private[queries] val q89Sql =
+    s"""WITH RECURSIVE $curationV3Ctes
+       |SELECT doc_id, lang, source,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+       |FROM capped ORDER BY doc_id""".stripMargin
+
+
+}

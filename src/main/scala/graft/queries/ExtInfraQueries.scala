@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Caches, EventOps, GraphOps, IvfIndex, Layout, LogReg, LshIndex, TextOps}
+import graft.sources.Tables
+import graft.pipeline.CurationPipeline
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, VectorOps}
+
+/** Storage/wire/multimodal family: clustered and z-order layout
+  * scans, wire-format round-trip, image/audio decode. */
+private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
+  // ------------------------------------------------------------------ q61
+  /** The clustered data layout under the oracle, end-to-end: write the
+    * events table range-clustered on user_id (`ops.Layout.clusteredWrite`
+    * — range shuffle + in-file sort), scan it back through a pushed range
+    * predicate (the layout every file/row-group min-max stat now serves,
+    * LayoutSpec proves the disjointness), and the roundtrip — including
+    * micros timestamps through the parquet writer — must match the plain
+    * filtered table. The (small) filtered result is localized so the
+    * scratch dir can be deleted before returning. */
+  private[queries] def q61(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+    // Deleting eagerly is only safe when localize SUCCEEDED (result is a
+    // plan-free local relation). The persist() fallback's lineage still
+    // reads the scratch parquet — a cache-block eviction would recompute
+    // against deleted files — so that path defers deletion to JVM exit.
+    var deferCleanup = false
+    try {
+      Layout.clusteredWrite(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts")),
+        tmp, files = 8, col("user_id"))
+      val filtered = spark.read.parquet(tmp)
+        .where(col("user_id").between(2L, 9L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_r"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy(col("event_id"))
+      Caches.localize(filtered, maxRows = 1 << 22).getOrElse {
+        deferCleanup = true
+        val p = filtered.persist(); p.count(); p
+      }
+    } finally {
+      // deleteOnExit runs LIFO, so registering each directory before its
+      // children deletes children first, directories last.
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
+        f.delete(); ()
+      }
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
+    }
+  }
+  private[queries] val q61Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events WHERE user_id BETWEEN 2 AND 9
+      |ORDER BY event_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q63
+  /** Multi-column Z-ORDER layout under the oracle: write events z-ordered
+    * on (user_id, event_id) — rank-bucketed bit interleaving,
+    * Layout.zorderWrite — and scan back through a conjunction of range
+    * predicates on BOTH columns, the multi-predicate shape single-column
+    * clustering cannot serve (LayoutSpec proves either-column row-group
+    * pruning from the written footers; this query proves the roundtrip
+    * bit-exact). */
+  private[queries] def q63(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").toString
+    var deferCleanup = false
+    try {
+      Layout.zorderWrite(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts")),
+        tmp, files = 8, Seq("user_id", "event_id"))
+      val filtered = spark.read.parquet(tmp)
+        .where(col("user_id").between(2L, 60L) &&
+          col("event_id").between(500L, 5000L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_r"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy(col("event_id"))
+      Caches.localize(filtered, maxRows = 1 << 22).getOrElse {
+        deferCleanup = true
+        val p = filtered.persist(); p.count(); p
+      }
+    } finally {
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
+        f.delete(); ()
+      }
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
+    }
+  }
+  private[queries] val q63Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events
+      |WHERE user_id BETWEEN 2 AND 60 AND event_id BETWEEN 500 AND 5000
+      |ORDER BY event_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q29
+  /** Multimodal column plumbing: text bytes stand in for image/audio
+    * payloads as an opaque BINARY column; "decode" is the clearly-marked
+    * deterministic stub (graft.multimodal.Multimodal has the
+    * mapPartitions-batched variant). Schema/partitioning/lineage are real. */
+  private[queries] def q29(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal.StubCodec._
+    val blob = col("text").cast("binary")
+    val nBytes = length(blob)
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), lit(FakeMime).as("mime"),
+        nBytes.as("n_bytes"),
+        (lit(BaseDim) + pmod(nBytes, lit(WidthMod))).as("width"),
+        (lit(BaseDim) + pmod(col("doc_id") * HeightMul, lit(HeightMod))).as("height"),
+        (lit(1) + pmod(nBytes, lit(FrameMod))).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q29Sql =
+    """SELECT doc_id, 'image/fake' AS mime,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       64 + octet_length(encode(text)) % 576 AS width,
+      |       64 + (doc_id * 37) % 416 AS height,
+      |       1 + octet_length(encode(text)) % 29 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q91
+  /** REAL image decode round-trip: render each document a genuine PNG
+    * (javax.imageio encode) whose pixel dimensions derive from table
+    * columns, ship the compressed bytes as the opaque BINARY media
+    * column, and run the production decode path
+    * ([[graft.multimodal.Multimodal.decodeBatched]] → ImageIoCodec) to
+    * read the dimensions back off the bytes. The oracle recomputes the
+    * dimension formulas relationally — the hash can only match if the
+    * engine actually parsed the PNG format (q29's stub spelling could
+    * not know the width without decoding). Scale shape: encode and
+    * decode are two narrow mapPartitions stages — blobs never cross a
+    * shuffle; only the (doc_id, dims) result is sorted for the oracle. */
+  private[queries] def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val w = 8 + (docId % 24).toInt
+        val h = 4 + (nChars % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0 // deterministic one-row fill; pixel content is not the contract
+        while (x < w) { img.setRGB(x, 0, (x * 2654435761L & 0xffffff).toInt); x += 1 }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "image/png")
+      })
+    Multimodal.decodeBatched(spark, media.toDF()).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q91Sql =
+    """SELECT doc_id, 'image/png' AS mime,
+      |       8 + doc_id % 24 AS width,
+      |       4 + n_chars % 16 AS height,
+      |       1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q95
+  /** REAL audio decode round-trip — q91's contract for the audio
+    * modality: render each document a genuine WAVE file
+    * (javax.sound.sampled encode) whose sample rate / channel count /
+    * duration derive from table columns, ship the bytes as the opaque
+    * BINARY media column, and run the production decode path
+    * ([[graft.multimodal.Multimodal.decodeAudioBatched]] → SoundCodec)
+    * to read them back off the RIFF headers. The oracle recomputes the
+    * parameter formulas relationally — the hash only matches if the
+    * engine actually parsed the format. Durations are chosen to divide
+    * the sample rate exactly, so frames·1000/rate is integer-exact on
+    * both sides. Same scale shape as q91: two narrow mapPartitions
+    * stages, blobs never cross a shuffle. */
+  private[queries] def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val rate = if (docId % 2 == 0) 8000 else 16000
+        val channels = 1 + (docId % 2).toInt
+        val dMs = 100 + (nChars % 400).toInt
+        val ns = rate / 1000 * dMs
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](ns * 2 * channels) // silence; content is
+        val out = new java.io.ByteArrayOutputStream() // not the contract
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "audio/wav")
+      })
+    Multimodal.decodeAudioBatched(spark, media.toDF()).toDF()
+      .select(col("doc_id"), col("mime"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q95Sql =
+    """SELECT doc_id, 'audio/wav' AS mime,
+      |  CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END) * (100 + n_chars % 400)
+      |    AS n_samples,
+      |  100 + n_chars % 400 AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
+  // ------------------------------------------------------------------ q55
+  /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
+    * envelope encode → the producer's `{"Records": [...]}` batch wrapper
+    * WITH its 5%-of-batches / 1-10-duplicates model (producer.py:142-167)
+    * → batch explode → base64/JSON decode → first-wins dedup. The output
+    * must equal the original table exactly — one query exercising the
+    * whole wire chain (json+base64 both ways, the batch dict, the
+    * batch-shaped duplicate distribution, schema-bound decode) against a
+    * trivial oracle. All narrow maps except the one batch groupBy and the
+    * dedup shuffle. */
+  private[queries] def q55(spark: SparkSession, dir: String): DataFrame = {
+    val BATCH = 100
+    val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+    val packed = Tables.events(spark, dir).select(
+      (col("event_id") / BATCH).cast("long").as("batch_id"), col("event_id"),
+      EventOps.encodeEnvelope(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us")), col("event_id").cast("string")).as("record"))
+    val batches = packed.groupBy(col("batch_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("record")))).as("rs"))
+      .select(col("batch_id"), transform(col("rs"), r => r.getField("record")).as("records"))
+    val withDups = batches.withColumn("records",
+        when(pmod(xxhash64(col("batch_id"), lit(101)), lit(100)) < 5,
+          concat(col("records"), slice(col("records"), lit(1),
+            (pmod(xxhash64(col("batch_id"), lit(103)), lit(10)) + 1).cast("int"))))
+          .otherwise(col("records")))
+      .select(to_json(struct(col("records").as("Records"))).as("batch"))
+    val decoded = EventOps.explodeRecordsBatch(withDups)
+      .select(EventOps.decodeEnvelope(col("record"), wireSchema).as("e"))
+      .select(col("e.*"))
+    EventOps.dedupFirstWins(decoded, Seq("event_id"), Seq(col("ts_us")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .orderBy(col("event_id"))
+  }
+  private[queries] val q55Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events ORDER BY event_id""".stripMargin
+
+
+}
