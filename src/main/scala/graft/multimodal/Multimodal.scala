@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in batches via `mapPartitions`.
   *
-  * IMAGE decoding is REAL: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP
-  * payloads with the JDK's `javax.imageio` (no extra dependency) and
-  * resizes with an AWT `Graphics2D` bilinear kernel. Audio/video decoding
-  * and the embedding-model call remain STUBBED — those libraries are not
-  * in this container — behind [[StubCodec]], a deterministic fake;
-  * [[decodeBatched]] dispatches per record on the mime type. Everything
-  * around the codecs is real and load-bearing: the binary schema, the
-  * batched iteration shape (decode codecs amortize per-batch setup,
-  * exactly like an Arrow-batched pandas UDF), the partition sizing, and
-  * the typed output schema.
+  * IMAGE handling is REAL end-to-end: [[ImageIoCodec]] decodes
+  * PNG/JPEG/GIF/BMP payloads with the JDK's `javax.imageio` (no extra
+  * dependency), counts actual container frames (animated GIFs included),
+  * resizes with an AWT `Graphics2D` bilinear kernel, and featurizes the
+  * decoded pixels as a pooled mean-luma grid ([[ImageIoCodec.lumaGrid]]).
+  * Audio metadata is REAL via `javax.sound.sampled`. Video decoding,
+  * non-image resampling and the external embedding-model call remain
+  * STUBBED — those libraries are not in this container — behind
+  * [[StubCodec]]-style deterministic fakes; [[decodeBatched]] dispatches
+  * per record on the mime type. Everything around the codecs is real and
+  * load-bearing: the binary schema, the batched iteration shape (decode
+  * codecs amortize per-batch setup, exactly like an Arrow-batched pandas
+  * UDF), the partition sizing, and the typed output schema.
   *
   * Scale notes: binary payloads dominate row size → keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -66,12 +69,62 @@ object Multimodal {
       Set("image/png", "image/jpeg", "image/gif", "image/bmp")
 
     def decodeOne(r: MediaRecord): MediaMeta = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      require(img != null, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
-      // still images: one frame (animated GIF frame counts need a reader
-      // loop; the first-frame contract matches what training pipelines
-      // keep from animations anyway)
-      MediaMeta(r.doc_id, r.mime, r.content.length, img.getWidth, img.getHeight, 1)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          // REAL frame count: getNumImages(true) walks the container —
+          // 1 for still formats, the actual frame count for animated GIFs
+          val frames = reader.getNumImages(true)
+          val img = reader.read(0)
+          MediaMeta(r.doc_id, r.mime, r.content.length,
+            img.getWidth, img.getHeight, frames)
+        } finally reader.dispose()
+      } finally in.close()
+    }
+
+    /** Downsampled mean-luma grid from REAL decoded pixels: the image is
+      * pooled into a `g`×`g` grid (cell bounds `⌊k·dim/g⌋`, every pixel
+      * covered exactly once) and each cell averages the integer BT.601
+      * luma `(299·R + 587·G + 114·B) / 1000` of its pixels. Returned
+      * UN-normalized: cosine similarity downstream is scale-invariant,
+      * and keeping the exact pixel statistics (integer sums, one final
+      * division) makes the values bit-reproducible by a relational
+      * oracle — a float-normalization pass would smear ~1e-7 noise over
+      * every component for no semantic gain. */
+    def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= g && h >= g,
+        s"image ${w}x$h smaller than the ${g}x$g pooling grid")
+      val out = new Array[Float](g * g)
+      var i = 0
+      while (i < g) {
+        val y0 = i * h / g; val y1 = (i + 1) * h / g
+        var j = 0
+        while (j < g) {
+          val x0 = j * w / g; val x1 = (j + 1) * w / g
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          out(i * g + j) = sum.toFloat / ((y1 - y0) * (x1 - x0))
+          j += 1
+        }
+        i += 1
+      }
+      out
     }
 
     /** Bilinear `Graphics2D` resize, re-encoded as PNG (lossless — the
@@ -180,20 +233,35 @@ object Multimodal {
     }
   }
 
-  /** Batched feature extraction: blob → fixed-width float vector (the
-    * embedding-model call is the stub — a deterministic byte-histogram
-    * projection; output shape matches the embeddings table's
-    * `array<float>` so downstream ANN ops compose directly). */
+  /** Batched feature extraction: blob → fixed-width float vector, output
+    * shape matching the embeddings table's `array<float>` so downstream
+    * ANN ops compose directly. Image mimes take the REAL path: decode the
+    * actual pixels with `javax.imageio` and pool them into a
+    * `√dim`×`√dim` mean-luma grid ([[ImageIoCodec.lumaGrid]] — `dim` must
+    * be a perfect square for image payloads; un-normalized, see there).
+    * Non-image mimes keep the deterministic stand-in for an external
+    * embedding model (L2-normalized byte histogram mod dim). */
   def extractFeaturesBatched(spark: SparkSession, media: DataFrame,
       dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        // ??? <- real encoder; deterministic fake (byte histogram mod dim):
-        val v = new Array[Float](dim)
-        r.content.foreach(b => v(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
-        val norm = math.sqrt(v.map(x => x * x).sum).toFloat
-        MediaFeatures(r.doc_id, if (norm == 0f) v else v.map(_ / norm))
+        if (ImageIoCodec.Mimes(r.mime)) {
+          val g = math.sqrt(dim.toDouble).toInt
+          require(g * g == dim,
+            s"doc ${r.doc_id}: image feature dim $dim is not a perfect square")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          require(img != null,
+            s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+          MediaFeatures(r.doc_id, ImageIoCodec.lumaGrid(img, g))
+        } else {
+          // ??? <- real encoder; deterministic fake (byte histogram mod dim):
+          val v = new Array[Float](dim)
+          r.content.foreach(b => v(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
+          val norm = math.sqrt(v.map(x => x * x).sum).toFloat
+          MediaFeatures(r.doc_id, if (norm == 0f) v else v.map(_ / norm))
+        }
       })
     }
   }
