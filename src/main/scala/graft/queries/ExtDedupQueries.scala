@@ -200,6 +200,68 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
   }
 
 
+  // ------------------------------------------------------------------ q100
+  /** The exactly-once pair-log CONSUMER contract under a replayed batch:
+    * the downstream half of q92's streaming story. Same ingest as q92
+    * (base corpus indexed, stream docs in 3 batches through
+    * `StreamingPipeline.nearDupIngestBatch`), except batch 1 is
+    * RE-DELIVERED verbatim right after its first delivery — the
+    * foreachBatch retry a crash between the index append and the
+    * checkpoint commit produces. The retry probes the identical
+    * pre-batch index (its own generation `b1` is excluded) and its
+    * dynamic partition overwrite REPLACES partition `batch_id=1` in the
+    * pair log, so storage converges to the first attempt's state. The
+    * consumer then applies the contract every pair-log reader runs:
+    * latest-batch-wins per (doc_a, doc_b) pair. `n_versions` — the
+    * number of log rows per pair the consumer saw — is part of the
+    * output: the oracle pins it to exactly 1, which can only hash-match
+    * if the replay added NO duplicate pair rows. Scale shape: the log is
+    * batch_id-partitioned parquet; the consumer is one window over
+    * (doc_a, doc_b) — O(log) rows, no index access at all. */
+  private[queries] def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
+      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        graft.streaming.StreamingPipeline.nearDupIngestBatch(
+          c.toSeq.toDF("doc_id", "text"), i.toLong, s"$tmp/idx", s"$tmp/pairs")
+        if (i == 1) // the crash-retry: same batch id, same data, re-delivered
+          graft.streaming.StreamingPipeline.nearDupIngestBatch(
+            c.toSeq.toDF("doc_id", "text"), i.toLong, s"$tmp/idx", s"$tmp/pairs")
+      }
+      val log = spark.read.parquet(s"$tmp/pairs")
+      val byPair = Window.partitionBy(col("doc_a"), col("doc_b"))
+      val consumed = log
+        .withColumn("n_versions", count(lit(1)).over(byPair))
+        .withColumn("rn", row_number().over(
+          byPair.orderBy(col("batch_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_versions"))
+      // localize before deleting the scratch dir (q92's rule)
+      val schema = consumed.schema
+      spark.createDataFrame(
+          java.util.Arrays.asList(consumed.collect(): _*), schema)
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+  private[queries] val q100Sql =
+    s"""WITH ${pairCtesWith(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")}
+       |SELECT doc_a, doc_b, jaccard, CAST(1 AS BIGINT) AS n_versions
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
     * (distinct word set + 16 vote sums inside the row; the only shuffles

@@ -229,6 +229,86 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |FROM documents ORDER BY doc_id""".stripMargin
 
 
+  // ------------------------------------------------------------------ q99
+  /** The full multimodal story under one oracle: REAL decode → REAL
+    * pixel-derived embedding → cosine ANN. Each document is rendered a
+    * genuine 16×16 PNG of 4×4 constant-gray cells whose values derive
+    * from table columns; the production feature path
+    * ([[graft.multimodal.Multimodal.extractFeaturesBatched]] →
+    * ImageIoCodec.lumaGrid) decodes the compressed bytes and pools the
+    * actual pixels into a 4×4 mean-luma grid; brute-force cosine top-3
+    * runs over the resulting vectors (q23's shape: broadcast probes, one
+    * map-side pass, per-probe top-k window). The oracle recomputes the
+    * cell formulas relationally and mirrors the cosine arithmetic term
+    * for term (`dot / (sqrt(na)·sqrt(nb))`) — every intermediate sum is
+    * an exact integer in double, so the hash can only match if the
+    * engine's luma grid read the true pixel values back out of the PNG.
+    * Scale shape: encode, decode and featurize are narrow mapPartitions
+    * stages — blobs never cross a shuffle; only 16-float vectors do. */
+  private[queries] def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def mediaOf(docs: DataFrame) = docs
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val k = (y / 4) * 4 + (x / 4) // flat cell index, row-major
+            val v = (1L + ((docId + 1L) * (k + 1L)) % 251L).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "image/png")
+      }).toDF()
+    val corpus = Multimodal.extractFeaturesBatched(spark,
+      mediaOf(Tables.spread(Tables.documents(spark, dir))), dim = 16).toDF()
+    // probes filter BEFORE the encode stage: 5 PNGs rendered, not the corpus twice
+    val probes = Multimodal.extractFeaturesBatched(spark,
+      mediaOf(Tables.documents(spark, dir).where(col("doc_id") < 5)), dim = 16)
+      .toDF()
+      .select(col("doc_id").as("probe_id"), col("features").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    corpus.crossJoin(broadcast(probes))
+      .where(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("features"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("doc_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q99Sql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |         list_transform(range(16),
+      |           k -> CAST(1 + ((doc_id + 1) * (k + 1)) % 251 AS DOUBLE)) AS e
+      |  FROM documents),
+      |probes AS (SELECT doc_id AS probe_id, e AS probe FROM v WHERE doc_id < 5),
+      |sims AS (
+      |  SELECT probe_id, doc_id AS neighbor_id,
+      |         list_sum(list_transform(range(16), k -> e[k + 1] * probe[k + 1]))
+      |           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(probe, x -> x * x)))) AS cos
+      |  FROM v CROSS JOIN probes
+      |  WHERE doc_id <> probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY cos DESC, neighbor_id) AS rn,
+      |       neighbor_id, round(cos, 4) AS cos_sim
+      |FROM sims
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
   // ------------------------------------------------------------------ q55
   /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
     * envelope encode → the producer's `{"Records": [...]}` batch wrapper

@@ -77,5 +77,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q95_audio_decode", q95, Some(q95Sql)),
     Decl("q96_dataset_build", q96, Some(q96Sql)),
     Decl("q97_ann_ivf_incremental", q97, Some(q97Sql)),
-    Decl("q98_temperature_upsampling", q98, Some(q98Sql)))
+    Decl("q98_temperature_upsampling", q98, Some(q98Sql)),
+    Decl("q99_media_embed_ann", q99, Some(q99Sql)),
+    Decl("q100_pairlog_replay_consumer", q100, Some(q100Sql)))
 }
