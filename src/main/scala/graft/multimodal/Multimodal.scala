@@ -272,4 +272,46 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], everyN: Int): DataFrame =
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
+  case class FrameMeta(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, luma: Double)
+
+  /** REAL frame-sample decode for animated containers (the "video"
+    * operator this container can actually exercise: multi-frame GIF is
+    * the one animated format `javax.imageio` decodes). One reader per
+    * payload walks frames `0, everyN, 2·everyN, …` — only the SAMPLED
+    * frames are decoded to pixels; skipped frames cost a header seek, not
+    * a decode — and emits each sampled frame's dimensions plus its mean
+    * luma (the 1×1 [[ImageIoCodec.lumaGrid]] pool, i.e. the real pixel
+    * statistic per frame). Same batched mapPartitions shape as
+    * [[decodeBatched]]: blobs never cross a shuffle; the output is
+    * (doc, frame) rows of five scalars. */
+  def decodeFramesBatched(spark: SparkSession, media: DataFrame,
+      everyN: Int, batchSize: Int = 64): Dataset[FrameMeta] = {
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(ImageIoCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: no frame decoder for mime ${r.mime}")
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          require(readers.hasNext,
+            s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+          val reader = readers.next()
+          try {
+            reader.setInput(in)
+            val n = reader.getNumImages(true)
+            (0 until n by everyN).map { f =>
+              val img = reader.read(f)
+              FrameMeta(r.doc_id, f, img.getWidth, img.getHeight,
+                ImageIoCodec.lumaGrid(img, 1)(0).toDouble)
+            }
+          } finally reader.dispose()
+        } finally in.close()
+      })
+    }
+  }
 }

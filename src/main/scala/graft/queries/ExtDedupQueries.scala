@@ -262,6 +262,58 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
 
+  // ------------------------------------------------------------------ q101
+  /** Index TAKEDOWN + COMPACTION under the oracle: the corpus-maintenance
+    * pair q62/q92 need for real training data. Build the persisted LSH
+    * index from the base corpus (doc_id % 4 != 0), tombstone every base
+    * doc with doc_id ≡ 9 (mod 16) (`LshIndex.markDeleted` — O(deletions)
+    * id writes, no rebuild), physically drop them with
+    * `LshIndex.compact` (generations fold to fresh-build tightness,
+    * tombstoned rows disappear), then probe with the ingest batch
+    * (doc_id % 4 == 0). The oracle recomputes the incremental pairs from
+    * scratch over ONLY the live documents — at sf0.01 the takedown set
+    * partners two of the seven baseline pairs (docs 377 and 393), so the
+    * hash can only match if deleted docs truly stopped pairing AND
+    * bucket-cap sizes were recounted without them. Scale shape: the
+    * takedown is a tombstone append + one bounded compaction rewrite;
+    * the probe pays the same pruned-bucket cost as q62. */
+  private[queries] def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q101_").toString
+    var deferCleanup = false
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isBatch = pmod(col("doc_id"), lit(4)) === 0
+      LshIndex.buildSized(docs.where(!isBatch), tmp)
+      // the takedown list: ids only, bounded by the deletion set (the
+      // API shape a takedown queue produces — never the corpus itself)
+      val deleted = docs.where(pmod(col("doc_id"), lit(16)) === 9)
+        .select(col("doc_id")).as[Long].collect().sorted
+      LshIndex.markDeleted(spark, tmp, deleted.toSeq)
+      LshIndex.compact(spark, tmp)
+      val pairs = LshIndex.probeAndAppend(spark, tmp, docs.where(isBatch))
+      deferCleanup = !pairs.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      pairs
+    } finally {
+      def rmNow(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmNow)
+        f.delete(); ()
+      }
+      def rmAtExit(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAtExit)
+      }
+      val root = new java.io.File(tmp)
+      if (deferCleanup) rmAtExit(root) else rmNow(root)
+    }
+  }
+  private[queries] val q101Sql =
+    s"""WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 9),
+       |${pairCtesWith(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)", "live")}
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
     * (distinct word set + 16 vote sums inside the row; the only shuffles

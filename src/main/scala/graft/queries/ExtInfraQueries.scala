@@ -309,6 +309,66 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ------------------------------------------------------------------ q102
+  /** REAL frame-sample decode of an ANIMATED container — the "video"
+    * round-trip for the one animated format `javax.imageio` decodes:
+    * each document is rendered a genuine multi-frame GIF (2–5 frames of
+    * constant gray, values derived from table columns; constant-gray
+    * GIF round-trips bit-exact through the 256-entry palette), and the
+    * production frame sampler
+    * ([[graft.multimodal.Multimodal.decodeFramesBatched]]) walks every
+    * 2nd frame, decoding ONLY the sampled frames and emitting each one's
+    * real dimensions and mean pixel luma. The oracle recomputes the
+    * frame-count and per-frame-gray formulas relationally — the hash
+    * only matches if the engine seeked to the right frames inside the
+    * container and read their actual pixels. Scale shape: one narrow
+    * mapPartitions encode and one decode; blobs never cross a shuffle;
+    * output is (doc, frame) scalar rows. */
+  private[queries] def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 2 + (docId % 4).toInt
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val v = (1L + (docId * 7L + f * 13L) % 251L).toInt
+          val img = new java.awt.image.BufferedImage(
+            8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 4) { img.setRGB(x, y, (v << 16) | (v << 8) | v); y += 1 }
+            x += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close(); writer.dispose()
+        Multimodal.MediaRecord(docId, out.toByteArray, "image/gif")
+      }).toDF()
+    Multimodal.decodeFramesBatched(spark, media, everyN = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q102Sql =
+    """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       8 AS width, 4 AS height,
+      |       CAST(1 + (doc_id * 7 + frame_idx * 13) % 251 AS DOUBLE) AS luma
+      |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx
+      |      FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+
   // ------------------------------------------------------------------ q55
   /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
     * envelope encode → the producer's `{"Records": [...]}` batch wrapper

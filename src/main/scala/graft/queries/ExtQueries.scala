@@ -79,5 +79,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q97_ann_ivf_incremental", q97, Some(q97Sql)),
     Decl("q98_temperature_upsampling", q98, Some(q98Sql)),
     Decl("q99_media_embed_ann", q99, Some(q99Sql)),
-    Decl("q100_pairlog_replay_consumer", q100, Some(q100Sql)))
+    Decl("q100_pairlog_replay_consumer", q100, Some(q100Sql)),
+    Decl("q101_index_takedown_compact", q101, Some(q101Sql)),
+    Decl("q102_gif_frame_sample", q102, Some(q102Sql)))
 }

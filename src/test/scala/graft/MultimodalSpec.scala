@@ -173,6 +173,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.toSeq === Seq.fill(16)(42f))
   }
 
+  test("REAL frame-sample decode: every Nth frame of an animated GIF " +
+    "decoded with its actual pixels; non-image mimes fail loudly") {
+    import javax.imageio._
+    def gif(grays: Seq[Int]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { v =>
+        val img = new java.awt.image.BufferedImage(
+          8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(x => (0 until 4).foreach(y =>
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, gif(Seq(10, 20, 30, 40, 50)), "image/gif")
+    ).toDF()
+    val frames = Multimodal.decodeFramesBatched(spark, media, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    // frames 0, 2, 4 sampled; mean luma of a constant-gray frame is the
+    // gray level exactly (GIF palette round-trips constant gray bit-exact)
+    assert(frames.map(f => (f.frame_idx, f.luma)).toSeq ===
+      Seq((0, 10.0), (2, 30.0), (4, 50.0)))
+    assert(frames.forall(f => f.width === 8 && f.height === 4))
+    val bad = Seq(Multimodal.MediaRecord(9L, "x".getBytes, "video/mp4")).toDF()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFramesBatched(spark, bad, everyN = 1).collect()
+    }
+  }
+
   test("frame sampling explodes every Nth frame index") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf0001).limit(10))
     val meta = Multimodal.decodeBatched(spark, media)
