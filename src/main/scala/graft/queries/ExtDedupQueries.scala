@@ -202,9 +202,11 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
 
   // ------------------------------------------------------------------ q100
   /** The exactly-once pair-log CONSUMER contract under a replayed batch:
-    * the downstream half of q92's streaming story. Same ingest as q92
-    * (base corpus indexed, stream docs in 3 batches through
-    * `StreamingPipeline.nearDupIngestBatch`), except batch 1 is
+    * the downstream half of q92's streaming story. Same ingest shape as
+    * q92 (base corpus indexed, stream docs delivered through
+    * `StreamingPipeline.nearDupIngestBatch`) in 2 batches — so the three
+    * probe/append cycles paid here match q92's cost envelope, with the
+    * replay as the third delivery — except batch 1 is
     * RE-DELIVERED verbatim right after its first delivery — the
     * foreachBatch retry a crash between the index append and the
     * checkpoint commit produces. The retry probes the identical
@@ -226,7 +228,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       val isStream = pmod(col("doc_id"), lit(4)) === 0
       LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
       val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
-      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray
       chunks.zipWithIndex.foreach { case (c, i) =>
         graft.streaming.StreamingPipeline.nearDupIngestBatch(
