@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * dependency), counts actual container frames (animated GIFs included),
   * resizes with an AWT `Graphics2D` bilinear kernel, and featurizes the
   * decoded pixels as a pooled mean-luma grid ([[ImageIoCodec.lumaGrid]]).
-  * Audio metadata is REAL via `javax.sound.sampled`. Video decoding,
-  * non-image resampling and the external embedding-model call remain
-  * STUBBED — those libraries are not in this container — behind
+  * AUDIO handling is REAL end-to-end too: [[SoundCodec]] parses headers
+  * and [[PcmCodec]] decodes the actual 16-bit PCM samples
+  * (`javax.sound.sampled`), featurizes them as a pooled mean-|amplitude|
+  * envelope + zero-crossing stats, and resamples with an exact-integer
+  * linear-interpolation kernel. Video decoding and the external
+  * embedding-model call for text/unknown payloads remain STUBBED — those
+  * libraries are not in this container — behind
   * [[StubCodec]]-style deterministic fakes; [[decodeBatched]] dispatches
   * per record on the mime type. Everything around the codecs is real and
   * load-bearing: the binary schema, the batched iteration shape (decode
@@ -152,9 +156,9 @@ object Multimodal {
   /** REAL audio metadata codec on the JDK's `javax.sound.sampled` — no
     * extra dependency, parses WAV/AIFF/AU headers. Like [[ImageIoCodec]],
     * undecodable bytes fail loudly rather than fake plausible metadata.
-    * (PCM frame data itself stays opaque: resample/feature-extract remain
-    * behind the deterministic stubs — only video now has no real codec
-    * path in this container.) */
+    * The PCM frame data below the headers is decoded for real by
+    * [[PcmCodec]] — only video now has no real codec path in this
+    * container. */
   object SoundCodec {
     val Mimes: Set[String] =
       Set("audio/wav", "audio/x-wav", "audio/aiff", "audio/basic")
@@ -183,6 +187,168 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(SoundCodec.decodeOne))
+    }
+  }
+
+  /** REAL PCM sample codec on `javax.sound.sampled` — the layer below
+    * [[SoundCodec]]'s header parse: decodes the actual 16-bit signed PCM
+    * samples out of WAV/AIFF/AU payloads (both endiannesses), mixes
+    * channels down to mono with integer floor-division (exact and
+    * oracle-reproducible), and derives the per-payload statistics the
+    * curation/ANN ops consume. Every formula here is integer arithmetic
+    * with one final division, for the same reason as
+    * [[ImageIoCodec.lumaGrid]]: a relational oracle must be able to
+    * reproduce the values bit-exactly. Undecodable or non-16-bit-PCM
+    * payloads fail loudly — same contract as the other codecs. */
+  object PcmCodec {
+    /** Mimes [[samples]] owns (the `javax.sound.sampled` PCM formats). */
+    val Mimes: Set[String] = SoundCodec.Mimes
+
+    /** Decode to (sampleRate, mono samples): 16-bit signed PCM frames,
+      * channels averaged per frame with `floorDiv` (deterministic for
+      * negative sums, unlike `/`). */
+    def samples(r: MediaRecord): (Int, Array[Int]) = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: payload is not a decodable ${r.mime}", e)
+        }
+      try {
+        val f = ais.getFormat
+        require(f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16,
+          s"doc ${r.doc_id}: only 16-bit signed PCM is decodable, got $f")
+        val bytes = ais.readAllBytes()
+        val ch = f.getChannels
+        val be = f.isBigEndian
+        val frames = bytes.length / (2 * ch)
+        val out = new Array[Int](frames)
+        var i = 0
+        while (i < frames) {
+          var sum = 0
+          var c = 0
+          while (c < ch) {
+            val o = (i * ch + c) * 2
+            // high byte sign-extends (Byte → Int), low byte masked unsigned
+            val s = if (be) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+                    else (bytes(o + 1) << 8) | (bytes(o) & 0xff)
+            sum += s
+            c += 1
+          }
+          out(i) = Math.floorDiv(sum, ch)
+          i += 1
+        }
+        (f.getSampleRate.toInt, out)
+      } finally ais.close()
+    }
+
+    /** Pooled mean-|amplitude| envelope — [[ImageIoCodec.lumaGrid]]'s
+      * audio analog: cell `k` covers samples `[⌊k·n/g⌋, ⌊(k+1)·n/g⌋)`
+      * (every sample exactly once), integer abs-sum, one final division.
+      * UN-normalized for the same oracle-reproducibility reason. */
+    def envelopeGrid(samples: Array[Int], g: Int): Array[Float] = {
+      val n = samples.length
+      require(n >= g, s"audio of $n samples shorter than the $g-cell envelope")
+      val out = new Array[Float](g)
+      var k = 0
+      while (k < g) {
+        val i0 = k * n / g; val i1 = (k + 1) * n / g
+        var sum = 0L
+        var i = i0
+        while (i < i1) { sum += math.abs(samples(i).toLong); i += 1 }
+        out(k) = sum.toFloat / (i1 - i0)
+        k += 1
+      }
+      out
+    }
+
+    /** Sign changes between adjacent samples (zero counts as
+      * non-negative) — the classic voiced/unvoiced + noisiness signal. */
+    def zeroCrossings(samples: Array[Int]): Long = {
+      var n = 0L
+      var i = 1
+      while (i < samples.length) {
+        if ((samples(i - 1) < 0) != (samples(i) < 0)) n += 1
+        i += 1
+      }
+      n
+    }
+
+    /** REAL linear-interpolation resample to `targetRate`, re-encoded as
+      * mono 16-bit little-endian WAV. Pure integer rational arithmetic:
+      * output `j` sits at input position `j·src/dst`; with
+      * `i0 = ⌊j·src/dst⌋` and `rem = (j·src) mod dst` the value is
+      * `⌊(s[i0]·(dst−rem) + s[i0+1]·rem) / dst⌋` (floor division —
+      * deterministic for negative samples and reproducible by a
+      * relational oracle; `rem = 0` reads `s[i0]` alone, so the last
+      * input sample never needs a neighbor). `nOut = ⌊(n−1)·dst/src⌋+1`
+      * covers every position ≤ n−1. Fractional ratios interpolate for
+      * real (e.g. 12 kHz → 8 kHz mixes adjacent samples 50/50 on odd
+      * outputs); integer downsampling degenerates to exact decimation. */
+    def resampleOne(r: MediaRecord, targetRate: Int): MediaRecord = {
+      require(targetRate > 0, s"doc ${r.doc_id}: target rate $targetRate")
+      val (src, s) = samples(r)
+      val n = s.length
+      require(n >= 2, s"doc ${r.doc_id}: $n samples is too short to resample")
+      val nOut = ((n - 1).toLong * targetRate / src).toInt + 1
+      val pcm = new Array[Byte](nOut * 2)
+      var j = 0
+      while (j < nOut) {
+        val num = j.toLong * src
+        val i0 = (num / targetRate).toInt
+        val rem = (num % targetRate).toInt
+        val v =
+          if (rem == 0) s(i0)
+          else Math.floorDiv(
+            s(i0).toLong * (targetRate - rem) + s(i0 + 1).toLong * rem,
+            targetRate.toLong).toInt
+        val c = math.max(-32768, math.min(32767, v))
+        pcm(j * 2) = (c & 0xff).toByte
+        pcm(j * 2 + 1) = ((c >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        targetRate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nOut.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      MediaRecord(r.doc_id, out.toByteArray, "audio/wav")
+    }
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+      zero_crossings: Long, envelope: Array[Float])
+
+  /** Batched REAL audio feature extraction: decode the PCM samples and
+    * derive (rate, length, zero-crossings, mean-|amplitude| envelope) per
+    * payload. Same mapPartitions batch shape as [[decodeBatched]]; blobs
+    * never cross a shuffle, only the scalar/vector features do. */
+  def extractAudioFeaturesBatched(spark: SparkSession, media: DataFrame,
+      cells: Int = 16, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (rate, s) = PcmCodec.samples(r)
+        AudioFeatures(r.doc_id, rate, s.length, PcmCodec.zeroCrossings(s),
+          PcmCodec.envelopeGrid(s, cells))
+      })
+    }
+  }
+
+  /** Batched REAL audio resample: every payload through
+    * [[PcmCodec.resampleOne]]'s linear-interpolation kernel, re-encoded
+    * WAV out. The audio counterpart of [[resizeBatched]]'s image path. */
+  def resampleAudioBatched(spark: SparkSession, media: DataFrame,
+      targetRate: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(PcmCodec.resampleOne(_, targetRate)))
     }
   }
 
@@ -224,7 +390,8 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.map { r =>
         if (ImageIoCodec.Mimes(r.mime)) ImageIoCodec.resizeOne(r, targetW, targetH)
         else {
-          // ??? <- real resampling kernel for non-image payloads;
+          // ??? <- real resampling kernel for non-image, non-audio
+          // payloads (audio has the real [[resampleAudioBatched]] path);
           // deterministic fake:
           val n = math.min(r.content.length, targetW * targetH / 64 + 1)
           ResizedMedia(r.doc_id, r.mime, targetW, targetH, r.content.take(n))
@@ -239,14 +406,20 @@ object Multimodal {
     * actual pixels with `javax.imageio` and pool them into a
     * `√dim`×`√dim` mean-luma grid ([[ImageIoCodec.lumaGrid]] — `dim` must
     * be a perfect square for image payloads; un-normalized, see there).
-    * Non-image mimes keep the deterministic stand-in for an external
-    * embedding model (L2-normalized byte histogram mod dim). */
+    * Audio mimes take the REAL path too: decode the PCM samples with
+    * [[PcmCodec]] and pool them into a `dim`-cell mean-|amplitude|
+    * envelope ([[PcmCodec.envelopeGrid]]). Other mimes keep the
+    * deterministic stand-in for an external embedding model
+    * (L2-normalized byte histogram mod dim). */
   def extractFeaturesBatched(spark: SparkSession, media: DataFrame,
       dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        if (ImageIoCodec.Mimes(r.mime)) {
+        if (PcmCodec.Mimes(r.mime)) {
+          val (_, s) = PcmCodec.samples(r)
+          MediaFeatures(r.doc_id, PcmCodec.envelopeGrid(s, dim))
+        } else if (ImageIoCodec.Mimes(r.mime)) {
           val g = math.sqrt(dim.toDouble).toInt
           require(g * g == dim,
             s"doc ${r.doc_id}: image feature dim $dim is not a perfect square")

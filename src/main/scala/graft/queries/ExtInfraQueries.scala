@@ -369,6 +369,134 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
 
+  // ----------------------------------------------------------------- q103
+  /** REAL PCM feature extraction under the oracle — the audio analog of
+    * q99's pixel story: each document is rendered a genuine mono 8 kHz
+    * WAVE whose SAMPLE VALUES (not just headers) derive from table
+    * columns — four envelope cells of constant amplitude
+    * `1 + ((doc_id+1)·(k+3)) % 1000`, sign alternating every
+    * `p = 1 + doc_id % 3` samples — and the production PCM path
+    * ([[graft.multimodal.Multimodal.extractAudioFeaturesBatched]] →
+    * PcmCodec) decodes the samples and derives zero-crossing count and
+    * the 4-cell mean-|amplitude| envelope. The oracle recomputes the
+    * formulas relationally: per-cell constant amplitude makes each
+    * envelope mean exactly `a_k` (integer → float exact), and the sign
+    * period makes crossings exactly `⌊(ns−1)/p⌋` — the hash only matches
+    * if the engine decoded the true sample values back out of the RIFF
+    * container. Scale shape: encode and featurize are two narrow
+    * mapPartitions stages; blobs never cross a shuffle. */
+  private[queries] def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val ns = 64 + (nChars % 64).toInt
+        val p = 1 + (docId % 3).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var k = 0
+        while (k < 4) {
+          // SAME cell bounds the envelope pool uses: [⌊k·ns/4⌋, ⌊(k+1)·ns/4⌋)
+          val i0 = k * ns / 4; val i1 = (k + 1) * ns / 4
+          val a = (1L + ((docId + 1L) * (k + 3L)) % 1000L).toInt
+          var i = i0
+          while (i < i1) {
+            val v = if ((i / p) % 2 == 0) a else -a
+            pcm(i * 2) = (v & 0xff).toByte
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "audio/wav")
+      }).toDF()
+    Multimodal.extractAudioFeaturesBatched(spark, media, cells = 4).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("zero_crossings"),
+        element_at(col("envelope"), 1).cast("double").as("env_0"),
+        element_at(col("envelope"), 2).cast("double").as("env_1"),
+        element_at(col("envelope"), 3).cast("double").as("env_2"),
+        element_at(col("envelope"), 4).cast("double").as("env_3"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q103Sql =
+    """SELECT doc_id, 8000 AS sample_rate,
+      |       CAST(64 + n_chars % 64 AS INT) AS n_samples,
+      |       (64 + n_chars % 64 - 1) // (1 + doc_id % 3) AS zero_crossings,
+      |       CAST(1 + ((doc_id + 1) * 3) % 1000 AS DOUBLE) AS env_0,
+      |       CAST(1 + ((doc_id + 1) * 4) % 1000 AS DOUBLE) AS env_1,
+      |       CAST(1 + ((doc_id + 1) * 5) % 1000 AS DOUBLE) AS env_2,
+      |       CAST(1 + ((doc_id + 1) * 6) % 1000 AS DOUBLE) AS env_3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
+  // ----------------------------------------------------------------- q104
+  /** REAL audio resample round-trip under the oracle, at a FRACTIONAL
+    * ratio: each document is rendered a genuine mono 12 kHz WAVE of a
+    * known integer ramp `s_i = ((doc_id+1)·(i+7)) % 1999 − 999`, the
+    * production resampler
+    * ([[graft.multimodal.Multimodal.resampleAudioBatched]] →
+    * PcmCodec.resampleOne) converts it to 8 kHz — ratio 3/2, so odd
+    * output positions interpolate two adjacent samples for real
+    * (`⌊(s_{i0}+s_{i0+1})/2⌋`, floor division) while even positions
+    * decimate exactly — and the production decoder reads the resampled
+    * bytes back for a per-doc checksum. The oracle replays the exact
+    * rational arithmetic per output position — the hash only matches if
+    * encode → linear-interp resample → WAV re-encode → decode is
+    * bit-exact end to end. Scale shape: three narrow mapPartitions
+    * stages; blobs never cross a shuffle; only 6 scalars per doc do. */
+  private[queries] def q104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val ns = 48 + (nChars % 48).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var i = 0
+        while (i < ns) {
+          val v = (((docId + 1L) * (i + 7L)) % 1999L - 999L).toInt
+          pcm(i * 2) = (v & 0xff).toByte
+          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 1, true, false)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "audio/wav")
+      }).toDF()
+    Multimodal.resampleAudioBatched(spark, media, targetRate = 8000)
+      .mapPartitions(_.map { r =>
+        val (rate, s) = Multimodal.PcmCodec.samples(r)
+        (r.doc_id, rate, s.length, s.map(_.toLong).sum, s.head, s.last)
+      }).toDF("doc_id", "rate_out", "n_out", "checksum", "v_first", "v_last")
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q104Sql =
+    """WITH d AS (SELECT doc_id, 48 + n_chars % 48 AS ns FROM documents),
+      |r AS (SELECT doc_id, ns, ((ns - 1) * 2) // 3 + 1 AS n_out FROM d),
+      |vals AS (SELECT doc_id, n_out,
+      |  list_transform(range(n_out), j -> CASE WHEN j % 2 = 0
+      |    THEN ((doc_id + 1) * ((3 * j) // 2 + 7)) % 1999 - 999
+      |    ELSE CAST(floor(((((doc_id + 1) * ((3 * j) // 2 + 7)) % 1999 - 999)
+      |         + (((doc_id + 1) * ((3 * j) // 2 + 8)) % 1999 - 999)) / 2.0)
+      |         AS BIGINT) END) AS v
+      |  FROM r)
+      |SELECT doc_id, 8000 AS rate_out, CAST(n_out AS INT) AS n_out,
+      |       CAST(list_sum(v) AS BIGINT) AS checksum,
+      |       CAST(v[1] AS INT) AS v_first, CAST(v[n_out] AS INT) AS v_last
+      |FROM vals ORDER BY doc_id""".stripMargin
+
+
   // ------------------------------------------------------------------ q55
   /** Full EP1 wire-format roundtrip under the oracle: events → Kinesis
     * envelope encode → the producer's `{"Records": [...]}` batch wrapper

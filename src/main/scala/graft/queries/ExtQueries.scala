@@ -81,5 +81,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q99_media_embed_ann", q99, Some(q99Sql)),
     Decl("q100_pairlog_replay_consumer", q100, Some(q100Sql)),
     Decl("q101_index_takedown_compact", q101, Some(q101Sql)),
-    Decl("q102_gif_frame_sample", q102, Some(q102Sql)))
+    Decl("q102_gif_frame_sample", q102, Some(q102Sql)),
+    Decl("q103_audio_pcm_features", q103, Some(q103Sql)),
+    Decl("q104_audio_resample", q104, Some(q104Sql)))
 }
