@@ -60,16 +60,30 @@ object IvfIndex {
     cents
   }
 
+  /** Per-cell (cosine, id) score structs — the shared kernel of
+    * [[cellOf]] and [[topCellsOf]]; struct ordering gives the ANN path's
+    * tie rule (cosine desc, ties to the higher centroid id) for free. */
+  private def cellScores(spark: SparkSession, v: org.apache.spark.sql.Column,
+      cents: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
+    val centArr = typedLit(cents)
+    transform(sequence(lit(1), lit(cents.size)), i => struct(
+      graft.functions.CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
+      (i - 1).as("i")))
+  }
+
   /** Map-side cell assignment under the ANN path's tie rule (cosine
     * desc, ties to the higher centroid id) — the centroids ride the plan
     * as a literal, so this is a pure per-row expression. */
   def cellOf(spark: SparkSession, v: org.apache.spark.sql.Column,
-      cents: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
-    val centArr = typedLit(cents)
-    array_max(transform(sequence(lit(1), lit(cents.size)), i => struct(
-      graft.functions.CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
-      (i - 1).as("i")))).getField("i")
-  }
+      cents: Seq[Seq[Float]]): org.apache.spark.sql.Column =
+    array_max(cellScores(spark, v, cents)).getField("i")
+
+  /** The probe's `nprobe` nearest cells (same tie rule) — map-side, the
+    * IVF query's cell short-list. */
+  def topCellsOf(spark: SparkSession, v: org.apache.spark.sql.Column,
+      cents: Seq[Seq[Float]], nprobe: Int): org.apache.spark.sql.Column =
+    transform(slice(reverse(array_sort(cellScores(spark, v, cents))), 1, nprobe),
+      s => s.getField("i"))
 
   /** Train a quantizer with [[kmeansTrain]] and persist it — the full
     * production flow: train once, [[loadCentroids]] + annIvfPersisted
@@ -107,5 +121,93 @@ object IvfIndex {
     require(rows.length <= maxK,
       s"centroid table at $path exceeds $maxK rows — not a coarse quantizer")
     rows.map(_.getSeq[Float](0).toSeq).toSeq
+  }
+
+  // ------------------------------------------------------ ingest corpus
+
+  /** One generation of the persisted IVF corpus: `gen` is a hive
+    * partition level (the LshIndex idempotence contract — see
+    * LshIndex.scala:48-55), rows cell-clustered WITHIN the generation so
+    * per-file min/max on `cell` keeps a probe's scan proportional to its
+    * touched cells across every generation. "replace-gen" uses dynamic
+    * partition overwrite: the write replaces exactly its own `gen=b<id>`
+    * partition, so a foreachBatch retry converges instead of
+    * double-appending. */
+  private def writeGen(assigned: DataFrame, path: String, files: Int,
+      mode: String, gen: String): Unit = {
+    val w = assigned.withColumn("gen", lit(gen))
+      .repartitionByRange(files, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.partitionBy("gen")
+    mode match {
+      case "replace-gen" =>
+        w.option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(path)
+      case m => w.mode(m).parquet(path)
+    }
+  }
+
+  /** Build the persisted cell-clustered corpus (`gen=base`) under a
+    * FROZEN quantizer — the FAISS add-after-train contract's `train+add`
+    * half. Map-side cell assignment; one range shuffle on `cell`. */
+  def buildCorpus(emb: DataFrame, path: String, cents: Seq[Seq[Float]],
+      files: Int = 4, id: String = "vec_id", vec: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    writeGen(
+      graft.sources.Tables.spread(emb)
+        .select(col(id).as("vec_id"), col(vec).as("embedding"))
+        .withColumn("cell", cellOf(spark, col("embedding"), cents)),
+      path, files, "overwrite", "base")
+  }
+
+  /** One ingest batch against the persisted corpus: ANN-probe the
+    * PRE-batch state for each batch vector's top-`k` cosine neighbors
+    * (searching its `nprobe` nearest cells only), then append the batch
+    * into its own generation. Returns (probe_id, rn, neighbor_id,
+    * cos_sim) — materialized BEFORE the append so the result cannot
+    * lazily observe the post-append table.
+    *
+    * Scale shape: the probed-cell short-list collects as ≤ K ints; the
+    * corpus scan filters `cell IN (touched)` — pushed to parquet, pruned
+    * at file level by the clustered layout — and the batch broadcasts
+    * onto it (the corpus never shuffles). With `batchId = Some(b)` the
+    * probe EXCLUDES generation `b<b>` and the append replaces exactly
+    * that generation (dynamic partition overwrite), so a crash-retry
+    * probes the identical pre-batch corpus and converges on storage —
+    * the exactly-once contract `StreamingPipeline.startVectorIngest`
+    * relies on. `None` = ad-hoc at-least-once append into `gen=adhoc`. */
+  def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
+      cents: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
+      nprobe: Int = 2, files: Int = 2, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gen = batchId.fold("adhoc")(b => s"b$b")
+    val probes = batch
+      .select(col(id).as("probe_id"), col(vec).as("probe"))
+      .withColumn("pcells", topCellsOf(spark, col("probe"), cents, nprobe))
+    // bounded collect: the DISTINCT union of probed cells, ≤ K ints
+    val touched = probes.select(explode(col("pcells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
+      .where(col("cell").isin(touched: _*))
+    val cand = corpus.crossJoin(broadcast(probes))
+      .where(array_contains(col("pcells"), col("cell")) &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+        spark, col("embedding"), col("probe")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+    // k rows per batch vector — bounded by construction; materialize
+    // before the append below mutates the table the plan reads
+    val result = Caches.localize(ann, maxRows = 1 << 22)
+      .getOrElse(ann.localCheckpoint())
+    writeGen(
+      batch.select(col(id).as("vec_id"), col(vec).as("embedding"))
+        .withColumn("cell", cellOf(spark, col("embedding"), cents)),
+      path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
+    result
   }
 }

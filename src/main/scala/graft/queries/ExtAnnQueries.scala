@@ -285,6 +285,96 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ----------------------------------------------------------------- q105
+  /** STREAMING IVF vector ingest — the vector twin of q92's streaming
+    * LSH story, run through the PRODUCTION operator
+    * (`StreamingPipeline.startVectorIngest`: foreachBatch →
+    * `IvfIndex.probeAndAppend` → batch-tagged ANN log): embeddings
+    * arrive in 2 micro-batches, each batch ANN-probes the persisted
+    * cell-clustered corpus as built from the base vectors PLUS every
+    * earlier batch (top-3 cosine in the probe's 2 nearest cells, frozen
+    * first-16 quantizer — q97's conventions), logs its per-vector
+    * results, and appends itself for the next batch. The oracle
+    * recomputes the whole history relationally: the deterministic
+    * vec_id-order 2-chunk batching, per-batch corpus visibility
+    * (`a.b < p.b`), cell assignment and probe short-list under the
+    * exact tie rules — a mis-batched append, a probe that saw its own
+    * batch, or a retry that duplicated a generation all hash-mismatch.
+    * Scale shape: per batch the corpus scan is `cell IN (touched)` —
+    * pushed, file-pruned by the clustered layout — with the batch
+    * broadcast onto it; the stream's state store is EMPTY (the corpus
+    * on storage IS the state), so the ingest restarts and scales
+    * horizontally exactly like the near-dup ingest. */
+  private[queries] def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val K = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_").toString
+    try {
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val isStream = pmod(col("vec_id"), lit(4)) === 0
+      val base = emb.where(!isStream)
+      val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(K)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
+      // stream feed: 2 micro-batches in vec_id order (q100's chunking)
+      val rows = emb.where(isStream).as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingPipeline.startVectorIngest(
+        mem.toDF().toDF("vec_id", "embedding"),
+        corpusPath = s"$tmp/corpus", annDir = s"$tmp/ann",
+        checkpointDir = s"$tmp/ckpt", cents = cents,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // localize the (≤ 3·|stream|-row) log before the scratch dir dies
+      val logged = spark.read.parquet(s"$tmp/ann")
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      val schema = logged.schema
+      spark.createDataFrame(
+          java.util.Arrays.asList(logged.collect(): _*), schema)
+        .orderBy(col("probe_id"), col("rn"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+  private[queries] val q105Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |base AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM (
+      |        SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+      |s AS (SELECT vec_id, v,
+      |        (row_number() OVER (ORDER BY vec_id) - 1)
+      |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
+      |      FROM e WHERE vec_id % 4 = 0),
+      |univ AS (SELECT vec_id, v, -1 AS b FROM base
+      |         UNION ALL SELECT vec_id, v, b FROM s),
+      |asg AS (SELECT vec_id, v, b,
+      |          (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |           LIMIT 1) AS cell
+      |        FROM univ),
+      |pc AS (SELECT p.vec_id AS probe_id, p.b AS pb, p.v AS pv, c.c_id,
+      |         row_number() OVER (PARTITION BY p.vec_id
+      |           ORDER BY list_cosine_similarity(p.v, cv) DESC, c_id DESC) AS crn
+      |       FROM s p CROSS JOIN c),
+      |cand AS (SELECT pc.probe_id, a.vec_id, list_cosine_similarity(pc.pv, a.v) AS cos
+      |         FROM pc JOIN asg a ON a.cell = pc.c_id AND pc.crn <= 2
+      |         WHERE a.b < pc.pb)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
   // ------------------------------------------------------------------ q65
   /** Persisted-quantizer IVF ANN — q54's production spelling end-to-end
     * under the oracle: train (= the same deterministic first-16 stand-in

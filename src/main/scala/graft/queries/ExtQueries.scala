@@ -83,5 +83,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q101_index_takedown_compact", q101, Some(q101Sql)),
     Decl("q102_gif_frame_sample", q102, Some(q102Sql)),
     Decl("q103_audio_pcm_features", q103, Some(q103Sql)),
-    Decl("q104_audio_resample", q104, Some(q104Sql)))
+    Decl("q104_audio_resample", q104, Some(q104Sql)),
+    Decl("q105_stream_ivf_ingest", q105, Some(q105Sql)))
 }

@@ -147,6 +147,48 @@ object StreamingPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(pairsDir)
 
+  /** Continuously-ingesting IVF vector search — the VECTOR twin of
+    * [[startNearDupIngest]], completing the streaming story for the ANN
+    * index family: each micro-batch of embeddings ANN-probes the
+    * persisted cell-clustered corpus (ops/IvfIndex) in its PRE-batch
+    * state — top-k cosine neighbors searched in `nprobe` cells only,
+    * file-pruned by the clustered layout — logs the per-vector results
+    * (tagged with the micro-batch id) to `annDir`, then appends the
+    * batch into the corpus so the next batch can match against it. The
+    * quantizer stays FROZEN (`cents` — FAISS add-after-train); re-train
+    * + rebuild is the offline path, not the ingest path.
+    *
+    * Delivery mirrors the near-dup ingest exactly: the corpus append
+    * lands in generation `b<batchId>` via dynamic partition overwrite
+    * and the probe excludes its own generation, the ANN log is
+    * batch_id-partitioned and replaced per batch — so a foreachBatch
+    * retry converges to the first attempt's state on storage
+    * (IvfIndexSpec replays a batch and pins stable counts). */
+  def startVectorIngest(vectors: DataFrame, corpusPath: String, annDir: String,
+      checkpointDir: String, cents: Seq[Seq[Float]], k: Int = 3, nprobe: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          vectorIngestBatch(batch, batchId, corpusPath, annDir, cents, k, nprobe)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the vector ingest, idempotent in `batchId` —
+    * exposed (like [[nearDupIngestBatch]]) so the replay spec and batch
+    * backfill drivers can re-deliver a batch and assert convergence. */
+  def vectorIngestBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      annDir: String, cents: Seq[Seq[Float]], k: Int = 3, nprobe: Int = 2): Unit =
+    graft.ops.IvfIndex.probeAndAppend(
+        batch.sparkSession, corpusPath, batch, cents, batchId = Some(batchId),
+        k = k, nprobe = nprobe)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(annDir)
+
   /** Partitioned streaming file sink with the reference's 60 s cadence
     * (run_toy_example.py:25). Time partitions derive from EVENT time; the
     * reference's processing-time partitioning (toy_lambda_function.py:9-19)

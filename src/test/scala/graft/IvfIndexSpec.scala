@@ -83,4 +83,58 @@ class IvfIndexSpec extends SparkSpecBase {
     val trained = IvfIndex.trainAndWrite(vecs, path, k = 2, iters = 2)
     assert(IvfIndex.loadCentroids(spark, path) == trained)
   }
+
+  test("probeAndAppend: probes see the PRE-batch corpus only, appends " +
+    "land in their own generation, later batches see earlier ones") {
+    import spark.implicits._
+    val path = tmpDir("ivf_ingest")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.buildCorpus(base, path, cents, files = 1)
+    // batch 0 probes before its own append: neighbors are base only
+    val b0 = Seq((10L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val ann0 = IvfIndex.probeAndAppend(spark, path, b0, cents, Some(0L), k = 3)
+      .collect()
+    assert(ann0.map(_.getLong(2)).toSet == Set(0L, 1L),
+      s"batch 0 must not see itself: ${ann0.toSeq}")
+    // batch 1 sees base + batch 0 through the persisted corpus
+    val b1 = Seq((20L, Seq(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val ann1 = IvfIndex.probeAndAppend(spark, path, b1, cents, Some(1L), k = 3)
+      .collect()
+    assert(ann1.map(_.getLong(2)).toSet == Set(0L, 1L, 10L))
+    // cosine order for (0.95, 0.05): base (1,0) ≈ .9986 > batch-0
+    // (0.9, 0.1) ≈ .9984 > base (0,1) ≈ .053
+    assert(ann1.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == Seq(0L, 10L, 1L))
+    val gens = spark.read.parquet(path).groupBy("gen").count()
+      .as[(String, Long)].collect().toMap
+    assert(gens == Map("base" -> 2L, "b0" -> 1L, "b1" -> 1L))
+  }
+
+  test("vectorIngestBatch replay converges: corpus generations and the " +
+    "batch's ANN log partition are unchanged after a re-delivery") {
+    import spark.implicits._
+    val path = tmpDir("ivf_replay")
+    val annDir = tmpDir("ivf_replay_ann")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.buildCorpus(base, path, cents, files = 1)
+    val b0 = Seq((10L, Seq(0.9f, 0.1f)), (11L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    graft.streaming.StreamingPipeline.vectorIngestBatch(
+      b0, 0L, path, annDir, cents)
+    val (corpus1, log1) = (snap(path), snap(annDir))
+    // the crash-retry: same batch id, same data, re-delivered
+    graft.streaming.StreamingPipeline.vectorIngestBatch(
+      b0, 0L, path, annDir, cents)
+    assert(snap(path) == corpus1, "retry must replace its generation, not append")
+    assert(snap(annDir) == log1, "retry must replace its log partition")
+    // and the retry's probe saw the pre-batch corpus: no self-pairs ever
+    val neighbors = spark.read.parquet(annDir)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(neighbors == Set(0L, 1L), s"probe leaked its own batch: $neighbors")
+  }
 }
