@@ -210,4 +210,39 @@ object IvfIndex {
       path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
     result
   }
+
+  /** Fold the corpus's accumulated generations back into one tight
+    * `gen=base` layout (`files` globally cell-clustered files) — the
+    * LshIndex.compact contract for the vector corpus: run off the ingest
+    * path at whatever cadence keeps per-cell file counts bounded.
+    *
+    * `keepBatch = Some(b)` is the IN-STREAM form (lag-1 policy):
+    * generation `b<b>` is rewritten verbatim instead of folded, so the
+    * in-flight batch's replace-gen retry contract survives — the retry
+    * still replaces exactly its own partitions and its probe (which
+    * excludes `b<b>`) sees the folded base = the same pre-compaction
+    * rows. Same stage-then-swap commit as Layout.compact. */
+  def compactCorpus(spark: SparkSession, path: String, files: Int = 4,
+      keepBatch: Option[Long] = None): Unit = {
+    val staged = s"$path.compacting"
+    val keepGen = keepBatch.map(b => s"b$b")
+    val all = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("gen"))
+    writeGen(
+      keepGen.fold(all)(g => all.where(col("gen") =!= g))
+        .drop("gen"),
+      staged, files, "overwrite", "base")
+    keepGen.foreach { g =>
+      writeGen(all.where(col("gen") === g).drop("gen"),
+        staged, files, "append", g)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val (cur, stg) = (new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(staged))
+    val fs = cur.getFileSystem(conf)
+    if (!fs.delete(cur, true) || !fs.rename(stg, cur))
+      throw new IllegalStateException(
+        s"compactCorpus: failed to swap $staged into $path - corpus left " +
+          "in staged state; re-run compactCorpus")
+  }
 }

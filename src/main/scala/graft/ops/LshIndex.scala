@@ -430,24 +430,41 @@ object LshIndex {
     * table is touched); a production deployment would commit via a
     * manifest instead — the window where a crash leaves a half-swapped
     * index is the price of staying filesystem-only here, and rebuilding
-    * from [[build]] recovers it. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * from [[build]] recovers it.
+    *
+    * `keepBatch = Some(b)` is the IN-STREAM form (the lag-1 policy the
+    * auto-compacting ingest uses): generation `b<b>` is REWRITTEN
+    * verbatim instead of folded, so batch `b`'s replace-gen retry
+    * contract survives the compaction — a retry still replaces exactly
+    * its own partitions, and its probe (which excludes `b<b>`) sees the
+    * folded base = the same rows it saw pre-compaction. Folding the
+    * in-flight generation instead would double its rows on retry. */
+  def compact(spark: SparkSession, path: String,
+      keepBatch: Option[Long] = None): Unit = {
     val cfg = adoptMeta(spark, path, Config())
     val conf = spark.sessionState.newHadoopConf()
     val tombs = tombstones(spark, path)
+    val keepGen = keepBatch.map(b => s"b$b")
     def dropTombstoned(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     def rewrite(tablePath: String, files: Int, dataCols: Seq[String],
         cluster: Column*): Unit = {
       val staged = s"$tablePath.compacting"
-      val rows = dropTombstoned(
-        spark.read.parquet(tablePath).select(dataCols.map(col): _*))
+      val all = spark.read.parquet(tablePath)
       // recompute __part rather than trusting the read-back pk: identical
       // by construction, but the hash is the layout's source of truth
-      val keyed =
+      def keyed(rows: DataFrame): DataFrame =
         if (dataCols.contains("band")) rows.withColumn("__part", bandPk(cfg))
         else rows.withColumn("__part", sigPs(cfg, col("doc_id")))
-      writePartitioned(keyed, staged, files, "overwrite", "base", cluster: _*)
+      val folded = dropTombstoned(
+        keepGen.fold(all)(g => all.where(col("gen") =!= g))
+          .select(dataCols.map(col): _*))
+      writePartitioned(keyed(folded), staged, files, "overwrite", "base", cluster: _*)
+      keepGen.foreach { g =>
+        val kept = dropTombstoned(
+          all.where(col("gen") === g).select(dataCols.map(col): _*))
+        writePartitioned(keyed(kept), staged, files, "append", g, cluster: _*)
+      }
       val (cur, stg) = (new HPath(tablePath), new HPath(staged))
       val fs = cur.getFileSystem(conf)
       if (!fs.delete(cur, true) || !fs.rename(stg, cur))

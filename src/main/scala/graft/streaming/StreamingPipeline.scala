@@ -125,10 +125,26 @@ object StreamingPipeline {
     *    partition instead of appending duplicate pair rows. */
   def startNearDupIngest(docs: DataFrame, indexPath: String, pairsDir: String,
       checkpointDir: String, cfg: graft.ops.LshIndex.Config = graft.ops.LshIndex.Config(),
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) nearDupIngestBatch(batch, batchId, indexPath, pairsDir, cfg)
+        if (!batch.isEmpty) {
+          nearDupIngestBatch(batch, batchId, indexPath, pairsDir, cfg)
+          // Auto-compaction, LAG-1: every n-th batch folds all OLDER
+          // generations into gen=base but rewrites its OWN generation
+          // verbatim (keepBatch), so a crash-retry of this batch still
+          // replaces exactly its partitions and probes the same rows —
+          // the batchId-keyed trigger re-fires deterministically on
+          // retry, and re-compacting an already-compacted index is a
+          // no-op fold. File counts stay bounded at ≤ n generations
+          // without an operator having to schedule compact() offline.
+          compactEvery.foreach { n =>
+            if (n > 0 && batchId % n == (n - 1))
+              graft.ops.LshIndex.compact(
+                batch.sparkSession, indexPath, keepBatch = Some(batchId))
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -166,11 +182,19 @@ object StreamingPipeline {
     * (IvfIndexSpec replays a batch and pins stable counts). */
   def startVectorIngest(vectors: DataFrame, corpusPath: String, annDir: String,
       checkpointDir: String, cents: Seq[Seq[Float]], k: Int = 3, nprobe: Int = 2,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           vectorIngestBatch(batch, batchId, corpusPath, annDir, cents, k, nprobe)
+          // same LAG-1 auto-compaction contract as startNearDupIngest
+          compactEvery.foreach { n =>
+            if (n > 0 && batchId % n == (n - 1))
+              graft.ops.IvfIndex.compactCorpus(
+                batch.sparkSession, corpusPath, keepBatch = Some(batchId))
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

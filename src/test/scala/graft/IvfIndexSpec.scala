@@ -137,4 +137,37 @@ class IvfIndexSpec extends SparkSpecBase {
       .select($"neighbor_id").as[Long].collect().toSet
     assert(neighbors == Set(0L, 1L), s"probe leaked its own batch: $neighbors")
   }
+
+  test("compactCorpus (keepBatch lag-1) folds older generations only; " +
+    "the kept batch's retry converges and later probes are unchanged") {
+    import spark.implicits._
+    val path = tmpDir("ivf_compact")
+    val annDir = tmpDir("ivf_compact_ann")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.buildCorpus(base, path, cents, files = 1)
+    val b0 = Seq((10L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val b1 = Seq((11L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b0, 0L, path, annDir, cents)
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b1, 1L, path, annDir, cents)
+    // what startVectorIngest(compactEvery=2) runs after batch 1
+    IvfIndex.compactCorpus(spark, path, files = 1, keepBatch = Some(1L))
+    val gens = spark.read.parquet(path)
+      .select($"gen".cast("string")).distinct().as[String].collect().toSet
+    assert(gens == Set("base", "b1"), s"lag-1 fold broken: $gens")
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    val (corpus1, log1) = (snap(path), snap(annDir))
+    // the kept batch's crash-retry, landing AFTER the compaction
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b1, 1L, path, annDir, cents)
+    assert(snap(path) == corpus1, "retry after compact changed the corpus")
+    assert(snap(annDir) == log1, "retry after compact changed the ANN log")
+    // a later batch must see base + folded b0 + kept b1
+    val b2 = Seq((20L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val ann2 = IvfIndex.probeAndAppend(spark, path, b2, cents, Some(2L), k = 4)
+      .collect()
+    assert(ann2.map(_.getLong(2)).toSet == Set(0L, 1L, 10L, 11L),
+      s"post-compact probe lost rows: ${ann2.toSeq}")
+  }
 }

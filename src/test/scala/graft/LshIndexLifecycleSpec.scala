@@ -165,6 +165,51 @@ class LshIndexLifecycleSpec extends SparkSpecBase {
       s"compacted probe scans $afterScanned files vs fresh $freshScanned")
   }
 
+  test("in-stream compact (keepBatch lag-1) folds older generations only: " +
+    "the kept batch's retry still converges and later probes see the " +
+    "same world as an uncompacted twin") {
+    val root = tmpDir("lsh_autocompact")
+    val idx = s"$root/idx"; val pairs = s"$root/pairs"
+    val idx2 = s"$root/idx2"; val pairs2 = s"$root/pairs2" // uncompacted twin
+    LshIndex.build(base, idx); LshIndex.build(base, idx2)
+    val b0 = docs(10L -> "the quick brown fox jumps over the lazy dog today")
+    val b1 = docs(
+      11L -> "totally unrelated fresh content never seen before",
+      12L -> "totally unrelated fresh content never seen before!")
+    // near-dups of one FOLDED doc (10, from b0) and one KEPT doc (11, b1):
+    // the post-compact probe must find both through their new homes
+    val b2 = docs(
+      13L -> "the quick brown fox jumps over the lazy dog today!",
+      14L -> "totally unrelated fresh content never seen right before")
+    def ingest(i: String, p: String)(b: DataFrame, id: Long): Unit =
+      StreamingPipeline.nearDupIngestBatch(b, id, i, p)
+    ingest(idx, pairs)(b0, 0L); ingest(idx, pairs)(b1, 1L)
+    // what the auto-compacting ingest runs after batch 1 (compactEvery=2)
+    LshIndex.compact(spark, idx, keepBatch = Some(1L))
+    val gens = spark.read.parquet(s"$idx/bands")
+      .select($"gen".cast("string")).distinct().as[String].collect().toSet
+    assert(gens === Set("base", "b1"),
+      s"lag-1 compact must fold all generations but the kept one: $gens")
+    // the kept batch's crash-retry, landing AFTER the compaction
+    def log(p: String) = spark.read.parquet(p)
+      .select($"batch_id".cast("long"), $"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val (counts1, log1) = (rowCounts(idx), log(pairs))
+    StreamingPipeline.nearDupIngestBatch(b1, 1L, idx, pairs)
+    assert(rowCounts(idx) === counts1,
+      "retry after compact changed index row counts - keepBatch broken")
+    assert(log(pairs) === log1, "retry after compact changed the pair log")
+    // batch 2 probes the compacted index and the uncompacted twin equally
+    ingest(idx2, pairs2)(b0, 0L); ingest(idx2, pairs2)(b1, 1L)
+    ingest(idx, pairs)(b2, 2L); ingest(idx2, pairs2)(b2, 2L)
+    val batch2 = log(pairs).filter(_._1 == 2L)
+    assert(batch2.nonEmpty, "batch 2 found no pairs - fixture is vacuous")
+    assert(batch2.map(t => (t._2, t._3)).exists(p => p._1 == 10L || p._2 == 13L),
+      s"batch 2 must rediscover the FOLDED doc 10 through gen=base: $batch2")
+    assert(batch2 === log(pairs2).filter(_._1 == 2L),
+      "compacted and uncompacted ingests diverged")
+  }
+
   // ---- tombstones -----------------------------------------------------
 
   test("markDeleted suppresses a doc from probe pairs without rebuild; " +
