@@ -187,9 +187,10 @@ object IvfIndex {
     // bounded collect: the DISTINCT union of probed cells, ≤ K ints
     val touched = probes.select(explode(col("pcells")).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path)
-      .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
-      .where(col("cell").isin(touched: _*))
+    val corpus = dropTombstoned(spark, path,
+      spark.read.parquet(path)
+        .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
+        .where(col("cell").isin(touched: _*)))
     val cand = corpus.crossJoin(broadcast(probes))
       .where(array_contains(col("pcells"), col("cell")) &&
         col("vec_id") =!= col("probe_id"))
@@ -211,10 +212,45 @@ object IvfIndex {
     result
   }
 
+  private def tombsPath(path: String) = s"$path.tombstones"
+
+  /** Tombstoned vec_ids as a (tiny) broadcastable table, if any. Sibling
+    * path (`<corpus>.tombstones`) rather than a subdirectory: the corpus
+    * path is itself a parquet table and a nested foreign table would
+    * corrupt its reads. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombsPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(tombsPath(path)).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path).fold(df)(t =>
+      df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+
+  /** Tombstone `vecIds` — the LshIndex.markDeleted contract for the
+    * vector corpus: the vectors stay physically present until the next
+    * [[compactCorpus]], but no subsequent probe returns them as
+    * neighbors. O(deletions) writes, no rebuild, nothing on the ingest
+    * hot path. */
+  def markDeleted(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    require(new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(path)),
+      s"markDeleted: no corpus at $path")
+    vecIds.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(tombsPath(path))
+  }
+
   /** Fold the corpus's accumulated generations back into one tight
     * `gen=base` layout (`files` globally cell-clustered files) — the
     * LshIndex.compact contract for the vector corpus: run off the ingest
     * path at whatever cadence keeps per-cell file counts bounded.
+    * Tombstoned vectors ([[markDeleted]]) are dropped physically and the
+    * tombstone log cleared.
     *
     * `keepBatch = Some(b)` is the IN-STREAM form (lag-1 policy):
     * generation `b<b>` is rewritten verbatim instead of folded, so the
@@ -226,8 +262,9 @@ object IvfIndex {
       keepBatch: Option[Long] = None): Unit = {
     val staged = s"$path.compacting"
     val keepGen = keepBatch.map(b => s"b$b")
-    val all = spark.read.parquet(path)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("gen"))
+    val all = dropTombstoned(spark, path,
+      spark.read.parquet(path)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("gen")))
     writeGen(
       keepGen.fold(all)(g => all.where(col("gen") =!= g))
         .drop("gen"),
@@ -244,5 +281,7 @@ object IvfIndex {
       throw new IllegalStateException(
         s"compactCorpus: failed to swap $staged into $path - corpus left " +
           "in staged state; re-run compactCorpus")
+    val tp = new org.apache.hadoop.fs.Path(tombsPath(path))
+    if (fs.exists(tp)) { fs.delete(tp, true); () }
   }
 }

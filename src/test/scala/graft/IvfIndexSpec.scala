@@ -170,4 +170,58 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(ann2.map(_.getLong(2)).toSet == Set(0L, 1L, 10L, 11L),
       s"post-compact probe lost rows: ${ann2.toSeq}")
   }
+
+  test("markDeleted suppresses a vector from ANN probes without rebuild; " +
+    "compactCorpus drops it physically and clears the tombstones") {
+    import spark.implicits._
+    val path = tmpDir("ivf_takedown")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.buildCorpus(base, path, cents, files = 1)
+    def probe(): Set[Long] = {
+      val b = Seq((100L, Seq(0.95f, 0.05f))).toDF("vec_id", "embedding")
+      // adhoc probe: batchId=None appends gen=adhoc each call; ids differ
+      // per call would pollute — use a throwaway copy instead
+      val tmp2 = tmpDir("ivf_takedown_probe")
+      org.apache.hadoop.fs.FileUtil.copy(
+        new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(tmp2 + "/c"), false, true,
+        spark.sessionState.newHadoopConf())
+      // tombstones ride the sibling path; copy it too if present
+      val tp = new java.io.File(path + ".tombstones")
+      if (tp.exists)
+        org.apache.hadoop.fs.FileUtil.copy(
+          new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(path + ".tombstones"),
+          new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(tmp2 + "/c.tombstones"), false, true,
+          spark.sessionState.newHadoopConf())
+      IvfIndex.probeAndAppend(spark, tmp2 + "/c", b, cents, None, k = 3)
+        .collect().map(_.getLong(2)).toSet
+    }
+    assert(probe() == Set(0L, 1L, 2L))
+    IvfIndex.markDeleted(spark, path, Seq(2L))
+    assert(probe() == Set(0L, 1L), "tombstoned vector still probed")
+    assert(spark.read.parquet(path).where($"vec_id" === 2L).count() == 1,
+      "tombstone must not rewrite the corpus")
+    IvfIndex.compactCorpus(spark, path, files = 1)
+    assert(spark.read.parquet(path).where($"vec_id" === 2L).count() == 0,
+      "compact must drop tombstoned vectors physically")
+    assert(!new java.io.File(path + ".tombstones").exists,
+      "compact must clear the tombstone log")
+    assert(probe() == Set(0L, 1L))
+    IvfIndex.markDeleted(spark, path, Seq(99L)) // unknown id: harmless
+    assert(probe() == Set(0L, 1L))
+    intercept[IllegalArgumentException] {
+      IvfIndex.markDeleted(spark, tmpDir("ivf_nothere") + "/x", Seq(1L))
+    }
+  }
 }
