@@ -200,6 +200,57 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
   }
 
 
+  // ----------------------------------------------------------------- q106
+  /** q92's streaming LSH ingest WITH in-stream auto-compaction on the
+    * correctness gate: same 3-micro-batch feed through the production
+    * operator, but `compactEvery = 2` fires the LAG-1 compaction
+    * (`LshIndex.compact(keepBatch)`) inside foreachBatch after batch 1 —
+    * generations fold mid-stream while batch 1's own generation is kept
+    * replace-able — and batch 2 then probes the COMPACTED index. The
+    * oracle is q62's from-scratch incremental SQL, identical to q92's:
+    * the hash only matches if folding generations mid-stream changed
+    * NOTHING about which pairs every later batch discovers — the
+    * invariant the whole compaction design exists to provide, here
+    * end-to-end under the driver's gate instead of only spec-pinned.
+    * Scale shape: q92's, plus one bounded index rewrite (the compaction)
+    * amortized over every batch between compactions. */
+  private[queries] def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q106_").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
+      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingPipeline.startNearDupIngest(
+        mem.toDF().toDF("doc_id", "text"),
+        indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
+        checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(2))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      val logged = spark.read.parquet(s"$tmp/pairs")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val schema = logged.schema
+      spark.createDataFrame(
+          java.util.Arrays.asList(logged.collect(): _*), schema)
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+
   // ------------------------------------------------------------------ q100
   /** The exactly-once pair-log CONSUMER contract under a replayed batch:
     * the downstream half of q92's streaming story. Same ingest shape as
