@@ -204,6 +204,27 @@ object TextOps {
     bits.reduce(_ + _)
   }
 
+  /** 63-bit SimHash over a distinct-word array column — [[simhash16InRow]]
+    * widened to production discrimination (the 16-bit form keeps its
+    * oracle-SQL tractability niche; 63 bits ≈ the classic 64-bit simhash
+    * minus the sign bit, so the fingerprint stays a positive BIGINT and
+    * band extraction shifts never smear sign). Bit `j` votes on bit
+    * `j % 4` of md5 hex char `j / 4 + 1`; integer vote sums are
+    * order-independent, so the value is deterministic under any
+    * partitioning. */
+  def simhash63InRow(distinctWords: Column): Column = {
+    val bits = (0 until 63).map { j =>
+      val h = j / 4 + 1
+      val s = j % 4
+      val voteSum = aggregate(distinctWords, lit(0), (acc, w) => {
+        val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
+        acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+      })
+      when(voteSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Rolling-hash document fingerprint: minimum md5 over character
     * k-gram shingles (winnowing with window = whole doc). Computed fully
     * inside one row via array_min∘transform — no explode, no shuffle. */

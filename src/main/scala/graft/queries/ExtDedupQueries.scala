@@ -367,6 +367,68 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
 
+  // ----------------------------------------------------------------- q107
+  /** SimHash HAMMING-DISTANCE near-dup pairs — the Charikar/Google-style
+    * dedup path, complementing the MinHash/Jaccard path (q20): 63-bit
+    * SimHash per doc ([[TextOps.simhash63InRow]], in-row — no shuffle to
+    * fingerprint), 4× 16-bit band bucketing (pigeonhole: any pair within
+    * Hamming ≤ 3 shares at least one exact band), hot-bucket cap
+    * (DefaultMaxBucket, mirrored in the oracle's HAVING — clusters of
+    * identical tiny-doc fingerprints would otherwise go quadratic), band
+    * self-join for candidates, and an IN-ROW popcount-of-XOR verify.
+    * Everything is integer arithmetic, so the oracle reproduces the
+    * exact pair set. Scale shape: the self-join shuffles 4 small rows
+    * per doc on (band, key); candidates after the cap are the only
+    * pairs that pay the verify, and the verify is two BIGINTs — no set
+    * intersection, which is exactly why production pipelines run simhash
+    * next to minhash. */
+  private[queries] def q107(spark: SparkSession, dir: String): DataFrame = {
+    val bandArr = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), 16 * b).bitwiseAND(lit(65535L)).as("key"))): _*)
+    val bands = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        TextOps.simhash63InRow(array_distinct(TextOps.words(col("text")))).as("sh"))
+      .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val kept = TextOps.capHotBuckets(
+      bands, Seq("band", "key"), TextOps.DefaultMaxBucket, "simhash_hot_buckets")
+    val a = kept.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("ha"))
+    val b = kept.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private[queries] val q107Sql = {
+    val bits = (0 until 63).map { j =>
+      val h = j / 4 + 1; val s = j % 4
+      s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM dw GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sh, b, (sh >> (16 * b)) & 65535 AS v
+       |          FROM h, unnest(range(4)) AS t(b)),
+       |bsz AS (SELECT b, v FROM bands GROUP BY b, v
+       |        HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (b, v)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
+       |                b.doc_id AS doc_b, b.sh AS hb
+       |         FROM kept a JOIN kept b
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
     * (distinct word set + 16 vote sums inside the row; the only shuffles

@@ -129,6 +129,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sim.values.forall(h => h >= 0 && h < 65536))
   }
 
+  test("simhash63InRow: single-word fingerprint IS the word's md5 bits; " +
+    "equal word sets collide; near-equal sets land at small Hamming") {
+    // one word: every bit's vote sum is ±1, so bit j of the fingerprint
+    // equals bit (j%4) of md5 hex char (j/4) — recompute independently
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def expected(word: String): Long = {
+      val hex = md5hex(word)
+      (0 until 63).map { j =>
+        val nib = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
+        if (((nib >> (j % 4)) & 1) == 1) 1L << j else 0L
+      }.sum
+    }
+    val df = Seq(
+      (1L, Seq("alpha")), (2L, Seq("alpha", "beta", "gamma")),
+      (3L, Seq("gamma", "beta", "alpha")),
+      (4L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "dw")
+    val got = df.select($"doc_id", TextOps.simhash63InRow($"dw").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === expected("alpha"))
+    assert(got(2L) === got(3L), "order must not matter")
+    assert(got.values.forall(_ >= 0L), "sign bit must stay clear")
+    val ham = java.lang.Long.bitCount(got(2L) ^ got(4L))
+    assert(ham < 32, s"one added word flipped $ham of 63 bits")
+  }
+
   test("charFingerprint: permutation-sensitive, substring-stable") {
     val fp = Seq((1L, "the quick brown fox jumps"), (2L, "quick brown fox jumps the"))
       .toDF("doc_id", "text")
