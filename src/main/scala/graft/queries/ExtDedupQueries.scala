@@ -429,6 +429,118 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
   }
 
 
+  // ----------------------------------------------------------------- q108
+  /** SimHash CALIBRATION audit — q84's contract for the Hamming path:
+    * before trusting q107's threshold at scale, measure, on the same
+    * fixed-size deterministic sample, the full tuning curve
+    * (threshold t = 0..3) of banded-SimHash pair detection against
+    * EXACT word-set-jaccard ≥ 0.5 ground truth
+    * ([[TextOps.exactNearDupPairs]] over 1-gram word shingles — the
+    * same feature set the fingerprint hashes, so the audit measures the
+    * sketch, not a feature mismatch). One FULL-OUTER pair frame tagged
+    * (hamming, is_true) — q84's no-scalar-join rule — exploded across
+    * the 4 thresholds and aggregated once. On THIS corpus the audit
+    * correctly flags SimHash as miscalibrated (even t=0 is mostly
+    * false positives): the docs are short, so few features vote per
+    * fingerprint and unrelated tiny docs collide — exactly the
+    * "audit before you trust the sketch on your distribution" report
+    * this operator exists to produce; on long-document corpora the
+    * same curve separates. Scale shape: constant-size sample
+    * (TakeOrderedAndProject), capped buckets, one aggregation. */
+  private[queries] def q108(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.spread(Tables.documents(spark, dir))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(Q84_SAMPLE)
+      .select(col("doc_id"), array_distinct(TextOps.words(col("text"))).as("dw"))
+      .persist()
+    try {
+      val h = sample.select(col("doc_id"), TextOps.simhash63InRow(col("dw")).as("sh"))
+      val bandArr = array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), 16 * b).bitwiseAND(lit(65535L)).as("key"))): _*)
+      val bands = h.select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val kept = TextOps.capHotBuckets(
+        bands, Seq("band", "key"), TextOps.DefaultMaxBucket, "simhash_audit_hot")
+      val a = kept.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("sh").as("ha"))
+      val b = kept.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("sh").as("hb"))
+      val ham = a.join(b, Seq("band", "key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("d"))
+      val exact = TextOps.exactNearDupPairs(
+          sample.select(col("doc_id"), explode(col("dw")).as("shingle")),
+          "doc_id", 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+      val tagged = ham.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      val curve = tagged
+        .select(col("d"), col("e"), explode(typedLit(Seq(0, 1, 2, 3))).as("t"))
+        .groupBy(col("t")).agg(
+          sum(when(col("d") <= col("t"), 1L).otherwise(0L)).as("n_predicted"),
+          sum(when(col("d") <= col("t") && col("e") === 1L, 1L).otherwise(0L))
+            .as("n_predicted_true"),
+          sum(coalesce(col("e"), lit(0L))).as("n_true_pairs"))
+        .select(col("t"), col("n_predicted"), col("n_predicted_true"),
+          col("n_true_pairs"),
+          round(col("n_predicted_true") / col("n_predicted"), 4)
+            .as("pair_precision"),
+          round(col("n_predicted_true") / col("n_true_pairs"), 4).as("recall"))
+        .orderBy(col("t"))
+      Caches.localize(curve, maxRows = 8)
+        .getOrElse(sys.error("q108 audit must reduce to 4 rows"))
+    } finally sample.unpersist()
+  }
+  private[queries] val q108Sql = {
+    val bits = (0 until 63).map { j =>
+      val h = j / 4 + 1; val s = j % 4
+      s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH sample AS (
+       |  SELECT * FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $Q84_SAMPLE),
+       |dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM sample),
+       |h AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM dw GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sh, b, (sh >> (16 * b)) & 65535 AS v
+       |          FROM h, unnest(range(4)) AS tt(b)),
+       |bsz AS (SELECT b, v FROM bands GROUP BY b, v
+       |        HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (b, v)),
+       |ham AS (SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS d FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha, b.doc_id AS doc_b, b.sh AS hb
+       |  FROM kept a JOIN kept b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)),
+       |sdf AS (SELECT word FROM dw GROUP BY word
+       |        HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |rare AS (SELECT dw.* FROM dw JOIN sdf USING (word)),
+       |cooc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rare a JOIN rare b ON a.word = b.word AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+       |einter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cooc c
+       |           JOIN dw a ON a.doc_id = c.doc_a
+       |           JOIN dw b ON b.doc_id = c.doc_b AND b.word = a.word
+       |           GROUP BY 1, 2),
+       |exact AS (SELECT doc_a, doc_b, 1 AS e FROM einter
+       |          JOIN sizes za ON za.doc_id = einter.doc_a
+       |          JOIN sizes zb ON zb.doc_id = einter.doc_b
+       |          WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5),
+       |tagged AS (SELECT coalesce(ham.doc_a, exact.doc_a) AS doc_a, d, e
+       |           FROM ham FULL OUTER JOIN exact USING (doc_a, doc_b)),
+       |th AS (SELECT CAST(unnest(range(4)) AS INT) AS t)
+       |SELECT t,
+       |  count(*) FILTER (WHERE d <= t) AS n_predicted,
+       |  count(*) FILTER (WHERE d <= t AND e = 1) AS n_predicted_true,
+       |  count(*) FILTER (WHERE e = 1) AS n_true_pairs,
+       |  round((count(*) FILTER (WHERE d <= t AND e = 1)) * 1.0 /
+       |        (count(*) FILTER (WHERE d <= t)), 4) AS pair_precision,
+       |  round((count(*) FILTER (WHERE d <= t AND e = 1)) * 1.0 /
+       |        (count(*) FILTER (WHERE e = 1)), 4) AS recall
+       |FROM th, tagged GROUP BY t ORDER BY t""".stripMargin
+  }
+
+
   // ------------------------------------------------------------------ q21
   /** 16-bit SimHash fingerprints over distinct words — fully in-row
     * (distinct word set + 16 vote sums inside the row; the only shuffles
