@@ -375,6 +375,94 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ----------------------------------------------------------------- q109
+  /** IVF corpus TAKEDOWN + COMPACTION under the oracle — q101's contract
+    * for the vector index family, completing the lifecycle symmetry
+    * (LSH: q101 takedown + q106 auto-compact both gated; IVF: q105
+    * ingest gated, takedown/compaction previously spec-only): build the
+    * cell-clustered corpus, run one production ingest generation
+    * (`IvfIndex.probeAndAppend`), tombstone vec 35 and 87 — the RANK-1
+    * neighbors of probes 16 and 19 at sf0.01, so the takedown reshuffles
+    * the top-3 and is load-bearing in the hash — then `compactCorpus`
+    * (generations fold, tombstoned rows drop physically, log cleared)
+    * and ANN-probe the compacted table read-only. The oracle recomputes
+    * the same top-3 from scratch excluding the deleted ids: a takedown
+    * that left rows behind, a compaction that lost a generation, or a
+    * probe that still saw a tombstoned vector all hash-mismatch. Scale
+    * shape: takedown is O(deletions) writes; compaction one bounded
+    * rewrite; the probe is q97's (cell-pruned scan, broadcast probes). */
+  private[queries] def q109(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+    try {
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val isBatch = pmod(col("vec_id"), lit(4)) === 0
+      val cents: Seq[Seq[Float]] = emb.where(!isBatch)
+        .orderBy(col("vec_id")).limit(K)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val path = s"$tmp/corpus"
+      IvfIndex.buildCorpus(emb.where(!isBatch), path, cents, files = 4)
+      // one production ingest generation (its ANN log is not this query's
+      // contract; the lifecycle below is)
+      IvfIndex.probeAndAppend(spark, path,
+        Tables.spread(emb.where(isBatch)), cents, batchId = Some(0L))
+      IvfIndex.markDeleted(spark, path, Seq(35L, 87L))
+      IvfIndex.compactCorpus(spark, path, files = 4)
+      // read-only ANN over the compacted corpus: q97's probe shape
+      val corpus = spark.read.parquet(path)
+      val probes = corpus.where(col("vec_id") >= K && col("vec_id") < K + 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+          IvfIndex.topCellsOf(spark, col("embedding"), cents, NPROBE).as("pcells"))
+      val cand = corpus.crossJoin(broadcast(probes))
+        .where(array_contains(col("pcells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+      val out = topNeighbors(cand, 3)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("probe_id"), col("rn"))
+      Caches.localize(out, maxRows = 1 << 16)
+        .getOrElse(out.localCheckpoint())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+  private[queries] val q109Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM (
+      |        SELECT * FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16)),
+      |live AS (SELECT * FROM e WHERE vec_id NOT IN (35, 87)),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM live),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM live
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, e2.vec_id, list_cosine_similarity(p.pv, e2.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN live e2 ON e2.vec_id = a.vec_id
+      |  WHERE e2.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
   // ------------------------------------------------------------------ q65
   /** Persisted-quantizer IVF ANN — q54's production spelling end-to-end
     * under the oracle: train (= the same deterministic first-16 stand-in

@@ -87,5 +87,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q105_stream_ivf_ingest", q105, Some(q105Sql)),
     Decl("q106_stream_lsh_autocompact", q106, Some(q62Sql)),
     Decl("q107_simhash_neardup", q107, Some(q107Sql)),
-    Decl("q108_simhash_calibration_audit", q108, Some(q108Sql)))
+    Decl("q108_simhash_calibration_audit", q108, Some(q108Sql)),
+    Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)))
 }
