@@ -116,15 +116,12 @@ object TestData {
   /** On-disk schema for a MICROS generation written with
     * isAdjustedToUTC=true (pyarrow's default for tz-aware timestamps):
     * instant semantics bind directly as TimestampType — Spark's reader
-    * REFUSES to bind an adjusted column as TIMESTAMP_NTZ, so this cannot
-    * share [[eventRawMicros]]. */
-  val eventRawMicrosAdjusted: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+    * REFUSES to bind an adjusted column as TIMESTAMP_NTZ. Derived from
+    * [[eventRawMicros]] by retyping `ts` only, so a column added there
+    * can never be silently missing here. */
+  val eventRawMicrosAdjusted: StructType = StructType(
+    eventRawMicros.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
 
   val document: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -72,24 +72,35 @@ object Multimodal {
     val Mimes: Set[String] =
       Set("image/png", "image/jpeg", "image/gif", "image/bmp")
 
-    def decodeOne(r: MediaRecord): MediaMeta = {
+    /** The shared reader-acquisition/teardown for every per-payload
+      * ImageIO entry point ([[decodeOne]], `decodeFramesBatched`):
+      * stream in, SPI reader lookup with the loud-failure contract,
+      * setInput, run `f`, dispose/close in reverse order. Keeping the
+      * resource-management-sensitive sequence in one place means a fix
+      * (e.g. null-stream handling) reaches every caller. */
+    private[multimodal] def withImageReader[A](r: MediaRecord)(
+        f: javax.imageio.ImageReader => A): A = {
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.content))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
-        require(readers.hasNext, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+        require(readers.hasNext,
+          s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
         val reader = readers.next()
-        try {
-          reader.setInput(in)
-          // REAL frame count: getNumImages(true) walks the container —
-          // 1 for still formats, the actual frame count for animated GIFs
-          val frames = reader.getNumImages(true)
-          val img = reader.read(0)
-          MediaMeta(r.doc_id, r.mime, r.content.length,
-            img.getWidth, img.getHeight, frames)
-        } finally reader.dispose()
+        try { reader.setInput(in); f(reader) }
+        finally reader.dispose()
       } finally in.close()
     }
+
+    def decodeOne(r: MediaRecord): MediaMeta =
+      withImageReader(r) { reader =>
+        // REAL frame count: getNumImages(true) walks the container —
+        // 1 for still formats, the actual frame count for animated GIFs
+        val frames = reader.getNumImages(true)
+        val img = reader.read(0)
+        MediaMeta(r.doc_id, r.mime, r.content.length,
+          img.getWidth, img.getHeight, frames)
+      }
 
     /** Downsampled mean-luma grid from REAL decoded pixels: the image is
       * pooled into a `g`×`g` grid (cell bounds `⌊k·dim/g⌋`, every pixel
@@ -467,23 +478,14 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.flatMap { r =>
         require(ImageIoCodec.Mimes(r.mime),
           s"doc ${r.doc_id}: no frame decoder for mime ${r.mime}")
-        val in = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.content))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          require(readers.hasNext,
-            s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
-          val reader = readers.next()
-          try {
-            reader.setInput(in)
-            val n = reader.getNumImages(true)
-            (0 until n by everyN).map { f =>
-              val img = reader.read(f)
-              FrameMeta(r.doc_id, f, img.getWidth, img.getHeight,
-                ImageIoCodec.lumaGrid(img, 1)(0).toDouble)
-            }
-          } finally reader.dispose()
-        } finally in.close()
+        ImageIoCodec.withImageReader(r) { reader =>
+          val n = reader.getNumImages(true)
+          (0 until n by everyN).map { f =>
+            val img = reader.read(f)
+            FrameMeta(r.doc_id, f, img.getWidth, img.getHeight,
+              ImageIoCodec.lumaGrid(img, 1)(0).toDouble)
+          }
+        }
       })
     }
   }

@@ -174,42 +174,55 @@ object IvfIndex {
     * that generation (dynamic partition overwrite), so a crash-retry
     * probes the identical pre-batch corpus and converges on storage —
     * the exactly-once contract `StreamingPipeline.startVectorIngest`
-    * relies on. `None` = ad-hoc at-least-once append into `gen=adhoc`. */
+    * relies on. `None` = ad-hoc at-least-once append into `gen=adhoc`.
+    * Convergence caveat (same as LshIndex.probeAndAppend): tombstones
+    * are applied at probe time, so a takedown landing between a batch's
+    * first delivery and its crash-retry makes the retry emit the
+    * post-takedown neighbor lists — last-writer-wins between two
+    * admissible states; quiesce takedowns for bit-stable replay. */
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       cents: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       nprobe: Int = 2, files: Int = 2, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gen = batchId.fold("adhoc")(b => s"b$b")
-    val probes = batch
-      .select(col(id).as("probe_id"), col(vec).as("probe"))
-      .withColumn("pcells", topCellsOf(spark, col("probe"), cents, nprobe))
-    // bounded collect: the DISTINCT union of probed cells, ≤ K ints
-    val touched = probes.select(explode(col("pcells")).as("c"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = dropTombstoned(spark, path,
-      spark.read.parquet(path)
-        .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
-        .where(col("cell").isin(touched: _*)))
-    val cand = corpus.crossJoin(broadcast(probes))
-      .where(array_contains(col("pcells"), col("cell")) &&
-        col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
-        spark, col("embedding"), col("probe")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
-    // k rows per batch vector — bounded by construction; materialize
-    // before the append below mutates the table the plan reads
-    val result = Caches.localize(ann, maxRows = 1 << 22)
-      .getOrElse(ann.localCheckpoint())
-    writeGen(
-      batch.select(col(id).as("vec_id"), col(vec).as("embedding"))
-        .withColumn("cell", cellOf(spark, col("embedding"), cents)),
-      path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
-    result
+    // One evaluation of the batch plan + ONE K-centroid cosine pass per
+    // vector, shared by the touched-cell collect, the probe broadcast
+    // and the append (the LshIndex.probeAndAppend persist rule — without
+    // it each consumer re-runs the upstream batch plan).
+    val assigned = batch
+      .select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .withColumn("cell", cellOf(spark, col("embedding"), cents))
+      .withColumn("pcells", topCellsOf(spark, col("embedding"), cents, nprobe))
+      .persist()
+    try {
+      // bounded collect: the DISTINCT union of probed cells, ≤ K ints
+      val touched = assigned.select(explode(col("pcells")).as("c"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val probes = assigned.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe"), col("pcells"))
+      val corpus = dropTombstoned(spark, path,
+        spark.read.parquet(path)
+          .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
+          .where(col("cell").isin(touched: _*)))
+      val cand = corpus.crossJoin(broadcast(probes))
+        .where(array_contains(col("pcells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+          spark, col("embedding"), col("probe")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+      // k rows per batch vector — bounded by construction; materialize
+      // before the append below mutates the table the plan reads
+      val result = Caches.localize(ann, maxRows = 1 << 22)
+        .getOrElse(ann.localCheckpoint())
+      writeGen(assigned.select(col("vec_id"), col("embedding"), col("cell")),
+        path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
+      result
+    } finally assigned.unpersist()
   }
 
   private def tombsPath(path: String) = s"$path.tombstones"
@@ -261,6 +274,7 @@ object IvfIndex {
   def compactCorpus(spark: SparkSession, path: String, files: Int = 4,
       keepBatch: Option[Long] = None): Unit = {
     val staged = s"$path.compacting"
+    Layout.healSwap(spark, staged, path)
     val keepGen = keepBatch.map(b => s"b$b")
     val all = dropTombstoned(spark, path,
       spark.read.parquet(path)
@@ -273,15 +287,9 @@ object IvfIndex {
       writeGen(all.where(col("gen") === g).drop("gen"),
         staged, files, "append", g)
     }
-    val conf = spark.sessionState.newHadoopConf()
-    val (cur, stg) = (new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(staged))
-    val fs = cur.getFileSystem(conf)
-    if (!fs.delete(cur, true) || !fs.rename(stg, cur))
-      throw new IllegalStateException(
-        s"compactCorpus: failed to swap $staged into $path - corpus left " +
-          "in staged state; re-run compactCorpus")
+    Layout.swapInto(spark, staged, path)
     val tp = new org.apache.hadoop.fs.Path(tombsPath(path))
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(tp)) { fs.delete(tp, true); () }
   }
 }

@@ -44,28 +44,72 @@ object Layout {
       .sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
 
+  /** The shared compaction commit, used by [[compact]],
+    * LshIndex.compact and IvfIndex.compactCorpus: rename-ASIDE, not
+    * delete-first — `target` → `target.old`, `staged` → `target`, then
+    * drop `.old`. At no point is the data deleted before its
+    * replacement is in place, so every crash point leaves a recoverable
+    * state, and [[healSwap]] (run at the START of each compaction)
+    * repairs it mechanically — which makes "re-run compact" a TRUE
+    * recovery instruction. A production deployment commits via a
+    * manifest instead; this is the strongest filesystem-only form. */
+  def swapInto(spark: org.apache.spark.sql.SparkSession, staged: String,
+      target: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (cur, stg, old) = (new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$target.old"))
+    val fs = cur.getFileSystem(conf)
+    if (fs.exists(old)) fs.delete(old, true) // stale .old from a crash
+    if (!fs.rename(cur, old))
+      throw new IllegalStateException(
+        s"swapInto: cannot move $target aside - target untouched; re-run compact")
+    if (!fs.rename(stg, cur)) {
+      fs.rename(old, cur) // roll back; target restored
+      throw new IllegalStateException(
+        s"swapInto: cannot move $staged into place - original restored; re-run compact")
+    }
+    fs.delete(old, true); ()
+  }
+
+  /** Repair a half-committed [[swapInto]] before compacting again:
+    *  - `target` missing but `target.old` present (crash between the two
+    *    renames): restore the original — the compaction simply re-runs;
+    *  - stale `staged`/`target.old` next to an intact `target`: drop
+    *    them (dead staging from an interrupted run).
+    * Idempotent; call with the staged path a new compaction will use. */
+  def healSwap(spark: org.apache.spark.sql.SparkSession, staged: String,
+      target: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (cur, stg, old) = (new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$target.old"))
+    val fs = cur.getFileSystem(conf)
+    if (!fs.exists(cur) && fs.exists(old)) {
+      if (!fs.rename(old, cur))
+        throw new IllegalStateException(
+          s"healSwap: cannot restore $target from $target.old")
+    }
+    if (fs.exists(cur)) {
+      if (fs.exists(stg)) { fs.delete(stg, true); () }
+      if (fs.exists(old)) { fs.delete(old, true); () }
+    }
+  }
+
   /** Fold an append-grown clustered layout back to ONE tight generation:
     * each append range-partitioned only its own batch, so after N ingest
     * batches a range predicate still prunes correctly but pays ~N files
     * per key range. One full rewrite (the same one-pass range shuffle as
     * [[clusteredWrite]]) restores `files` globally-disjoint files — run
     * off the ingest path at whatever cadence keeps per-range file counts
-    * bounded. The swap is stage-then-delete-then-rename (the LshIndex
-    * compaction contract: a production deployment commits via a manifest;
-    * re-running compact — or the original writes — recovers the rare
-    * half-swapped crash window). */
+    * bounded. Commits via [[swapInto]] after a [[healSwap]], so a crash
+    * at any point is recovered by re-running compact. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       files: Int, cols: Column*): Unit = {
     val staged = s"$path.compacting"
+    healSwap(spark, staged, path)
     clusteredWrite(spark.read.parquet(path), staged, files, "overwrite", cols: _*)
-    val conf = spark.sessionState.newHadoopConf()
-    val (cur, stg) = (new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(staged))
-    val fs = cur.getFileSystem(conf)
-    if (!fs.delete(cur, true) || !fs.rename(stg, cur))
-      throw new IllegalStateException(
-        s"Layout.compact: failed to swap $staged into $path - layout left " +
-          "in staged state; re-run compact")
+    swapInto(spark, staged, path)
   }
 
   /** Multi-column Z-ORDER write: single-column clustering serves one

@@ -375,6 +375,15 @@ object LshIndex {
     *  - `None`: ad-hoc at-least-once append into `gen=adhoc` — fine for
     *    one-shot jobs that never retry a completed write.
     *
+    * Convergence caveat: tombstones are applied at probe time, not
+    * snapshotted per generation, so a [[markDeleted]] landing BETWEEN a
+    * batch's first delivery and its crash-retry makes the retry emit the
+    * post-takedown pair set (the dynamic overwrite replaces the log
+    * partition with it). That is last-writer-wins between two admissible
+    * states — the retry reflecting a newer takedown is correct policy
+    * enforcement, not row duplication — but callers needing bit-stable
+    * replay must quiesce takedowns while batches are in flight.
+    *
     * The returned pair list is localized (it is orders of magnitude
     * smaller than the batch) so no cache outlives the call; an over-cap
     * (> 2^20 pairs) result is eagerly localCheckpoint-ed instead —
@@ -426,11 +435,10 @@ object LshIndex {
     * past ingest batch. Run it off the ingest path at whatever cadence
     * keeps per-directory file counts bounded (e.g. every N batches).
     *
-    * The swap is delete-then-rename per table (staged fully before either
-    * table is touched); a production deployment would commit via a
-    * manifest instead — the window where a crash leaves a half-swapped
-    * index is the price of staying filesystem-only here, and rebuilding
-    * from [[build]] recovers it.
+    * Commits per table via Layout.swapInto after a Layout.healSwap
+    * (rename-aside: the data is never deleted before its replacement is
+    * in place), so a crash at any point is recovered by re-running
+    * compact; a production deployment commits via a manifest instead.
     *
     * `keepBatch = Some(b)` is the IN-STREAM form (the lag-1 policy the
     * auto-compacting ingest uses): generation `b<b>` is REWRITTEN
@@ -450,6 +458,7 @@ object LshIndex {
     def rewrite(tablePath: String, files: Int, dataCols: Seq[String],
         cluster: Column*): Unit = {
       val staged = s"$tablePath.compacting"
+      Layout.healSwap(spark, staged, tablePath)
       val all = spark.read.parquet(tablePath)
       // recompute __part rather than trusting the read-back pk: identical
       // by construction, but the hash is the layout's source of truth
@@ -465,12 +474,7 @@ object LshIndex {
           all.where(col("gen") === g).select(dataCols.map(col): _*))
         writePartitioned(keyed(kept), staged, files, "append", g, cluster: _*)
       }
-      val (cur, stg) = (new HPath(tablePath), new HPath(staged))
-      val fs = cur.getFileSystem(conf)
-      if (!fs.delete(cur, true) || !fs.rename(stg, cur))
-        throw new IllegalStateException(
-          s"compact: failed to swap $staged into $tablePath - index left in " +
-            "staged state; re-run compact or rebuild")
+      Layout.swapInto(spark, staged, tablePath)
     }
     rewrite(bandsPath(path), cfg.bandFiles,
       Seq("band", "key", "doc_id"), col("band"), col("key"))

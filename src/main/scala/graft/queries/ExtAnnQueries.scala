@@ -208,15 +208,9 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       val cents: Seq[Seq[Float]] = emb.where(!isBatch)
         .orderBy(col("vec_id")).limit(K)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
-      val centArr = typedLit(cents)
-      def cellScores(v: Column): Column =
-        transform(sequence(lit(1), lit(K)), i => struct(
-          CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
-          (i - 1).as("i")))
-      def cellOf(v: Column): Column = array_max(cellScores(v)).getField("i")
-      def topCells(v: Column): Column =
-        transform(slice(reverse(array_sort(cellScores(v))), 1, NPROBE),
-          s => s.getField("i"))
+      // cell assignment + probe short-list come from the PRODUCTION
+      // index helpers (one source of truth for the tie rule)
+      def cellOf(v: Column): Column = IvfIndex.cellOf(spark, v, cents)
       val path = s"$tmp/corpus"
       // build: base generation, cell-clustered
       Layout.clusteredWrite(
@@ -232,7 +226,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       val corpus = spark.read.parquet(path)
       val probes = corpus.where(col("vec_id") >= K && col("vec_id") < K + 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
-          topCells(col("embedding")).as("pcells"))
+          IvfIndex.topCellsOf(spark, col("embedding"), cents, NPROBE).as("pcells"))
       val cand = corpus.crossJoin(broadcast(probes))
         .where(array_contains(col("pcells"), col("cell")) &&
           col("vec_id") =!= col("probe_id"))
@@ -248,13 +242,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       // evicted/recomputed after cleanup — a checkpoint severs the lineage.
       Caches.localize(out, maxRows = 1 << 16)
         .getOrElse(out.localCheckpoint())
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp)) // result is localized (15 rows); safe now
-    }
+    } finally rmRecursive(tmp) // result is localized (15 rows); safe now
   }
   private[queries] val q97Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -331,19 +319,11 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       // localize the (≤ 3·|stream|-row) log before the scratch dir dies
-      val logged = spark.read.parquet(s"$tmp/ann")
-        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
-      val schema = logged.schema
-      spark.createDataFrame(
-          java.util.Arrays.asList(logged.collect(): _*), schema)
-        .orderBy(col("probe_id"), col("rn"))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+      localizeRows(
+        spark.read.parquet(s"$tmp/ann")
+          .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos_sim")),
+        Seq("probe_id", "rn"))
+    } finally rmRecursive(tmp)
   }
   private[queries] val q105Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -425,13 +405,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         .orderBy(col("probe_id"), col("rn"))
       Caches.localize(out, maxRows = 1 << 16)
         .getOrElse(out.localCheckpoint())
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally rmRecursive(tmp)
   }
   private[queries] val q109Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -478,13 +452,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
           .select(col("vec_id").as("centroid_id"), col("embedding")),
         tmp)
       annIvfPersisted(spark, dir, tmp)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally rmRecursive(tmp)
   }
 
 

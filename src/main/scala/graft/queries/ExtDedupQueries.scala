@@ -160,11 +160,19 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * (LshIndex Scaladoc); the stream's own state store is EMPTY — the
     * index on storage IS the state, which is what makes the dedup
     * restartable and horizontally scalable. */
-  private[queries] def q92(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def q92(spark: SparkSession, dir: String): DataFrame =
+    streamLshIngest(spark, dir, compactEvery = None, prefix = "graft_q92_")
+
+  /** The shared q92/q106 harness: base corpus indexed, the doc_id%4==0
+    * stream fed in 3 doc_id-ordered micro-batches through the PRODUCTION
+    * `startNearDupIngest` (with or without in-stream auto-compaction),
+    * pair log localized before the scratch dir dies. */
+  private def streamLshIngest(spark: SparkSession, dir: String,
+      compactEvery: Option[Int], prefix: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q92_").toString
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
@@ -179,24 +187,15 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
         mem.toDF().toDF("doc_id", "text"),
         indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
         checkpointDir = s"$tmp/ckpt",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = compactEvery)
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
-      // Pull the (tiny) pair log fully driver-side so no lineage outlives
-      // the scratch dir, then hand back a sorted local relation.
-      val logged = spark.read.parquet(s"$tmp/pairs")
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      val schema = logged.schema
-      spark.createDataFrame(
-          java.util.Arrays.asList(logged.collect(): _*), schema)
-        .orderBy(col("doc_a"), col("doc_b"))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp)) // result rows are driver-local; safe now
-    }
+      localizeRows(
+        spark.read.parquet(s"$tmp/pairs")
+          .select(col("doc_a"), col("doc_b"), col("jaccard")),
+        Seq("doc_a", "doc_b"))
+    } finally rmRecursive(tmp) // result rows are driver-local; safe now
   }
 
 
@@ -214,41 +213,8 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * end-to-end under the driver's gate instead of only spec-pinned.
     * Scale shape: q92's, plus one bounded index rewrite (the compaction)
     * amortized over every batch between compactions. */
-  private[queries] def q106(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q106_").toString
-    try {
-      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      val isStream = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
-      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
-      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
-      val chunks = rows.grouped(per).toArray
-      val mem = MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingPipeline.startNearDupIngest(
-        mem.toDF().toDF("doc_id", "text"),
-        indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
-        checkpointDir = s"$tmp/ckpt",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
-        compactEvery = Some(2))
-      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      val logged = spark.read.parquet(s"$tmp/pairs")
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      val schema = logged.schema
-      spark.createDataFrame(
-          java.util.Arrays.asList(logged.collect(): _*), schema)
-        .orderBy(col("doc_a"), col("doc_b"))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
-  }
+  private[queries] def q106(spark: SparkSession, dir: String): DataFrame =
+    streamLshIngest(spark, dir, compactEvery = Some(2), prefix = "graft_q106_")
 
 
   // ------------------------------------------------------------------ q100
@@ -297,17 +263,8 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
         .where(col("rn") === 1)
         .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_versions"))
       // localize before deleting the scratch dir (q92's rule)
-      val schema = consumed.schema
-      spark.createDataFrame(
-          java.util.Arrays.asList(consumed.collect(): _*), schema)
-        .orderBy(col("doc_a"), col("doc_b"))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+      localizeRows(consumed, Seq("doc_a", "doc_b"))
+    } finally rmRecursive(tmp)
   }
   private[queries] val q100Sql =
     s"""WITH ${pairCtesWith(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")}

@@ -112,29 +112,41 @@ private[queries] trait ExtQueryHelpers {
        |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5)""".stripMargin
   private[queries] val pairCtes = pairCtesWith("")
 
+  /** Recursively delete a query-local scratch directory. */
+  private[queries] def rmRecursive(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Pull a (small) result fully driver-side as a plan-free local
+    * relation sorted on `sortCols` — the rule every scratch-dir query
+    * follows so no lineage outlives the directory it reads. */
+  private[queries] def localizeRows(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), schema)
+      .orderBy(sortCols.map(col): _*)
+  }
+
   /** The IVF candidate frame (probe_id, vec_id, cos): corpus rows in the
     * probe's NPROBE nearest cells only — the frame both q54's top-k and
     * q87's recall audit rank. */
   private[queries] def ivfCandidates(spark: SparkSession, dir: String,
       cents: Seq[Seq[Float]]): DataFrame = {
     val K = cents.size; val NPROBE = 2
-    val centArr = typedLit(cents)
-    // array of (cos-to-centroid, centroid_id) structs; array_max /
-    // descending sort order = (cos, id) lexicographic = ties to higher id
-    def cellScores(v: Column): Column =
-      transform(sequence(lit(1), lit(K)), i => struct(
-        CosineSimilarity.cosineSim(spark, v, element_at(centArr, i)).as("c"),
-        (i - 1).as("i")))
-    def cellOf(v: Column): Column = array_max(cellScores(v)).getField("i")
-    def topCells(v: Column): Column =
-      transform(slice(reverse(array_sort(cellScores(v))), 1, NPROBE),
-        s => s.getField("i"))
+    // cell assignment + probe short-list from the PRODUCTION index
+    // helpers (ops.IvfIndex) — one source of truth for the tie rule
+    // (cosine desc, ties to the higher centroid id)
     val emb = Tables.spread(Tables.embeddings(spark, dir))
-      .withColumn("cell", cellOf(col("embedding")))
+      .withColumn("cell", graft.ops.IvfIndex.cellOf(spark, col("embedding"), cents))
     val probes = Tables.embeddings(spark, dir)
       .where(col("vec_id") >= K && col("vec_id") < K + 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
-        topCells(col("embedding")).as("pcells"))
+        graft.ops.IvfIndex.topCellsOf(spark, col("embedding"), cents, NPROBE)
+          .as("pcells"))
     emb.crossJoin(broadcast(probes))
       .where(array_contains(col("pcells"), col("cell")) &&
         col("vec_id") =!= col("probe_id"))

@@ -122,7 +122,13 @@ object StreamingPipeline {
     *    row counts are retry-stable (LshIndex.probeAndAppend);
     *  - the pair log is hive-partitioned on batch_id and written with
     *    dynamic partition overwrite, so the retry replaces its own log
-    *    partition instead of appending duplicate pair rows. */
+    *    partition instead of appending duplicate pair rows.
+    *
+    * Consumer note: the log directory holds parquet footers only once
+    * some batch has emitted rows — until then `spark.read.parquet` on it
+    * cannot infer a schema. Consumers reading a possibly-empty log
+    * should pass an explicit schema (or treat the inference failure as
+    * an empty log). */
   def startNearDupIngest(docs: DataFrame, indexPath: String, pairsDir: String,
       checkpointDir: String, cfg: graft.ops.LshIndex.Config = graft.ops.LshIndex.Config(),
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
@@ -179,7 +185,9 @@ object StreamingPipeline {
     * and the probe excludes its own generation, the ANN log is
     * batch_id-partitioned and replaced per batch — so a foreachBatch
     * retry converges to the first attempt's state on storage
-    * (IvfIndexSpec replays a batch and pins stable counts). */
+    * (IvfIndexSpec replays a batch and pins stable counts). Same
+    * consumer note as [[startNearDupIngest]]: the ANN log has no
+    * parquet footers until a batch emits rows. */
   def startVectorIngest(vectors: DataFrame, corpusPath: String, annDir: String,
       checkpointDir: String, cents: Seq[Seq[Float]], k: Int = 3, nprobe: Int = 2,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),

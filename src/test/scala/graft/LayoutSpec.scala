@@ -100,6 +100,28 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("swapInto is crash-recoverable: every half-committed state heals " +
+    "and 're-run compact' is a true recovery instruction") {
+    val events = Tables.events(spark, sf0001).select($"event_id", $"user_id")
+    val dir = tmpDir("layout_heal")
+    Layout.clusteredWrite(events, dir, files = 2, $"user_id")
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq
+    def mv(a: String, b: String) =
+      assert(new java.io.File(a).renameTo(new java.io.File(b)))
+    // crash point 1: target renamed aside, staged not yet in place
+    // (the one state where the data is "apparently lost")
+    mv(dir, s"$dir.old")
+    Layout.compact(spark, dir, files = 2, $"user_id") // re-run heals + compacts
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq === before)
+    // crash point 2: stale staged + stale .old next to an intact target
+    Layout.clusteredWrite(events.limit(5), s"$dir.compacting", files = 1, $"user_id")
+    Layout.clusteredWrite(events.limit(7), s"$dir.old", files = 1, $"user_id")
+    Layout.compact(spark, dir, files = 2, $"user_id") // drops the strays
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq === before)
+    assert(!new java.io.File(s"$dir.compacting").exists)
+    assert(!new java.io.File(s"$dir.old").exists)
+  }
+
   /** Fraction of row groups whose [min,max] on `colName` overlaps
     * [lo, hi] — the fraction a pushed range predicate must read. */
   private def overlapFrac(dir: String, colName: String, lo: Long, hi: Long): Double = {
