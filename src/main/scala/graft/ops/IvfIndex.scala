@@ -270,15 +270,35 @@ object IvfIndex {
     * in-flight batch's replace-gen retry contract survives — the retry
     * still replaces exactly its own partitions and its probe (which
     * excludes `b<b>`) sees the folded base = the same pre-compaction
-    * rows. Same stage-then-swap commit as Layout.compact. */
+    * rows. Same stage-then-swap commit as Layout.compact.
+    *
+    * Tombstone lifecycle and single-writer discipline are the
+    * LshIndex.compact contract (see TombstoneLog): the snapshot of the
+    * log's files taken at start is what gets applied and deleted — a
+    * concurrent markDeleted survives for the next probe/compaction —
+    * and tombstones naming vectors in the KEPT generation are retained,
+    * so a kept-batch crash-retry (which re-derives its rows from raw
+    * batch data) cannot resurrect a taken-down vector. */
   def compactCorpus(spark: SparkSession, path: String, files: Int = 4,
       keepBatch: Option[Long] = None): Unit = {
     val staged = s"$path.compacting"
     Layout.healSwap(spark, staged, path)
     val keepGen = keepBatch.map(b => s"b$b")
-    val all = dropTombstoned(spark, path,
-      spark.read.parquet(path)
-        .select(col("vec_id"), col("embedding"), col("cell"), col("gen")))
+    val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
+    val tombs = TombstoneLog.read(spark, tombSnap, "vec_id")
+    val raw = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("gen"))
+    // Tombstoned ids present in the kept generation, collected before
+    // the rewrite drops them (bounded by min(|takedowns|, |batch|)).
+    val retained: Seq[Long] = (keepGen, tombs) match {
+      case (Some(g), Some(t)) =>
+        raw.where(col("gen") === g).select(col("vec_id"))
+          .join(broadcast(t), Seq("vec_id"), "left_semi")
+          .distinct().collect().map(_.getLong(0)).toSeq
+      case _ => Seq.empty
+    }
+    val all = tombs.fold(raw)(t =>
+      raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
     writeGen(
       keepGen.fold(all)(g => all.where(col("gen") =!= g))
         .drop("gen"),
@@ -288,8 +308,7 @@ object IvfIndex {
         staged, files, "append", g)
     }
     Layout.swapInto(spark, staged, path)
-    val tp = new org.apache.hadoop.fs.Path(tombsPath(path))
-    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(tp)) { fs.delete(tp, true); () }
+    if (retained.nonEmpty) markDeleted(spark, path, retained)
+    TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
   }
 }

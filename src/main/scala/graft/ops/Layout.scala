@@ -52,7 +52,19 @@ object Layout {
     * state, and [[healSwap]] (run at the START of each compaction)
     * repairs it mechanically — which makes "re-run compact" a TRUE
     * recovery instruction. A production deployment commits via a
-    * manifest instead; this is the strongest filesystem-only form. */
+    * manifest instead; this is the strongest filesystem-only form.
+    *
+    * CONCURRENT READERS, however, are outside this contract: between
+    * the two renames the target path transiently does not exist (and on
+    * object stores with copy-based rename the window widens to a full
+    * copy), so an out-of-band probe or markDeleted existence check
+    * racing a compaction of the SAME index can fail spuriously —
+    * healSwap repairs crashes, not races. Callers must serialize
+    * probes/takedowns against compaction of one index (the in-stream
+    * auto-compaction satisfies this for free: foreachBatch runs ingest
+    * and compaction on one serialized thread). Lifting that restriction
+    * is the manifest-commit upgrade path: readers resolve a manifest
+    * pointer and never dereference a renamed directory. */
   def swapInto(spark: org.apache.spark.sql.SparkSession, staged: String,
       target: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()

@@ -446,13 +446,40 @@ object LshIndex {
     * contract survives the compaction — a retry still replaces exactly
     * its own partitions, and its probe (which excludes `b<b>`) sees the
     * folded base = the same rows it saw pre-compaction. Folding the
-    * in-flight generation instead would double its rows on retry. */
+    * in-flight generation instead would double its rows on retry.
+    *
+    * Tombstone lifecycle (see TombstoneLog): the compaction applies the
+    * log's file listing as SNAPSHOTTED at start and deletes only those
+    * files at the end (a markDeleted landing mid-compaction survives for
+    * the next probe/compaction to apply); and any tombstoned id that
+    * occurs in the KEPT generation is retained in the log, because a
+    * kept-batch crash-retry re-derives its rows from raw batch data and
+    * would otherwise resurrect the taken-down doc against an emptied
+    * log. Retained entries clear at the next keepBatch-free compaction.
+    *
+    * Concurrency: single-writer. compact vs probeAndAppend on the SAME
+    * index must be serialized by the caller (the auto-compacting ingest
+    * runs compaction inside its foreachBatch, which Structured Streaming
+    * already serializes); Layout.swapInto's rename window additionally
+    * exposes CONCURRENT READERS of a mid-compaction index to transient
+    * path-not-found — see its scaladoc. */
   def compact(spark: SparkSession, path: String,
       keepBatch: Option[Long] = None): Unit = {
     val cfg = adoptMeta(spark, path, Config())
-    val conf = spark.sessionState.newHadoopConf()
-    val tombs = tombstones(spark, path)
+    val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
+    val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
     val keepGen = keepBatch.map(b => s"b$b")
+    // Tombstoned ids present in the kept generation — bounded by
+    // min(|takedowns|, |batch|), collected BEFORE the rewrites below
+    // physically drop them.
+    val retained: Seq[Long] = (keepGen, tombs) match {
+      case (Some(g), Some(t)) =>
+        spark.read.parquet(sigsPath(path)).where(col("gen") === g)
+          .select(col("doc_id"))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .distinct().collect().map(_.getLong(0)).toSeq
+      case _ => Seq.empty
+    }
     def dropTombstoned(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     def rewrite(tablePath: String, files: Int, dataCols: Seq[String],
@@ -479,8 +506,10 @@ object LshIndex {
     rewrite(bandsPath(path), cfg.bandFiles,
       Seq("band", "key", "doc_id"), col("band"), col("key"))
     rewrite(sigsPath(path), cfg.sigFiles, Seq("doc_id", "sh"), col("doc_id"))
-    val tp = new HPath(tombsPath(path))
-    val fs = tp.getFileSystem(conf)
-    if (fs.exists(tp)) { fs.delete(tp, true); () }
+    // Retain kept-generation tombstones FIRST (append — not in the
+    // snapshot, so the delete below can't touch them), then clear
+    // exactly the files this compaction applied.
+    if (retained.nonEmpty) markDeleted(spark, path, retained)
+    TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
   }
 }

@@ -201,7 +201,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * prunable across generations (Layout.clusteredWrite append mode). */
   private[queries] def q97(spark: SparkSession, dir: String): DataFrame = {
     val K = 16; val NPROBE = 2
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q97_")
     try {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val isBatch = pmod(col("vec_id"), lit(4)) === 0
@@ -298,7 +298,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val K = 16
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q105_")
     try {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val isStream = pmod(col("vec_id"), lit(4)) === 0
@@ -373,7 +373,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * rewrite; the probe is q97's (cell-pruned scan, broadcast probes). */
   private[queries] def q109(spark: SparkSession, dir: String): DataFrame = {
     val K = 16; val NPROBE = 2
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q109_")
     try {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val isBatch = pmod(col("vec_id"), lit(4)) === 0
@@ -445,7 +445,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * the oracle IS q54's SQL. The centroid read-back localizes eagerly,
     * so the scratch dir can be deleted before the result is consumed. */
   private[queries] def q65(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q65_")
     try {
       graft.ops.IvfIndex.writeCentroids(
         Tables.embeddings(spark, dir).where(col("vec_id") < 16)

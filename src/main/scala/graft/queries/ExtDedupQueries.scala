@@ -113,7 +113,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * including full-bucket hot-bucket-cap semantics (a bucket crossing
     * the cap only once the batch lands is dropped on both sides). */
   private[queries] def q62(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q62_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q62_")
     var deferCleanup = false
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -172,7 +172,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val tmp = graft.ops.Scratch.tempDir(prefix)
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
@@ -239,7 +239,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * (doc_a, doc_b) — O(log) rows, no index access at all. */
   private[queries] def q100(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q100_")
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
@@ -289,7 +289,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * the probe pays the same pruned-bucket cost as q62. */
   private[queries] def q101(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q101_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q101_")
     var deferCleanup = false
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -21,7 +21,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     * filtered table. The (small) filtered result is localized so the
     * scratch dir can be deleted before returning. */
   private[queries] def q61(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q61_")
     // Deleting eagerly is only safe when localize SUCCEEDED (result is a
     // plan-free local relation). The persist() fallback's lineage still
     // reads the scratch parquet — a cache-block eviction would recompute
@@ -74,7 +74,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     * pruning from the written footers; this query proves the roundtrip
     * bit-exact). */
   private[queries] def q63(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").toString
+    val tmp = graft.ops.Scratch.tempDir("graft_q63_")
     var deferCleanup = false
     try {
       Layout.zorderWrite(

@@ -89,4 +89,20 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q107_simhash_neardup", q107, Some(q107Sql)),
     Decl("q108_simhash_calibration_audit", q108, Some(q108Sql)),
     Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)))
+
+  /** Queries that stage on-disk scratch (index builds, streaming
+    * checkpoints) during evaluation. Bench runs these LAST and settles
+    * I/O after each: even with [[graft.ops.Scratch]] preferring tmpfs,
+    * on a fallback (disk-backed) scratch root their async dirty-page
+    * writeback would otherwise be charged to whatever query runs next —
+    * the round-11 artifact recorded ~75 s of exactly that bleeding into
+    * q10–q13. Names must match the Decl names above (BenchOrderSpec
+    * pins the subset relation). */
+  val lifecycleNames: Set[String] = Set(
+    "q61_clustered_layout_scan", "q62_lsh_index_incremental",
+    "q63_zorder_layout_scan", "q65_ann_ivf_persisted",
+    "q92_stream_lsh_dedup", "q97_ann_ivf_incremental",
+    "q100_pairlog_replay_consumer", "q101_index_takedown_compact",
+    "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
+    "q109_ivf_takedown_compact")
 }

@@ -68,16 +68,11 @@ object StreamQueries {
     * state-store deltas + offset/commit logs are many tiny fsync-heavy
     * files, and disk-backed /tmp makes the fixed harness cost noisy
     * (observed ±50% run-to-run). Production checkpoints of course go to
-    * durable storage — this is a measurement-harness choice only. */
-  private def newCheckpointDir(): java.io.File = {
-    val base = new java.io.File("/dev/shm")
-    val parent = if (base.isDirectory && base.canWrite) base
-      else new java.io.File(System.getProperty("java.io.tmpdir"))
-    val d = new java.io.File(parent,
-      "graft_ckpt_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    d.mkdirs()
-    d
-  }
+    * durable storage — this is a measurement-harness choice only.
+    * Placement policy is shared with every other scratch consumer via
+    * [[graft.ops.Scratch]]. */
+  private def newCheckpointDir(): java.io.File =
+    new java.io.File(graft.ops.Scratch.tempDir("graft_ckpt_"))
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

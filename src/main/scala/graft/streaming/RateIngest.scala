@@ -42,7 +42,7 @@ object RateDemo {
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(15)
     val rate = args.lift(1).map(_.toInt).getOrElse(278)
-    val work = java.nio.file.Files.createTempDirectory("rate_demo").toString
+    val work = graft.ops.Scratch.tempDir("rate_demo")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

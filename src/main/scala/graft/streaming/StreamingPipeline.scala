@@ -135,21 +135,25 @@ object StreamingPipeline {
       compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           nearDupIngestBatch(batch, batchId, indexPath, pairsDir, cfg)
-          // Auto-compaction, LAG-1: every n-th batch folds all OLDER
-          // generations into gen=base but rewrites its OWN generation
-          // verbatim (keepBatch), so a crash-retry of this batch still
-          // replaces exactly its partitions and probes the same rows —
-          // the batchId-keyed trigger re-fires deterministically on
-          // retry, and re-compacting an already-compacted index is a
-          // no-op fold. File counts stay bounded at ≤ n generations
-          // without an operator having to schedule compact() offline.
-          compactEvery.foreach { n =>
-            if (n > 0 && batchId % n == (n - 1))
-              graft.ops.LshIndex.compact(
-                batch.sparkSession, indexPath, keepBatch = Some(batchId))
-          }
+        // Auto-compaction, LAG-1: every n-th batch folds all OLDER
+        // generations into gen=base but rewrites its OWN generation
+        // verbatim (keepBatch), so a crash-retry of this batch still
+        // replaces exactly its partitions and probes the same rows —
+        // the batchId-keyed trigger re-fires deterministically on
+        // retry, and re-compacting an already-compacted index is a
+        // no-op fold. File counts stay bounded at ≤ n generations
+        // without an operator having to schedule compact() offline.
+        // Evaluated OUTSIDE the isEmpty guard: an empty micro-batch
+        // landing on the firing slot must still compact (folding an
+        // unchanged index is cheap, and its nonexistent generation
+        // makes keepBatch a no-op filter) or the documented ≤ n
+        // generation bound silently slips by a full cycle.
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.LshIndex.compact(
+              batch.sparkSession, indexPath, keepBatch = Some(batchId))
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -194,14 +198,15 @@ object StreamingPipeline {
       compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           vectorIngestBatch(batch, batchId, corpusPath, annDir, cents, k, nprobe)
-          // same LAG-1 auto-compaction contract as startNearDupIngest
-          compactEvery.foreach { n =>
-            if (n > 0 && batchId % n == (n - 1))
-              graft.ops.IvfIndex.compactCorpus(
-                batch.sparkSession, corpusPath, keepBatch = Some(batchId))
-          }
+        // same LAG-1 auto-compaction contract as startNearDupIngest —
+        // and, like there, evaluated outside the isEmpty guard so an
+        // empty batch on the firing slot can't defer the ≤ n bound
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.IvfIndex.compactCorpus(
+              batch.sparkSession, corpusPath, keepBatch = Some(batchId))
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -171,6 +171,42 @@ class IvfIndexSpec extends SparkSpecBase {
       s"post-compact probe lost rows: ${ann2.toSeq}")
   }
 
+  test("a takedown naming a vector in the KEPT generation survives " +
+    "compactCorpus(keepBatch) and the kept batch's crash-retry") {
+    import spark.implicits._
+    val path = tmpDir("ivf_resurrect") + "/corpus"
+    val annDir = tmpDir("ivf_resurrect_ann")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.buildCorpus(base, path, cents, files = 1)
+    val b0 = Seq((10L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val b1 = Seq((11L, Seq(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b0, 0L, path, annDir, cents)
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b1, 1L, path, annDir, cents)
+    // takedown of vector 11 — the IN-FLIGHT batch's member — lands just
+    // before the in-stream compaction (compactEvery=2 after batch 1)
+    IvfIndex.markDeleted(spark, path, Seq(11L))
+    IvfIndex.compactCorpus(spark, path, files = 1, keepBatch = Some(1L))
+    assert(new java.io.File(path + ".tombstones").exists,
+      "compactCorpus(keepBatch) cleared a tombstone naming a kept-gen vector")
+    // the kept batch's crash-retry re-appends vector 11 from raw data —
+    // the retained tombstone must keep masking it
+    graft.streaming.StreamingPipeline.vectorIngestBatch(b1, 1L, path, annDir, cents)
+    val ann = IvfIndex.probeAndAppend(spark, path,
+      Seq((20L, Seq(0.97f, 0.03f))).toDF("vec_id", "embedding"),
+      cents, Some(2L), k = 4).collect()
+    assert(!ann.map(_.getLong(2)).contains(11L),
+      s"taken-down vector 11 resurrected by the kept-batch retry: ${ann.toSeq}")
+    assert(ann.map(_.getLong(2)).toSet == Set(0L, 1L, 10L))
+    // the next keepBatch-free compaction removes row and log for good
+    IvfIndex.compactCorpus(spark, path, files = 1)
+    assert(spark.read.parquet(path).where($"vec_id" === 11L).count() == 0,
+      "full compact left the resurrected row behind")
+    assert(!new java.io.File(path + ".tombstones").exists,
+      "full compact left the retained tombstone behind")
+  }
+
   test("markDeleted suppresses a vector from ANN probes without rebuild; " +
     "compactCorpus drops it physically and clears the tombstones") {
     import spark.implicits._

@@ -245,6 +245,75 @@ class LshIndexLifecycleSpec extends SparkSpecBase {
     assert(postCompact === after)
   }
 
+  test("a takedown naming a doc in the KEPT generation survives " +
+    "compact(keepBatch) and the kept batch's crash-retry: no resurrection") {
+    val root = tmpDir("lsh_resurrect")
+    val idx = s"$root/idx"; val pairs = s"$root/pairs"
+    LshIndex.build(base, idx)
+    val b0 = docs(10L -> "the quick brown fox jumps over the lazy dog today")
+    val b1 = docs(
+      11L -> "totally unrelated fresh content never seen before",
+      12L -> "totally unrelated fresh content never seen before!")
+    StreamingPipeline.nearDupIngestBatch(b0, 0L, idx, pairs)
+    StreamingPipeline.nearDupIngestBatch(b1, 1L, idx, pairs)
+    // takedown of doc 11 — a member of the IN-FLIGHT batch — lands just
+    // before the in-stream compaction fires (compactEvery=2 after batch 1)
+    LshIndex.markDeleted(spark, idx, Seq(11L))
+    LshIndex.compact(spark, idx, keepBatch = Some(1L))
+    // the log must RETAIN doc 11 (kept-generation member): a cleared log
+    // is what allowed the resurrection
+    assert(new java.io.File(s"$idx/tombstones").exists,
+      "compact(keepBatch) cleared a tombstone naming a kept-gen doc")
+    // the kept batch's crash-retry re-derives gen=b1 from RAW batch data,
+    // physically re-appending doc 11's rows — the retained tombstone must
+    // keep masking them
+    StreamingPipeline.nearDupIngestBatch(b1, 1L, idx, pairs)
+    val probeDoc = docs(
+      20L -> "totally unrelated fresh content never seen before today")
+    val afterRetry = {
+      val p = LshIndex.probePlan(spark, idx, probeDoc)
+      val r = pairsOf(p.pairs); p.release(); r
+    }
+    assert(!afterRetry.exists(p => p._1 == 11L || p._2 == 11L),
+      s"taken-down doc 11 resurrected by the kept-batch retry: $afterRetry")
+    assert(afterRetry.map(p => (p._1, p._2)) === Set((12L, 20L)),
+      s"unrelated pairs changed: $afterRetry")
+    // the next keepBatch-free compaction removes rows and log for good
+    LshIndex.compact(spark, idx)
+    assert(spark.read.parquet(s"$idx/sigs").where($"doc_id" === 11L).count() === 0,
+      "full compact left resurrected rows behind")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "full compact left the retained tombstone behind")
+    val afterFull = {
+      val p = LshIndex.probePlan(spark, idx, probeDoc)
+      val r = pairsOf(p.pairs); p.release(); r
+    }
+    assert(afterFull === afterRetry, "full compact changed probe results")
+  }
+
+  test("a markDeleted landing mid-compaction survives: deleteSnapshot " +
+    "removes only the snapshotted files") {
+    val idx = tmpDir("lsh_tomb_race")
+    LshIndex.build(base, idx)
+    val log = s"$idx/tombstones"
+    LshIndex.markDeleted(spark, idx, Seq(1L))
+    // the compaction's view of the log, taken at its start
+    val snap = graft.ops.TombstoneLog.snapshot(spark, log)
+    assert(graft.ops.TombstoneLog.read(spark, snap, "doc_id")
+      .get.as[Long].collect().toSet === Set(1L))
+    // a concurrent takedown appends AFTER the snapshot…
+    LshIndex.markDeleted(spark, idx, Seq(2L))
+    // …and the compaction's end-of-run cleanup must not discard it
+    graft.ops.TombstoneLog.deleteSnapshot(spark, log, snap)
+    val remaining = graft.ops.TombstoneLog.read(spark,
+      graft.ops.TombstoneLog.snapshot(spark, log), "doc_id")
+    assert(remaining.map(_.as[Long].collect().toSet) === Some(Set(2L)),
+      "the mid-compaction takedown was lost by the cleanup")
+    // second cleanup of an already-deleted snapshot: harmless no-op
+    graft.ops.TombstoneLog.deleteSnapshot(spark, log, snap)
+    assert(remaining.map(_.as[Long].collect().toSet) === Some(Set(2L)))
+  }
+
   test("markDeleted on a non-index path fails loudly") {
     intercept[IllegalStateException] {
       LshIndex.markDeleted(spark, tmpDir("lsh_not_an_index"), Seq(1L))
