@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   * and [[PcmCodec]] decodes the actual 16-bit PCM samples
   * (`javax.sound.sampled`), featurizes them as a pooled mean-|amplitude|
   * envelope + zero-crossing stats, and resamples with an exact-integer
-  * linear-interpolation kernel. Video decoding and the external
-  * embedding-model call for text/unknown payloads remain STUBBED — those
-  * libraries are not in this container — behind
-  * [[StubCodec]]-style deterministic fakes; [[decodeBatched]] dispatches
-  * per record on the mime type. Everything around the codecs is real and
-  * load-bearing: the binary schema, the batched iteration shape (decode
-  * codecs amortize per-batch setup, exactly like an Arrow-batched pandas
-  * UDF), the partition sizing, and the typed output schema.
+  * linear-interpolation kernel. VIDEO handling is REAL for uncompressed
+  * AVI: [[AviCodec]] is a self-written RIFF walker (the WAV path's
+  * moral twin) that parses the container's per-stream headers, seeks
+  * frame chunks without decoding the skipped ones, and decodes BGR24
+  * DIB frames to actual pixels for the luma-grid feature path.
+  * COMPRESSED video (H.264 etc.) and the external embedding-model call
+  * for text/unknown payloads remain STUBBED — those genuinely need
+  * libraries this container doesn't have — behind [[StubCodec]]-style
+  * deterministic fakes; [[decodeBatched]] dispatches per record on the
+  * mime type. Everything around the codecs is real and load-bearing:
+  * the binary schema, the batched iteration shape (decode codecs
+  * amortize per-batch setup, exactly like an Arrow-batched pandas UDF),
+  * the partition sizing, and the typed output schema.
   *
   * Scale notes: binary payloads dominate row size → keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -36,9 +41,11 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
 
-  /** The clearly-marked decode stub: deterministic pseudo-metadata from
-    * the byte payload. A real deployment replaces `decode` with the codec
-    * call; the signature (batch in, batch out) is the contract. */
+  /** The clearly-marked decode stub for mimes NO in-container codec
+    * owns (image, WAV/PCM audio and uncompressed-AVI video all have real
+    * codec paths): deterministic pseudo-metadata from the byte payload.
+    * A real deployment replaces `decode` with its codec call; the
+    * signature (batch in, batch out) is the contract. */
   object StubCodec {
     // shared with q29's column-level spelling and its oracle SQL — one
     // source of truth for the fake-decode formulas
@@ -50,7 +57,8 @@ object Multimodal {
     val FrameMod = 29
 
     def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
-      // ??? <- real codec goes here; deterministic fake for tests:
+      // ??? <- a codec for formats outside the in-container surface
+      // (compressed video, exotic stills) goes here; deterministic fake:
       batch.map { r =>
         val n = r.content.length
         MediaMeta(r.doc_id, r.mime, n,
@@ -372,15 +380,22 @@ object Multimodal {
 
   /** Batched decode over partitions: groups each partition's iterator into
     * `batchSize` chunks (the Arrow-batch shape) and dispatches each chunk
-    * by mime — real `javax.imageio` for image mimes, the deterministic
+    * by mime — real `javax.imageio` for image mimes, the real
+    * [[AviCodec]] container parse for AVI video mimes, the deterministic
     * stub for everything else. No shuffle; output is a typed Dataset. */
   def decodeBatched(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val (real, faked) = batch.partition(r => ImageIoCodec.Mimes(r.mime))
-        real.map(ImageIoCodec.decodeOne) ++ StubCodec.decode(faked)
+        batch.map { r =>
+          if (ImageIoCodec.Mimes(r.mime)) ImageIoCodec.decodeOne(r)
+          else if (AviCodec.Mimes(r.mime)) {
+            val c = AviCodec.parse(r.doc_id, r.content)
+            MediaMeta(r.doc_id, r.mime, r.content.length,
+              c.width, c.height, c.totalFrames.toInt)
+          } else StubCodec.decode(Seq(r)).head
+        }
       }
     }
   }
@@ -439,12 +454,93 @@ object Multimodal {
           require(img != null,
             s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
           MediaFeatures(r.doc_id, ImageIoCodec.lumaGrid(img, g))
+        } else if (AviCodec.Mimes(r.mime)) {
+          // REAL video path: frame 0's pixels through the same pooled
+          // mean-luma grid the image path uses (multi-frame features go
+          // through [[videoFrameGridsBatched]] + an aggregate)
+          val g = math.sqrt(dim.toDouble).toInt
+          require(g * g == dim,
+            s"doc ${r.doc_id}: video feature dim $dim is not a perfect square")
+          val c = AviCodec.parse(r.doc_id, r.content)
+          val vids = c.streams.find(_.fccType == "vids").getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: AVI has no vids stream"))
+          val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+          require(chunks.nonEmpty, s"doc ${r.doc_id}: AVI has no frames")
+          val img = AviCodec.decodeFrame(
+            r.doc_id, r.content, chunks.head._1, chunks.head._2, vids)
+          MediaFeatures(r.doc_id, ImageIoCodec.lumaGrid(img, g))
         } else {
-          // ??? <- real encoder; deterministic fake (byte histogram mod dim):
+          // ??? <- real (external) embedding model; deterministic fake
+          // (byte histogram mod dim):
           val v = new Array[Float](dim)
           r.content.foreach(b => v(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
           val norm = math.sqrt(v.map(x => x * x).sum).toFloat
           MediaFeatures(r.doc_id, if (norm == 0f) v else v.map(_ / norm))
+        }
+      })
+    }
+  }
+
+  /** One stream's parsed `strh`+`strf` facts as a row — [[AviCodec]]'s
+    * per-stream output schema. `width`/`height` are 0 for audio streams,
+    * `rate` is the fps numerator for video and the sample rate for
+    * audio (`scale` the shared denominator), `length` the frame count
+    * (video) or sample-frame count (audio). */
+  case class VideoStreamMeta(doc_id: Long, stream_idx: Int,
+      stream_type: String, width: Int, height: Int, length: Long,
+      rate: Int, scale: Int, channels: Int, bits: Int)
+
+  /** Batched REAL video-container metadata decode: every payload's RIFF
+    * headers through [[AviCodec.parse]], one output row PER STREAM —
+    * the multimodal twin of [[decodeAudioBatched]], exposing the full
+    * stream inventory (a real corpus carries mixed vids+auds
+    * containers). Same mapPartitions batch shape; the movi frame bytes
+    * are never touched, so metadata scans stay header-bounded. */
+  def decodeVideoStreamsBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[VideoStreamMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        AviCodec.parse(r.doc_id, r.content).streams.map { s =>
+          VideoStreamMeta(r.doc_id, s.streamIdx, s.fccType,
+            s.width, s.height, s.length,
+            if (s.fccType == "auds") s.sampleRate else s.rate, s.scale,
+            s.channels, if (s.fccType == "auds") s.bitsPerSample else s.bitCount)
+        }
+      })
+    }
+  }
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, grid: Array[Float])
+
+  /** Batched REAL sampled-frame feature extraction for video containers:
+    * frames `0, everyN, 2·everyN, …` of each AVI payload are located by
+    * the chunk-size walk (skipped frames cost a header read, not a
+    * decode), decoded from their BGR24 pixels, and pooled into a
+    * `g`×`g` mean-luma grid each — the per-frame rows an aggregate
+    * turns into one per-doc embedding (see q111). Same batched
+    * mapPartitions shape as [[decodeFramesBatched]]; blobs never cross
+    * a shuffle, only (doc, frame, g²-float) rows do. */
+  def videoFrameGridsBatched(spark: SparkSession, media: DataFrame,
+      everyN: Int, g: Int, batchSize: Int = 64): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(AviCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: no video frame decoder for mime ${r.mime}")
+        val c = AviCodec.parse(r.doc_id, r.content)
+        val vids = c.streams.find(_.fccType == "vids").getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: AVI has no vids stream"))
+        val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+        (0 until chunks.size by everyN).map { f =>
+          val (off, sz) = chunks(f)
+          val img = AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids)
+          FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
+            ImageIoCodec.lumaGrid(img, g))
         }
       })
     }
@@ -476,14 +572,29 @@ object Multimodal {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { r =>
-        require(ImageIoCodec.Mimes(r.mime),
-          s"doc ${r.doc_id}: no frame decoder for mime ${r.mime}")
-        ImageIoCodec.withImageReader(r) { reader =>
-          val n = reader.getNumImages(true)
-          (0 until n by everyN).map { f =>
-            val img = reader.read(f)
+        if (AviCodec.Mimes(r.mime)) {
+          // REAL video path: same sampled walk, AviCodec frames
+          val c = AviCodec.parse(r.doc_id, r.content)
+          val vids = c.streams.find(_.fccType == "vids").getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: AVI has no vids stream"))
+          val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+          (0 until chunks.size by everyN).map { f =>
+            val (off, sz) = chunks(f)
+            val img = AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids)
             FrameMeta(r.doc_id, f, img.getWidth, img.getHeight,
               ImageIoCodec.lumaGrid(img, 1)(0).toDouble)
+          }
+        } else {
+          require(ImageIoCodec.Mimes(r.mime),
+            s"doc ${r.doc_id}: no frame decoder for mime ${r.mime}")
+          ImageIoCodec.withImageReader(r) { reader =>
+            val n = reader.getNumImages(true)
+            (0 until n by everyN).map { f =>
+              val img = reader.read(f)
+              FrameMeta(r.doc_id, f, img.getWidth, img.getHeight,
+                ImageIoCodec.lumaGrid(img, 1)(0).toDouble)
+            }
           }
         }
       })

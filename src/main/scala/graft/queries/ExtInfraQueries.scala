@@ -544,4 +544,154 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |FROM events ORDER BY event_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q110
+  /** REAL video-container decode round-trip — q95's contract for the
+    * video modality, closing the multimodal metadata matrix: each
+    * document is rendered a genuine two-stream uncompressed AVI
+    * (self-written RIFF writer, [[graft.multimodal.AviCodec.encode]])
+    * whose vids dimensions / frame count / fps and auds sample rate /
+    * length derive from table columns, shipped as the opaque BINARY
+    * media column, and decoded back PER STREAM by the production path
+    * ([[graft.multimodal.Multimodal.decodeVideoStreamsBatched]] →
+    * AviCodec.parse walking the RIFF chunk tree). The oracle recomputes
+    * the parameter formulas relationally — the hash only matches if the
+    * engine actually parsed avih/strh/strf headers out of the container
+    * (frame payload bytes are never read: metadata scans stay
+    * header-bounded). Scale shape: two narrow mapPartitions stages,
+    * blobs never cross a shuffle, only per-stream scalar rows do. */
+  private[queries] def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val w = 8 + (docId % 24).toInt
+        val h = 4 + (nChars % 16).toInt
+        val nf = 1 + (docId % 5).toInt
+        val fps = 10 + (docId % 20).toInt
+        val sr = 8000 * (1 + (docId % 2).toInt)
+        val ns = 32 + (nChars % 64).toInt
+        // frame content is not this query's contract (black frames);
+        // q111 pins the pixel path
+        val frames = Seq.fill(nf)(new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB))
+        val bytes = AviCodec.encode(frames, rate = fps, scale = 1,
+          audio = Some((sr, new Array[Byte](ns * 2))))
+        Multimodal.MediaRecord(docId, bytes, "video/avi")
+      }).toDF()
+    Multimodal.decodeVideoStreamsBatched(spark, media).toDF()
+      .select(col("doc_id"), col("stream_idx"), col("stream_type"),
+        col("width"), col("height"), col("length"), col("rate"),
+        col("scale"), col("channels"), col("bits"))
+      .orderBy(col("doc_id"), col("stream_idx"))
+  }
+  private[queries] val q110Sql =
+    """SELECT doc_id, CAST(0 AS INT) AS stream_idx, 'vids' AS stream_type,
+      |       CAST(8 + doc_id % 24 AS INT) AS width,
+      |       CAST(4 + n_chars % 16 AS INT) AS height,
+      |       CAST(1 + doc_id % 5 AS BIGINT) AS length,
+      |       CAST(10 + doc_id % 20 AS INT) AS rate,
+      |       CAST(1 AS INT) AS scale,
+      |       CAST(0 AS INT) AS channels, CAST(24 AS INT) AS bits
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS INT), 'auds', CAST(0 AS INT), CAST(0 AS INT),
+      |       CAST(32 + n_chars % 64 AS BIGINT),
+      |       CAST(8000 * (1 + doc_id % 2) AS INT),
+      |       CAST(1 AS INT), CAST(1 AS INT), CAST(16 AS INT)
+      |FROM documents
+      |ORDER BY doc_id, stream_idx""".stripMargin
+
+
+  // ----------------------------------------------------------------- q111
+  /** The full VIDEO story under one oracle — q99's pixel→embedding→ANN
+    * chain over the real AVI frame path: each document is rendered a
+    * genuine uncompressed AVI of 2–4 8×8 frames, each frame four 4×4
+    * constant-gray quadrants whose values derive from table columns;
+    * the production sampler
+    * ([[graft.multimodal.Multimodal.videoFrameGridsBatched]]) walks
+    * every 2nd frame chunk (skipped frames cost a header read, not a
+    * decode), decodes the BGR24 pixels, pools each sampled frame into a
+    * 2×2 mean-luma grid, and a per-doc aggregate averages the sampled
+    * grids into one embedding; brute-force cosine top-3 runs over the
+    * result (q23's shape: broadcast probes, per-probe top-k window).
+    * Frame-sample counts are kept DYADIC (1 or 2) so the float means
+    * are exact and the double cosine matches the oracle bit-for-bit —
+    * the hash only matches if the engine seeked the right frame chunks
+    * and read their true pixels. Scale shape: encode/decode/pool are
+    * narrow mapPartitions stages; blobs never cross a shuffle — only
+    * (doc, frame, 4-float) rows reach the one aggregate. */
+  private[queries] def q111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    def mediaOf(docs: DataFrame) = docs
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 2 + (docId % 3).toInt // sampled count 1 (nf=2) or 2 (nf=3,4)
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val k = (y / 4) * 2 + (x / 4) // row-major 2×2 quadrant index
+              val v = (1L + ((docId + 1L) * (f + 2L) * (k + 1L)) % 251L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Multimodal.MediaRecord(docId, AviCodec.encode(frames, rate = 10),
+          "video/avi")
+      }).toDF()
+    def featsOf(docs: DataFrame) =
+      Multimodal.videoFrameGridsBatched(spark, mediaOf(docs), everyN = 2, g = 2)
+        .toDF()
+        .groupBy(col("doc_id"))
+        // dyadic sample counts make the float cast exact (scaladoc above)
+        .agg(array((1 to 4).map(i =>
+          avg(element_at(col("grid"), i)).cast("float")): _*).as("features"))
+    val corpus = featsOf(Tables.spread(Tables.documents(spark, dir)))
+    // probes filter BEFORE the encode stage: 5 AVIs rendered, not the corpus twice
+    val probes = featsOf(Tables.documents(spark, dir).where(col("doc_id") < 5))
+      .select(col("doc_id").as("probe_id"), col("features").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    corpus.crossJoin(broadcast(probes))
+      .where(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", CosineSimilarity.cosineSim(spark, col("features"), col("probe")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("doc_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q111Sql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    list_transform(range(4), k -> CASE WHEN doc_id % 3 = 0
+      |      THEN CAST(1 + ((doc_id + 1) * 2 * (k + 1)) % 251 AS DOUBLE)
+      |      ELSE (CAST(1 + ((doc_id + 1) * 2 * (k + 1)) % 251 AS DOUBLE)
+      |            + (1 + ((doc_id + 1) * 4 * (k + 1)) % 251)) / 2.0 END) AS e
+      |  FROM documents),
+      |probes AS (SELECT doc_id AS probe_id, e AS probe FROM v WHERE doc_id < 5),
+      |sims AS (
+      |  SELECT probe_id, doc_id AS neighbor_id,
+      |         list_sum(list_transform(range(4), k -> e[k + 1] * probe[k + 1]))
+      |           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(probe, x -> x * x)))) AS cos
+      |  FROM v CROSS JOIN probes
+      |  WHERE doc_id <> probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY cos DESC, neighbor_id) AS rn,
+      |       neighbor_id, round(cos, 4) AS cos_sim
+      |FROM sims
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
 }

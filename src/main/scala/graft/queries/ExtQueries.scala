@@ -88,7 +88,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q106_stream_lsh_autocompact", q106, Some(q62Sql)),
     Decl("q107_simhash_neardup", q107, Some(q107Sql)),
     Decl("q108_simhash_calibration_audit", q108, Some(q108Sql)),
-    Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)))
+    Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)),
+    Decl("q110_video_stream_decode", q110, Some(q110Sql)),
+    Decl("q111_video_frame_embed_ann", q111, Some(q111Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -91,6 +91,7 @@ object Tables {
       spark: SparkSession, path: String): (org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit, Boolean) =
     tsUnitCache.computeIfAbsent(path, { p =>
       import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      footerReads.incrementAndGet()
       val conf = spark.sessionState.newHadoopConf()
       val hPath = new org.apache.hadoop.fs.Path(p)
       val fs = hPath.getFileSystem(conf)
@@ -198,18 +199,34 @@ object Tables {
     }
   }
 
+  /** Per-file row-group counts, cached for the JVM lifetime. Safe to key
+    * by bare path: Spark part files carry a per-write UUID in the name
+    * and are never mutated in place, so a path seen once keeps its
+    * footer verdict — which makes REPEATED builds of the same query
+    * footer-read-free ([[spread]] gates at every query build; at a
+    * 109-query registry the probe ran per build). The observable
+    * [[footerReads]] counter exists so TablesSpreadCacheSpec can assert
+    * exactly that. File LISTINGS are separately cached by Spark's shared
+    * FileStatusCache; only the footer opens were uncached. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Total row groups across `files` footers, early-exiting once `needed`
     * is reached (footers are KB-sized; this runs only when the file count
-    * is already below parallelism, so at most `needed`-1 reads). */
+    * is already below parallelism, so at most `needed`-1 uncached reads). */
   private def parquetRowGroups(spark: SparkSession, files: Seq[String], needed: Int): Int = {
     val conf = spark.sessionState.newHadoopConf()
     var total = 0
     val it = files.iterator
     while (total < needed && it.hasNext) {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(it.next()), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try total += r.getRowGroups.size finally r.close()
+      total += rowGroupCache.computeIfAbsent(it.next(), { p =>
+        footerReads.incrementAndGet()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Integer.valueOf(r.getRowGroups.size) finally r.close()
+      })
     }
     total
   }

@@ -228,6 +228,40 @@ class MultimodalSpec extends SparkSpecBase {
       s"blob column must not be read for metadata-only queries:\n$plan")
   }
 
+  test("REAL avi dispatch: decodeBatched reads container metadata, " +
+    "decodeFramesBatched samples real frames, extractFeaturesBatched " +
+    "pools frame-0 pixels") {
+    import graft.multimodal.AviCodec
+    def gray(v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L,
+        AviCodec.encode(Seq(gray(50), gray(100), gray(150)), rate = 10),
+        "video/avi"),
+      Multimodal.MediaRecord(2L,
+        AviCodec.encode(Seq(gray(200)), rate = 25), "video/x-msvideo"))
+      .toDF("doc_id", "content", "mime")
+    // container metadata through the generic decode entry point
+    val meta = Multimodal.decodeBatched(spark, media).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(meta === Map(1L -> ((8, 8, 3)), 2L -> ((8, 8, 1))))
+    // frame sampling through the generic frame entry point: every 2nd
+    // frame, real per-frame luma (gray v pools to exactly v)
+    val frames = Multimodal.decodeFramesBatched(spark, media, everyN = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.luma).toMap
+    assert(frames === Map((1L, 0) -> 50.0, (1L, 2) -> 150.0, (2L, 0) -> 200.0))
+    // single-vector features = frame 0's luma grid
+    val feats = Multimodal.extractFeaturesBatched(spark, media, dim = 4)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(feats === Map(1L -> Seq(50f, 50f, 50f, 50f),
+      2L -> Seq(200f, 200f, 200f, 200f)))
+  }
+
   test("batched resize and feature extraction keep shape and compose " +
     "with ANN ops") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf0001).limit(50))
