@@ -183,7 +183,7 @@ object IvfIndex {
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       cents: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       nprobe: Int = 2, files: Int = 2, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = {
+      vec: String = "embedding"): DataFrame = IndexLock.withWriter(path) {
     import org.apache.spark.sql.expressions.Window
     val gen = batchId.fold("adhoc")(b => s"b$b")
     // One evaluation of the batch plan + ONE K-centroid cosine pass per
@@ -248,15 +248,16 @@ object IvfIndex {
     * [[compactCorpus]], but no subsequent probe returns them as
     * neighbors. O(deletions) writes, no rebuild, nothing on the ingest
     * hot path. */
-  def markDeleted(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
-    import spark.implicits._
-    require(new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(new org.apache.hadoop.fs.Path(path)),
-      s"markDeleted: no corpus at $path")
-    vecIds.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(tombsPath(path))
-  }
+  def markDeleted(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    IndexLock.withWriter(path) {
+      import spark.implicits._
+      require(new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(new org.apache.hadoop.fs.Path(path)),
+        s"markDeleted: no corpus at $path")
+      vecIds.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(tombsPath(path))
+    }
 
   /** Fold the corpus's accumulated generations back into one tight
     * `gen=base` layout (`files` globally cell-clustered files) — the
@@ -280,7 +281,7 @@ object IvfIndex {
     * so a kept-batch crash-retry (which re-derives its rows from raw
     * batch data) cannot resurrect a taken-down vector. */
   def compactCorpus(spark: SparkSession, path: String, files: Int = 4,
-      keepBatch: Option[Long] = None): Unit = {
+      keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
     val staged = s"$path.compacting"
     Layout.healSwap(spark, staged, path)
     val keepGen = keepBatch.map(b => s"b$b")

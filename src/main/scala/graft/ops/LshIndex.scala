@@ -391,7 +391,8 @@ object LshIndex {
     * RDD by the context cleaner. */
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id",
-      text: String = "text", batchId: Option[Long] = None): DataFrame = {
+      text: String = "text", batchId: Option[Long] = None): DataFrame =
+      IndexLock.withWriter(path) {
     val sig = signatures(newDocs, cfg, id, text).persist()
     var probeCaches: Seq[DataFrame] = Seq(sig)
     try {
@@ -416,16 +417,21 @@ object LshIndex {
     } finally probeCaches.foreach(_.unpersist())
   }
 
+  /** Writer serialization for probeAndAppend/markDeleted/compact is the
+    * IndexLock contract — see its scaladoc for scope and the
+    * multi-driver upgrade path. */
+
   /** Tombstone `docIds`: the docs stay physically in the index until the
     * next [[compact]], but no subsequent probe emits a pair naming them.
     * The standard takedown shape for an append-only training corpus —
     * O(deletions) writes, no index rebuild, no rewrite on the hot path. */
-  def markDeleted(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
-    import spark.implicits._
-    adoptMeta(spark, path, Config()) // loud failure on a non-index path
-    docIds.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(tombsPath(path))
-  }
+  def markDeleted(spark: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    IndexLock.withWriter(path) {
+      import spark.implicits._
+      adoptMeta(spark, path, Config()) // loud failure on a non-index path
+      docIds.toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(tombsPath(path))
+    }
 
   /** Rewrite the index back to single-generation tightness: fold every
     * generation's rows (minus tombstoned docs) into a fresh `gen=base`
@@ -457,14 +463,16 @@ object LshIndex {
     * would otherwise resurrect the taken-down doc against an emptied
     * log. Retained entries clear at the next keepBatch-free compaction.
     *
-    * Concurrency: single-writer. compact vs probeAndAppend on the SAME
-    * index must be serialized by the caller (the auto-compacting ingest
-    * runs compaction inside its foreachBatch, which Structured Streaming
-    * already serializes); Layout.swapInto's rename window additionally
-    * exposes CONCURRENT READERS of a mid-compaction index to transient
-    * path-not-found — see its scaladoc. */
+    * Concurrency: all writers of one index (probeAndAppend, markDeleted,
+    * compact) serialize under ops/IndexLock's per-path fence — a racing
+    * append can no longer be silently dropped by the rename-aside commit
+    * (IndexConcurrencySpec races the two from live threads). The fence
+    * is driver-JVM-scoped (see IndexLock's scaladoc for why, and for the
+    * multi-driver manifest upgrade path); Layout.swapInto's rename
+    * window additionally exposes out-of-band READERS of a mid-compaction
+    * index to transient path-not-found — see its scaladoc. */
   def compact(spark: SparkSession, path: String,
-      keepBatch: Option[Long] = None): Unit = {
+      keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
     val cfg = adoptMeta(spark, path, Config())
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")

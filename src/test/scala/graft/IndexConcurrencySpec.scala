@@ -1,0 +1,112 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.apache.spark.sql.functions._
+import graft.ops.{IndexLock, IvfIndex, LshIndex}
+
+/** Pins the writer fence (ops/IndexLock): a compaction racing an
+  * append on the SAME index serializes instead of losing the append —
+  * unfenced, the rename-aside commit replaces the table after the
+  * compaction's read, so a generation written in between vanishes.
+  * One deterministic mutual-exclusion pin plus end-state checks on real
+  * two-thread races for both index families.
+  */
+class IndexConcurrencySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("IndexLock.withWriter is mutually exclusive per path and " +
+    "reentrant within a holder") {
+    val path = "/tmp/idx_lock_pin"
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val secondRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t1 = new Thread(() => IndexLock.withWriter(path) {
+      IndexLock.withWriter(path) { entered.countDown() } // reentrant
+      release.await(30, TimeUnit.SECONDS); ()
+    })
+    t1.start()
+    assert(entered.await(30, TimeUnit.SECONDS), "holder never entered")
+    val t2 = new Thread(() =>
+      IndexLock.withWriter(path) { secondRan.set(true) })
+    t2.start()
+    Thread.sleep(200)
+    assert(!secondRan.get, "second writer entered while the lock was held")
+    // a DIFFERENT path must not be blocked by this holder
+    IndexLock.withWriter(path + "_other") {}
+    release.countDown()
+    t2.join(30000); t1.join(30000)
+    assert(secondRan.get, "second writer never ran after release")
+  }
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("LSH: compact racing probeAndAppend never loses the appended " +
+    "generation; the end state equals a serial order's") {
+    val corpus = (1L to 200L).map(i =>
+      (i, s"document $i about topic ${i % 7} alpha beta gamma delta ${i * 31}"))
+      .toDF("doc_id", "text")
+    for (round <- 1 to 2) {
+      val idx = tmpDir(s"lsh_race_$round")
+      LshIndex.build(corpus, idx)
+      // accumulated generations give compact real work to do mid-race
+      (0 until 3).foreach { i =>
+        LshIndex.probeAndAppend(spark, idx,
+          docs((1000L + i) -> s"document ${i + 3} about topic $i alpha beta gamma delta ${93 + i}"),
+          batchId = Some(i.toLong))
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def thread(f: => Unit) = new Thread(() =>
+        try f catch { case t: Throwable => errs.add(t); () })
+      val appended = docs(5000L -> "document 99 about topic 1 alpha beta gamma delta 42")
+      // alternate which side launches first across rounds
+      val a = thread(LshIndex.compact(spark, idx))
+      val b = thread(LshIndex.probeAndAppend(spark, idx, appended,
+        batchId = Some(9L)))
+      val (first, second) = if (round % 2 == 0) (a, b) else (b, a)
+      first.start(); second.start()
+      first.join(120000); second.join(120000)
+      assert(errs.isEmpty, s"racing writers failed: ${errs.peek()}")
+      // the appended doc survived whichever serialization happened,
+      // exactly once, in BOTH tables
+      assert(spark.read.parquet(s"$idx/sigs")
+        .where($"doc_id" === 5000L).count() === 1L,
+        "append lost (or duplicated) by the racing compaction")
+      assert(spark.read.parquet(s"$idx/bands")
+        .where($"doc_id" === 5000L).count() > 0L)
+      // every pre-race doc also survived
+      assert(spark.read.parquet(s"$idx/sigs").select("doc_id")
+        .distinct().count() === 204L)
+    }
+  }
+
+  test("IVF: compactCorpus racing probeAndAppend keeps every vector " +
+    "exactly once") {
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val base = (0L until 50L).map(i =>
+      (i, if (i % 2 == 0) Seq(1.0f, i.toFloat / 100f) else Seq(i.toFloat / 100f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_race") + "/corpus"
+    IvfIndex.buildCorpus(base, path, cents, files = 2)
+    (0 until 3).foreach { i =>
+      IvfIndex.probeAndAppend(spark, path,
+        Seq((100L + i, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding"),
+        cents, Some(i.toLong))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => errs.add(t); () })
+    val a = thread(IvfIndex.compactCorpus(spark, path, files = 2))
+    val b = thread(IvfIndex.probeAndAppend(spark, path,
+      Seq((500L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding"),
+      cents, Some(9L)))
+    a.start(); b.start()
+    a.join(120000); b.join(120000)
+    assert(errs.isEmpty, s"racing writers failed: ${errs.peek()}")
+    val counts = spark.read.parquet(path).groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.getOrElse(500L, 0L) === 1L,
+      "append lost (or duplicated) by the racing compaction")
+    assert(counts.size === 54 && counts.values.forall(_ == 1L),
+      s"corpus corrupted by the race: ${counts.filter(_._2 != 1L)}")
+  }
+}

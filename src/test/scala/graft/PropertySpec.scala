@@ -147,6 +147,75 @@ class PropertySpec extends SparkSpecBase {
     }, trials = 5)
   }
 
+  test("simhash 4×16 banding pigeonhole: any pair with hamming ≤ 3 " +
+    "shares at least one band bucket (q107's soundness invariant)") {
+    // pure-integer pigeonhole over the exact band extraction q107 uses:
+    // 3 flipped bits can touch at most 3 of the 4 disjoint 16-bit bands
+    val hashGen = Gen.choose(Long.MinValue, Long.MaxValue)
+      .map(_ & ((1L << 63) - 1)) // simhash63 range: bit 63 always 0
+    val flipsGen = Gen.choose(0, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 62)))
+    def bandKeys(h: Long): Seq[Long] =
+      (0 until 4).map(b => (h >>> (16 * b)) & 65535L)
+    check(Prop.forAll(hashGen, flipsGen) { (a, flips) =>
+      val b = flips.foldLeft(a)((acc, j) => acc ^ (1L << j))
+      // duplicate flip indices only LOWER the distance — still ≤ 3
+      java.lang.Long.bitCount(a ^ b) <= 3 &&
+        bandKeys(a).zip(bandKeys(b)).exists(p => p._1 == p._2)
+    }, trials = 200)
+    // and the Column spelling q107 builds its buckets from extracts the
+    // same 4 keys as the pure-integer model (one sampled check ties the
+    // property to the production expressions)
+    val samples = Seq(0L, 1L, (1L << 63) - 1, 0x123456789abcdefL,
+      0x7edcba9876543210L)
+    val sparkKeys = samples.toDF("sh")
+      .select(col("sh") +: (0 until 4).map(b =>
+        shiftright(col("sh"), 16 * b).bitwiseAND(lit(65535L)).as(s"k$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_))).toMap
+    samples.foreach(h => assert(sparkKeys(h) == bandKeys(h),
+      s"band spelling diverges for $h"))
+  }
+
+  test("banded-simhash near-dup detection is invariant under doc-id " +
+    "permutation (q108's audit counts cannot depend on labeling)") {
+    // texts with planted near-dups; detection keyed back to TEXT so the
+    // comparison is label-free
+    val texts = (0 until 24).map {
+      case i if i % 3 == 0 => s"the quick brown fox jumps over dog ${i / 3}"
+      case i if i % 3 == 1 => s"the quick brown fox jumps over cat ${i / 3}"
+      case i => s"completely different content number $i about spark"
+    }
+    def pairsOf(ids: Seq[Long]): Set[(String, String)] = {
+      val df = ids.zip(texts).toDF("doc_id", "text")
+      val bandArr = array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sh", 16 * b).bitwiseAND(lit(65535L)).as("key"))): _*)
+      val bands = df
+        .select($"doc_id", $"text",
+          TextOps.simhash63InRow(array_distinct(TextOps.words($"text"))).as("sh"))
+        .select($"doc_id", $"text", $"sh", explode(bandArr).as("bk"))
+        .select($"doc_id", $"text", $"sh",
+          $"bk.band".as("band"), $"bk.key".as("key"))
+      val kept = TextOps.capHotBuckets(
+        bands, Seq("band", "key"), TextOps.DefaultMaxBucket, "prop_hot")
+      val a = kept.select($"band", $"key", $"doc_id".as("ia"),
+        $"text".as("ta"), $"sh".as("ha"))
+      val b = kept.select($"band", $"key", $"doc_id".as("ib"),
+        $"text".as("tb"), $"sh".as("hb"))
+      a.join(b, Seq("band", "key")).where($"ia" < $"ib")
+        .where(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+        .select($"ta", $"tb").distinct()
+        .as[(String, String)].collect()
+        .map(p => if (p._1 <= p._2) p else p.swap).toSet
+    }
+    val identity = pairsOf(texts.indices.map(_.toLong))
+    assert(identity.nonEmpty, "fixture planted no near-dup pairs - vacuous")
+    val reversed = pairsOf(texts.indices.map(i => (texts.size - 1 - i).toLong))
+    val scrambled = pairsOf(texts.indices.map(i => ((i * 17 + 5) % 101).toLong))
+    assert(reversed === identity, "pair set changed under id reversal")
+    assert(scrambled === identity, "pair set changed under id scrambling")
+  }
+
   test("time-partition strings always parse back to the truncated minute") {
     check(Prop.forAll(Gen.choose(0L, 4102444800L)) { epoch =>
       val df = Seq(epoch).toDF("e").select(timestamp_seconds($"e").as("ts"))
