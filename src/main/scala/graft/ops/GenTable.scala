@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared storage plumbing of the persisted index families (LshIndex,
+  * SimHashIndex): the hash-bucket + generation hive layout and the
+  * `_index_meta` layout contract. Factored here so both families write
+  * IDENTICAL storage shapes — one place to change the commit/layout
+  * rules, and the scaladoc on LshIndex (the original) stays the
+  * authoritative description of why each piece exists.
+  */
+private[ops] object GenTable {
+
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  /** Hive-partitioned clustered write (see LshIndex.writePartitioned's
+    * original scaladoc): hash-shuffle on the caller-computed `__part`
+    * bucket, per-task sort on (bucket, cluster key) → one fully-sorted
+    * file per bucket directory per write. `gen` is the second partition
+    * level; "replace-gen" = dynamic partition overwrite (a retry
+    * replaces exactly its own generation — the exactly-once-on-storage
+    * contract). */
+  def writePartitioned(df: DataFrame, path: String, files: Int,
+      mode: String, gen: String, cluster: Column*): Unit = {
+    val out = df.repartition(files, col("__part"))
+      .sortWithinPartitions(col("__part") +: cluster: _*)
+      .withColumnRenamed("__part", "pk")
+      .withColumn("gen", lit(gen))
+      .write.partitionBy("pk", "gen")
+    (mode match {
+      case "replace-gen" =>
+        out.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      case m => out.mode(m)
+    }).parquet(path)
+  }
+
+  /** Persist the layout contract next to the tables — probes ADOPT the
+    * persisted values, so a drifted caller default cannot mis-prune. */
+  def writeMeta(spark: SparkSession, metaFile: HPath,
+      kv: Seq[(String, Int)]): Unit = {
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaFile, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Read the persisted layout; a missing meta file fails loudly (the
+    * path predates its build, or is not an index of this family). */
+  def readMeta(spark: SparkSession, metaFile: HPath): Map[String, Int] = {
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaFile))
+      throw new IllegalStateException(
+        s"$metaFile missing — the index predates its build, or the path " +
+          "is not an index of this family; rebuild first")
+    val in = fs.open(metaFile)
+    try scala.io.Source.fromInputStream(in, UTF_8.name()).getLines()
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => scala.util.Try(k.trim -> v.trim.toInt).toOption
+          case _           => None
+        }
+      }.toMap
+    finally in.close()
+  }
+}

@@ -65,7 +65,6 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
-  import java.nio.charset.StandardCharsets.UTF_8
   import org.apache.hadoop.fs.{Path => HPath}
 
   case class Config(
@@ -110,38 +109,17 @@ object LshIndex {
     * (the caller's Config keeps only the signature/threshold knobs), so a
     * drifted default — or a [[buildSized]] layout the caller never saw —
     * cannot mis-prune. A missing meta file fails loudly. */
-  private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      (s"indexPartitions=${cfg.indexPartitions}\n" +
-        s"bandFiles=${cfg.bandFiles}\nsigFiles=${cfg.sigFiles}\n")
-        .getBytes(UTF_8))
-    finally out.close()
-  }
+  private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
+    GenTable.writeMeta(spark, metaPath(path), Seq(
+      "indexPartitions" -> cfg.indexPartitions,
+      "bandFiles" -> cfg.bandFiles, "sigFiles" -> cfg.sigFiles))
 
   /** cfg with the persisted on-disk layout folded in. */
   private def adoptMeta(spark: SparkSession, path: String, cfg: Config): Config = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      throw new IllegalStateException(
-        s"$p missing — the index at $path predates its build, or the path " +
-          "is not an LshIndex; rebuild with LshIndex.build")
-    val in = fs.open(p)
-    val kv =
-      try scala.io.Source.fromInputStream(in, UTF_8.name()).getLines()
-        .flatMap { l =>
-          l.split("=", 2) match {
-            case Array(k, v) => scala.util.Try(k.trim -> v.trim.toInt).toOption
-            case _           => None
-          }
-        }.toMap
-      finally in.close()
+    val kv = GenTable.readMeta(spark, metaPath(path))
     val m = kv.getOrElse("indexPartitions",
       throw new IllegalStateException(
-        s"$p has no indexPartitions entry — rebuild with LshIndex.build"))
+        s"${metaPath(path)} has no indexPartitions entry — rebuild with LshIndex.build"))
     cfg.copy(indexPartitions = m,
       bandFiles = kv.getOrElse("bandFiles", cfg.bandFiles),
       sigFiles = kv.getOrElse("sigFiles", cfg.sigFiles))
@@ -191,20 +169,11 @@ object LshIndex {
     *  - "replace-gen": DYNAMIC partition overwrite — replaces exactly the
     *    (pk, gen) partitions present in `df`, i.e. this write's own
     *    generation, leaving every other generation untouched. Re-running
-    *    the same batch lands on the same partitions: idempotent. */
+    *    the same batch lands on the same partitions: idempotent.
+    * Implementation shared with SimHashIndex via [[GenTable]]. */
   private def writePartitioned(df: DataFrame, path: String, files: Int,
-      mode: String, gen: String, cluster: Column*): Unit = {
-    val out = df.repartition(files, col("__part"))
-      .sortWithinPartitions(col("__part") +: cluster: _*)
-      .withColumnRenamed("__part", "pk")
-      .withColumn("gen", lit(gen))
-      .write.partitionBy("pk", "gen")
-    (mode match {
-      case "replace-gen" =>
-        out.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-      case m => out.mode(m)
-    }).parquet(path)
-  }
+      mode: String, gen: String, cluster: Column*): Unit =
+    GenTable.writePartitioned(df, path, files, mode, gen, cluster: _*)
 
   /** Build the index at `path` from a base corpus (full recompute — run
     * once; subsequent batches go through [[probeAndAppend]]). */

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained SimHash near-duplicate index —
+  * the Hamming-distance twin of [[LshIndex]], completing the streaming
+  * story for the q107 dedup family (q92's contract): documents arrive
+  * in batches, each batch fingerprints IN-ROW
+  * ([[TextOps.simhash63InRow]]), probes only the band buckets it
+  * touches, emits verified new near-dup pairs (popcount-of-XOR ≤
+  * maxHamming, ≥ 1 batch-side member), and appends its own band rows
+  * for the next batch.
+  *
+  * The structural difference from LshIndex is what makes SimHash the
+  * cheap half of a production dedup stack: the fingerprint IS the
+  * verification payload. One 8-byte hash per doc rides every band row,
+  * so there is NO sigs table, no candidate set fetch, no second
+  * partition-pruned scan — the verify is two BIGINTs already present on
+  * the joined rows. Storage is a single `<path>/bands` table
+  * (band, key, doc_id, sh), hive-partitioned on
+  * `pk = hash(band, key) mod indexPartitions` + `gen`, written through
+  * the same [[GenTable]] layout/commit machinery as LshIndex — so the
+  * probe's file-level pruning, the replace-gen exactly-once batch
+  * contract, the lag-1 `keepBatch` compaction, and the [[IndexLock]]
+  * writer fence all carry over unchanged.
+  *
+  * Banding is q107's: `bands` disjoint `bandBits`-bit slices of the
+  * 63-bit fingerprint — the pigeonhole guarantee (any pair within
+  * Hamming ≤ bands−1 shares ≥ 1 band, PropertySpec proves it for 4×16)
+  * makes maxHamming ≤ bands−1 candidate-complete. Hot buckets are
+  * capped on the FULL combined bucket (index + batch), mirroring the
+  * one-shot operator exactly.
+  */
+object SimHashIndex {
+
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  case class Config(
+      bands: Int = 4, bandBits: Int = 16, maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(TextOps.DefaultMaxBucket),
+      bandFiles: Int = 8,
+      /** Layout contract — persisted by build, adopted by probes (the
+        * LshIndex.Config rule; see there for the 100 TB sizing note). */
+      indexPartitions: Int = 32) {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs > ${bands - 1} bands to stay " +
+        "candidate-complete (pigeonhole)")
+  }
+
+  private def bandsPath(path: String) = s"$path/bands"
+  private def metaPath(path: String) = new HPath(path, "_simhash_meta")
+
+  private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
+    GenTable.writeMeta(spark, metaPath(path), Seq(
+      "indexPartitions" -> cfg.indexPartitions,
+      "bandFiles" -> cfg.bandFiles,
+      "bands" -> cfg.bands, "bandBits" -> cfg.bandBits))
+
+  private def adoptMeta(spark: SparkSession, path: String, cfg: Config): Config = {
+    val kv = GenTable.readMeta(spark, metaPath(path))
+    cfg.copy(
+      indexPartitions = kv.getOrElse("indexPartitions", cfg.indexPartitions),
+      bandFiles = kv.getOrElse("bandFiles", cfg.bandFiles),
+      bands = kv.getOrElse("bands", cfg.bands),
+      bandBits = kv.getOrElse("bandBits", cfg.bandBits))
+  }
+
+  private def bandPk(cfg: Config): Column =
+    pmod(xxhash64(col("band"), col("key")), lit(cfg.indexPartitions)).cast("int")
+
+  /** (doc_id, sh, band, key) — `bands` rows per doc, all map-side: the
+    * fingerprint is in-row, the band keys are shifts of it. */
+  private def bandRows(docs: DataFrame, cfg: Config,
+      id: String, text: String): DataFrame = {
+    val bandArr = array((0 until cfg.bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), cfg.bandBits * b)
+          .bitwiseAND(lit((1L << cfg.bandBits) - 1)).as("key"))): _*)
+    graft.sources.Tables.spread(docs)
+      .select(col(id).as("doc_id"),
+        TextOps.simhash63InRow(array_distinct(TextOps.words(col(text)))).as("sh"))
+      .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Build the index at `path` from a base corpus. */
+  def build(docs: DataFrame, path: String, cfg: Config = Config(),
+      id: String = "doc_id", text: String = "text"): Unit = {
+    GenTable.writePartitioned(
+      bandRows(docs, cfg, id, text).withColumn("__part", bandPk(cfg)),
+      bandsPath(path), cfg.bandFiles, "overwrite", "base",
+      col("band"), col("key"))
+    writeMeta(docs.sparkSession, path, cfg)
+  }
+
+  /** Probe with an ingest batch and append it — LshIndex.probeAndAppend's
+    * contract verbatim (batchId = Some(b): exactly-once on storage,
+    * probe excludes its own generation; None: ad-hoc at-least-once), but
+    * with the in-row Hamming verify instead of a sigs fetch. Returns the
+    * verified new pairs (doc_a, doc_b, hamming), localized. */
+  def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
+      cfg: Config = Config(), id: String = "doc_id", text: String = "text",
+      batchId: Option[Long] = None): DataFrame = IndexLock.withWriter(path) {
+    val layout = adoptMeta(spark, path, cfg)
+    val newBands = bandRows(newDocs, layout, id, text).persist()
+    try {
+      val gen = batchId.map(b => s"b$b")
+      // file-level pruning: the batch's distinct pk values (≤
+      // indexPartitions ints) become the partition predicate; the
+      // broadcast semi join keeps, row-level, every member of a touched
+      // bucket so the cap below counts the bucket's FULL size
+      val touchedKeys = newBands.select(col("band"), col("key")).distinct()
+      val touchedPk = touchedKeys.select(bandPk(layout).as("pk")).distinct()
+        .collect().map(r => Int.box(r.getInt(0))).toSeq
+      val indexBands = gen.fold(spark.read.parquet(bandsPath(path)))(g =>
+          spark.read.parquet(bandsPath(path)).where(col("gen") =!= g))
+        .where(col("pk").isin(touchedPk: _*))
+        .select(col("doc_id"), col("sh"), col("band"), col("key"))
+        .join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
+      val combined = indexBands.withColumn("is_new", lit(false))
+        .unionByName(newBands.withColumn("is_new", lit(true)))
+      val pruned = layout.maxBucket match {
+        case Some(m) => TextOps.capHotBuckets(
+          combined, Seq("band", "key"), m, "simhash_index_hot_buckets")
+        case None => combined
+      }
+      val a = pruned.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("sh").as("ha"), col("is_new").as("na"))
+      val b = pruned.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("sh").as("hb"), col("is_new").as("nb"))
+      val pairs = a.join(b, Seq("band", "key"))
+        .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .where(col("hamming") <= layout.maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+      val result = Caches.localize(pairs, maxRows = 1 << 20)
+        .getOrElse(pairs.localCheckpoint())
+      GenTable.writePartitioned(
+        newBands.withColumn("__part", bandPk(layout)),
+        bandsPath(path), layout.bandFiles,
+        if (batchId.isDefined) "replace-gen" else "append",
+        gen.getOrElse("adhoc"), col("band"), col("key"))
+      result
+    } finally newBands.unpersist()
+  }
+
+  /** Fold accumulated generations back to one tight `gen=base` layout —
+    * LshIndex.compact's contract (same stage-then-swap commit, same
+    * lag-1 `keepBatch` rule for in-stream use); no tombstone handling
+    * because this family has no takedown path yet (takedowns live on
+    * the LSH/IVF families). */
+  def compact(spark: SparkSession, path: String,
+      keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
+    val cfg = adoptMeta(spark, path, Config())
+    val keepGen = keepBatch.map(b => s"b$b")
+    val tablePath = bandsPath(path)
+    val staged = s"$tablePath.compacting"
+    Layout.healSwap(spark, staged, tablePath)
+    val all = spark.read.parquet(tablePath)
+    def keyed(rows: DataFrame): DataFrame =
+      rows.select(col("doc_id"), col("sh"), col("band"), col("key"))
+        .withColumn("__part", bandPk(cfg))
+    GenTable.writePartitioned(
+      keyed(keepGen.fold(all)(g => all.where(col("gen") =!= g))),
+      staged, cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
+    keepGen.foreach { g =>
+      GenTable.writePartitioned(keyed(all.where(col("gen") === g)),
+        staged, cfg.bandFiles, "append", g, col("band"), col("key"))
+    }
+    Layout.swapInto(spark, staged, tablePath)
+  }
+}

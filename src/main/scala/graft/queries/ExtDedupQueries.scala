@@ -217,6 +217,53 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     streamLshIngest(spark, dir, compactEvery = Some(2), prefix = "graft_q106_")
 
 
+  // ----------------------------------------------------------------- q112
+  /** STREAMING SimHash near-dup ingest — q92's streaming contract for
+    * the HAMMING family (ops/SimHashIndex), closing the round-11
+    * verdict's stretch item: base corpus (doc_id % 4 != 0) indexed by
+    * in-row 63-bit fingerprints, the stream docs fed in 3 micro-batches
+    * through the production `startSimHashIngest` WITH in-stream lag-1
+    * auto-compaction (`compactEvery = 2` — the fold fires after batch 1
+    * and batch 2 probes the compacted index), each batch probing only
+    * its touched band buckets and logging verified pairs
+    * (popcount-of-XOR ≤ 3, ≥ 1 stream-side member). The oracle is
+    * q107's from-scratch SQL restricted to the incremental subset —
+    * the hash only matches if banded fingerprint probing, the
+    * generation-keyed appends AND the mid-stream compaction together
+    * produce exactly the one-shot recompute's pairs. Scale shape: like
+    * q92 but cheaper — the fingerprint is the verify payload, so there
+    * is no sigs table and no second index scan per batch. */
+  private[queries] def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q112_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      graft.ops.SimHashIndex.build(docs.where(!isStream), s"$tmp/idx")
+      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingPipeline.startSimHashIngest(
+        mem.toDF().toDF("doc_id", "text"),
+        indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
+        checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(2))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.parquet(s"$tmp/pairs")
+          .select(col("doc_a"), col("doc_b"), col("hamming")),
+        Seq("doc_a", "doc_b"))
+    } finally rmRecursive(tmp) // result rows are driver-local; safe now
+  }
+  private[queries] val q112Sql =
+    simhashPairSql(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")
+
+
   // ------------------------------------------------------------------ q100
   /** The exactly-once pair-log CONSUMER contract under a replayed batch:
     * the downstream half of q92's streaming story. Same ingest shape as
@@ -364,7 +411,10 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
-  private[queries] val q107Sql = {
+  /** q107's oracle chain, parameterized the way [[pairCtesWith]] is for
+    * the MinHash family: `candFilter` restricts candidate pairs (q112
+    * passes the ≥-1-stream-side-member predicate). */
+  private[queries] def simhashPairSql(candFilter: String): String = {
     val bits = (0 until 63).map { j =>
       val h = j / 4 + 1; val s = j % 4
       s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
@@ -379,11 +429,12 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
        |                b.doc_id AS doc_b, b.sh AS hb
        |         FROM kept a JOIN kept b
-       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id$candFilter)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+  private[queries] val q107Sql = simhashPairSql("")
 
 
   // ----------------------------------------------------------------- q108

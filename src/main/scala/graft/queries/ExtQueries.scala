@@ -90,7 +90,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q108_simhash_calibration_audit", q108, Some(q108Sql)),
     Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)),
     Decl("q110_video_stream_decode", q110, Some(q110Sql)),
-    Decl("q111_video_frame_embed_ann", q111, Some(q111Sql)))
+    Decl("q111_video_frame_embed_ann", q111, Some(q111Sql)),
+    Decl("q112_stream_simhash_dedup", q112, Some(q112Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -106,5 +107,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q92_stream_lsh_dedup", "q97_ann_ivf_incremental",
     "q100_pairlog_replay_consumer", "q101_index_takedown_compact",
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
-    "q109_ivf_takedown_compact")
+    "q109_ivf_takedown_compact", "q112_stream_simhash_dedup")
 }

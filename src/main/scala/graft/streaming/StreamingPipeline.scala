@@ -173,6 +173,46 @@ object StreamingPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(pairsDir)
 
+  /** Continuously-ingesting SimHash near-dup detection — the
+    * HAMMING-DISTANCE twin of [[startNearDupIngest]] (ops/SimHashIndex):
+    * each micro-batch fingerprints in-row, probes only the band buckets
+    * it touches against the PRE-batch index, logs its verified pairs
+    * (batch-tagged, dynamic-overwrite idempotent) and appends its band
+    * rows into generation `b<batchId>`. Delivery and compaction
+    * contracts are identical to the LSH ingest — same GenTable layout,
+    * same lag-1 `compactEvery` policy (evaluated outside the isEmpty
+    * guard, same as the other two ingests). */
+  def startSimHashIngest(docs: DataFrame, indexPath: String, pairsDir: String,
+      checkpointDir: String,
+      cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          simHashIngestBatch(batch, batchId, indexPath, pairsDir, cfg)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.SimHashIndex.compact(
+              batch.sparkSession, indexPath, keepBatch = Some(batchId))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the SimHash ingest, idempotent in `batchId` —
+    * exposed like [[nearDupIngestBatch]] for replay specs and backfill. */
+  def simHashIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      pairsDir: String,
+      cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config()): Unit =
+    graft.ops.SimHashIndex.probeAndAppend(
+        batch.sparkSession, indexPath, batch, cfg, batchId = Some(batchId))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(pairsDir)
+
   /** Continuously-ingesting IVF vector search — the VECTOR twin of
     * [[startNearDupIngest]], completing the streaming story for the ANN
     * index family: each micro-batch of embeddings ANN-probes the
