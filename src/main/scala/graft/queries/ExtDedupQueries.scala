@@ -260,8 +260,45 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
         Seq("doc_a", "doc_b"))
     } finally rmRecursive(tmp) // result rows are driver-local; safe now
   }
+  /** q112's oracle replays the INCREMENTAL cap semantics, not q107's
+    * from-scratch cap: the probe of batch b caps a bucket at its size AS
+    * OF batch b (base + batches ≤ b), so a pair emitted before its
+    * bucket later crosses the cap legitimately stays in the log — at
+    * sf0.1 this diverges from the full-corpus cap (short-doc fingerprint
+    * clusters cross the cap mid-stream; measured: 3439 vs 2395 pairs).
+    * The SQL assigns every doc its harness batch (0 = base, 1–3 = the
+    * doc_id-ordered thirds of the stream docs), computes each bucket's
+    * size at each batch time, and keeps a candidate pair iff some shared
+    * band's bucket is under the cap at the pair's emission time
+    * b* = max(batch_a, batch_b) — exactly when the engine's combined
+    * probe-time bucket admitted it. */
   private[queries] val q112Sql =
-    simhashPairSql(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")
+    s"""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh FROM dw GROUP BY doc_id),
+       |st AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+       |              count(*) OVER () AS n
+       |       FROM h WHERE doc_id % 4 = 0),
+       |bat AS (SELECT doc_id,
+       |               CAST(rn // CAST(ceil(n / 3.0) AS BIGINT) AS INT) + 1 AS batch
+       |        FROM st),
+       |hb AS (SELECT h.doc_id, h.sh, COALESCE(bat.batch, 0) AS batch
+       |       FROM h LEFT JOIN bat USING (doc_id)),
+       |bands AS (SELECT doc_id, sh, batch, b, (sh >> (16 * b)) & 65535 AS v
+       |          FROM hb, unnest(range(4)) AS t(b)),
+       |sz AS (SELECT x.b, x.v, t.b2, count(*) AS cnt
+       |       FROM bands x, unnest(range(1, 4)) AS t(b2)
+       |       WHERE x.batch <= t.b2 GROUP BY x.b, x.v, t.b2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
+       |                b.doc_id AS doc_b, b.sh AS hb2
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+       |         JOIN sz ON sz.b = a.b AND sz.v = a.v
+       |           AND sz.b2 = greatest(a.batch, b.batch)
+       |         WHERE greatest(a.batch, b.batch) >= 1
+       |           AND sz.cnt <= ${TextOps.DefaultMaxBucket})
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb2)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
 
   // ------------------------------------------------------------------ q100
@@ -411,16 +448,17 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
-  /** q107's oracle chain, parameterized the way [[pairCtesWith]] is for
-    * the MinHash family: `candFilter` restricts candidate pairs (q112
-    * passes the ≥-1-stream-side-member predicate). */
-  private[queries] def simhashPairSql(candFilter: String): String = {
-    val bits = (0 until 63).map { j =>
-      val h = j / 4 + 1; val s = j % 4
-      s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
-    }.mkString(" + ")
+  /** The 63-bit SimHash fingerprint as one DuckDB expression over a
+    * per-doc `word` stream — shared by q107's and q112's oracles. LAZY:
+    * q112Sql initializes before this declaration (trait vals run in
+    * file order) and would otherwise interpolate "null". */
+  private[queries] lazy val simhashBitsSql: String = (0 until 63).map { j =>
+    val h = j / 4 + 1; val s = j % 4
+    s"CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $h, 1)) - 1) >> $s) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+  private[queries] val q107Sql =
     s"""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |h AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM dw GROUP BY doc_id),
+       |h AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh FROM dw GROUP BY doc_id),
        |bands AS (SELECT doc_id, sh, b, (sh >> (16 * b)) & 65535 AS v
        |          FROM h, unnest(range(4)) AS t(b)),
        |bsz AS (SELECT b, v FROM bands GROUP BY b, v
@@ -429,12 +467,10 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
        |                b.doc_id AS doc_b, b.sh AS hb
        |         FROM kept a JOIN kept b
-       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id$candFilter)
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
-  private[queries] val q107Sql = simhashPairSql("")
 
 
   // ----------------------------------------------------------------- q108
