@@ -49,6 +49,7 @@ object SimHashIndex {
   }
 
   private def bandsPath(path: String) = s"$path/bands"
+  private def tombsPath(path: String) = s"$path/tombstones"
   private def metaPath(path: String) = new HPath(path, "_simhash_meta")
 
   private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
@@ -130,13 +131,21 @@ object SimHashIndex {
         col("doc_id").as("doc_a"), col("sh").as("ha"), col("is_new").as("na"))
       val b = pruned.select(col("band"), col("key"),
         col("doc_id").as("doc_b"), col("sh").as("hb"), col("is_new").as("nb"))
-      val pairs = a.join(b, Seq("band", "key"))
+      // tombstoned docs are dead on arrival (LshIndex's probe rule):
+      // their band rows survive until compact, but no pair names them
+      val tombs = TombstoneLog.read(spark,
+        TombstoneLog.snapshot(spark, tombsPath(path)), "doc_id")
+      def dropTombstoned(df: DataFrame): DataFrame = tombs.fold(df) { t =>
+        df.join(broadcast(t), df("doc_a") === t("doc_id"), "left_anti")
+          .join(broadcast(t), df("doc_b") === t("doc_id"), "left_anti")
+      }
+      val pairs = dropTombstoned(a.join(b, Seq("band", "key"))
         .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
         .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
         .where(col("hamming") <= layout.maxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .select(col("doc_a"), col("doc_b"), col("hamming")))
         .orderBy(col("doc_a"), col("doc_b"))
       val result = Caches.localize(pairs, maxRows = 1 << 20)
         .getOrElse(pairs.localCheckpoint())
@@ -149,29 +158,55 @@ object SimHashIndex {
     } finally newBands.unpersist()
   }
 
+  /** Tombstone `docIds` — LshIndex.markDeleted's contract for this
+    * family: rows stay physically present until [[compact]], but no
+    * probe emits a pair naming them. O(deletions) writes. */
+  def markDeleted(spark: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    IndexLock.withWriter(path) {
+      import spark.implicits._
+      adoptMeta(spark, path, Config()) // loud failure on a non-index path
+      docIds.toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(tombsPath(path))
+    }
+
   /** Fold accumulated generations back to one tight `gen=base` layout —
-    * LshIndex.compact's contract (same stage-then-swap commit, same
-    * lag-1 `keepBatch` rule for in-stream use); no tombstone handling
-    * because this family has no takedown path yet (takedowns live on
-    * the LSH/IVF families). */
+    * LshIndex.compact's contract verbatim: same stage-then-swap commit,
+    * same lag-1 `keepBatch` rule for in-stream use, and the same
+    * TombstoneLog lifecycle (apply + delete exactly the start-of-run
+    * snapshot; RETAIN tombstones naming kept-generation docs so a
+    * kept-batch crash-retry cannot resurrect a takedown). */
   def compact(spark: SparkSession, path: String,
       keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
     val cfg = adoptMeta(spark, path, Config())
     val keepGen = keepBatch.map(b => s"b$b")
     val tablePath = bandsPath(path)
+    val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
+    val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
+    val all = spark.read.parquet(tablePath)
+    val retained: Seq[Long] = (keepGen, tombs) match {
+      case (Some(g), Some(t)) =>
+        all.where(col("gen") === g).select(col("doc_id"))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .distinct().collect().map(_.getLong(0)).toSeq
+      case _ => Seq.empty
+    }
+    def dropTombstoned(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val staged = s"$tablePath.compacting"
     Layout.healSwap(spark, staged, tablePath)
-    val all = spark.read.parquet(tablePath)
     def keyed(rows: DataFrame): DataFrame =
       rows.select(col("doc_id"), col("sh"), col("band"), col("key"))
         .withColumn("__part", bandPk(cfg))
     GenTable.writePartitioned(
-      keyed(keepGen.fold(all)(g => all.where(col("gen") =!= g))),
+      keyed(dropTombstoned(keepGen.fold(all)(g => all.where(col("gen") =!= g)))),
       staged, cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
     keepGen.foreach { g =>
-      GenTable.writePartitioned(keyed(all.where(col("gen") === g)),
+      GenTable.writePartitioned(
+        keyed(dropTombstoned(all.where(col("gen") === g))),
         staged, cfg.bandFiles, "append", g, col("band"), col("key"))
     }
     Layout.swapInto(spark, staged, tablePath)
+    if (retained.nonEmpty) markDeleted(spark, path, retained)
+    TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
   }
 }

@@ -87,6 +87,39 @@ class SimHashIndexSpec extends SparkSpecBase {
       "compacted and uncompacted ingests diverged")
   }
 
+  test("markDeleted suppresses a doc from probe pairs; the retained " +
+    "tombstone survives compact(keepBatch) + kept-batch retry; a full " +
+    "compact removes rows and log") {
+    val root = tmpDir("simhash_takedown")
+    val idx = s"$root/idx"; val pairs = s"$root/pairs"
+    SimHashIndex.build(base, idx)
+    val b1 = docs(
+      11L -> "the quick brown fox jumps over the lazy dog", // = doc 1
+      12L -> "totally unrelated fresh content never seen before")
+    StreamingPipeline.simHashIngestBatch(b1, 1L, idx, pairs)
+    // takedown of doc 11 (the in-flight batch's member), then the
+    // in-stream lag-1 compaction fires
+    SimHashIndex.markDeleted(spark, idx, Seq(11L))
+    SimHashIndex.compact(spark, idx, keepBatch = Some(1L))
+    assert(new java.io.File(s"$idx/tombstones").exists,
+      "compact(keepBatch) cleared a tombstone naming a kept-gen doc")
+    // the kept batch's crash-retry re-appends doc 11's band rows from
+    // raw data — the retained tombstone must keep masking them
+    StreamingPipeline.simHashIngestBatch(b1, 1L, idx, pairs)
+    val probe = docs(20L -> "the quick brown fox jumps over the lazy dog")
+    val after = pairsOf(SimHashIndex.probeAndAppend(spark, idx, probe,
+      batchId = Some(2L)))
+    assert(!after.exists(p => p._1 == 11L || p._2 == 11L),
+      s"taken-down doc 11 resurrected by the kept-batch retry: $after")
+    assert(after.exists(p => p._1 == 1L && p._2 == 20L),
+      s"unrelated near-dup pair lost: $after")
+    SimHashIndex.compact(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").where($"doc_id" === 11L).count() === 0,
+      "full compact left the resurrected rows behind")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "full compact left the retained tombstone behind")
+  }
+
   test("probeAndAppend on an unbuilt path fails loudly") {
     intercept[IllegalStateException] {
       SimHashIndex.probeAndAppend(spark, tmpDir("simhash_nothere"), batch)
