@@ -6,8 +6,11 @@ package graft.multimodal
   * framing and the uncompressed DIB frame format are fully public
   * (Microsoft's AVI RIFF spec; the same chunk grammar WAV uses), so
   * metadata AND pixel decode can be real for `biCompression = 0`
-  * payloads. Compressed video (H.264 etc.) stays out of scope — that
-  * genuinely needs a codec library; [[Multimodal]] documents the seam.
+  * payloads — and for `'MJPG'` (Motion-JPEG) payloads too, because
+  * each MJPEG frame chunk is a standalone JPEG image the JDK's
+  * `javax.imageio` decodes with no extra library. Inter-frame codecs
+  * (H.264 etc.) stay out of scope — those genuinely need a codec
+  * library; [[Multimodal]] documents the seam.
   *
   * Layout handled (writer emits exactly this; parser tolerates unknown
   * chunks and `rec ` interleave lists):
@@ -19,7 +22,8 @@ package graft.multimodal
   *       'strh' (56 B: fccType vids/auds, handler, scale, rate, length)
   *       'strf' (BITMAPINFOHEADER for vids; WAVEFORMATEX for auds)
   *   LIST 'movi'
-  *     'NNdb' raw bottom-up BGR24 frame (rows padded to 4 B) | 'NNwb' PCM
+  *     'NNdb' raw bottom-up BGR24 frame (rows padded to 4 B)
+  *     | 'NNdc' one standalone JPEG image (MJPG) | 'NNwb' PCM
   * }}}
   * All integers little-endian; odd-sized chunks pad one byte. Frame
   * seek is a chunk-size walk — sampling frame `k` skips, not decodes,
@@ -149,13 +153,30 @@ object AviCodec {
     out.toIndexedSeq
   }
 
-  /** Decode one uncompressed BGR24 bottom-up DIB frame chunk to pixels.
-    * Only `biCompression = 0` (BI_RGB) at 24 bpp is decodable without a
-    * codec library — anything else fails loudly. */
+  /** fourcc `'MJPG'` as the little-endian `biCompression` int — the
+    * Motion-JPEG AVI convention: each frame chunk is a standalone JFIF
+    * JPEG image (intra-frame only, no inter-frame state), which is why
+    * it is the one COMPRESSED video codec decodable with the JDK alone
+    * (`javax.imageio`'s JPEG reader). */
+  val MjpgFourcc: Int = 0x47504a4d
+
+  /** Decode one video frame chunk to pixels, dispatching on the
+    * stream's `biCompression`: `0` (BI_RGB) decodes the raw bottom-up
+    * BGR24 DIB rows in-place; `'MJPG'` hands the chunk bytes — a
+    * complete JPEG image per the Motion-JPEG convention — to the JDK's
+    * `javax.imageio` JPEG decoder. Inter-frame codecs (H.264 etc.)
+    * genuinely need a codec library and fail loudly. */
   def decodeFrame(docId: Long, bytes: Array[Byte], offset: Int, size: Int,
       s: StreamInfo): java.awt.image.BufferedImage = {
+    if (s.compression == MjpgFourcc) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, offset, offset + size)))
+      require(img != null,
+        s"doc $docId: MJPG frame chunk is not a decodable JPEG image")
+      return img
+    }
     require(s.compression == 0 && s.bitCount == 24,
-      s"doc $docId: only uncompressed 24-bit DIB frames are decodable " +
+      s"doc $docId: only BI_RGB 24-bit DIB and MJPG frames are decodable " +
         s"(biCompression=${s.compression}, biBitCount=${s.bitCount})")
     val w = s.width; val h = s.height
     val rowBytes = (w * 3 + 3) & ~3
@@ -223,31 +244,76 @@ object AviCodec {
       }
       out
     }
+    assemble(frames.map(dib), chunkId = "00db", handler = "DIB ",
+      compression = 0, w = w, h = h, rate = rate, scale = scale, audio = audio)
+  }
+
+  /** Render `frames` as a Motion-JPEG AVI: every frame JPEG-encoded
+    * (JDK `javax.imageio` writer at the given `quality`) into a `00dc`
+    * chunk, handler/`biCompression` = `'MJPG'` — the same container
+    * scaffolding as [[encode]], with each frame a standalone JPEG per
+    * the MJPEG convention. Quality >= 0.95 keeps 8x8-block-aligned
+    * constant-gray regions bit-exact through the DCT round-trip
+    * (DC-only blocks, small quant steps) — what the oracle-gated
+    * queries rely on; arbitrary content is lossy like any JPEG. */
+  def encodeMjpg(frames: Seq[java.awt.image.BufferedImage], rate: Int,
+      scale: Int = 1, quality: Float = 1.0f,
+      audio: Option[(Int, Array[Byte])] = None): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpg: no frames")
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "encodeMjpg: all frames must share one dimension")
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+    assemble(frames.map(jpeg), chunkId = "00dc", handler = "MJPG",
+      compression = MjpgFourcc, w = w, h = h, rate = rate, scale = scale,
+      audio = audio)
+  }
+
+  /** The shared container scaffolding both encoders emit: avih + one
+    * vids strl (strf `biCompression` = `compression`, 24 bpp) +
+    * optional mono 16-bit PCM auds strl + the movi list of per-frame
+    * `chunkId` chunks. */
+  private def assemble(frameChunks: Seq[Array[Byte]], chunkId: String,
+      handler: String, compression: Int, w: Int, h: Int, rate: Int,
+      scale: Int, audio: Option[(Int, Array[Byte])]): Array[Byte] = {
     val nStreams = 1 + audio.size
     val usPerFrame = (1000000L * scale / rate).toInt
+    val bufSize = frameChunks.map(_.length).max
     val avih = chunk("avih", le32(usPerFrame) ++ le32(0) ++ le32(0) ++
-      le32(0) ++ le32(frames.size) ++ le32(0) ++ le32(nStreams) ++
+      le32(0) ++ le32(frameChunks.size) ++ le32(0) ++ le32(nStreams) ++
       le32(0) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-    def strh(fccType: String, handler: String, sScale: Int, sRate: Int,
+    def strh(fccType: String, hdl: String, sScale: Int, sRate: Int,
         length: Int, sampleSize: Int): Array[Byte] =
-      chunk("strh", cc(fccType) ++ cc(handler) ++ le32(0) ++ le16(0) ++
+      chunk("strh", cc(fccType) ++ cc(hdl) ++ le32(0) ++ le16(0) ++
         le16(0) ++ le32(0) ++ le32(sScale) ++ le32(sRate) ++ le32(0) ++
-        le32(length) ++ le32(rowBytes * h) ++ le32(0) ++ le32(sampleSize) ++
+        le32(length) ++ le32(bufSize) ++ le32(0) ++ le32(sampleSize) ++
         le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
     val vidsStrl = list("strl",
-      strh("vids", "DIB ", scale, rate, frames.size, 0) ++
+      strh("vids", handler, scale, rate, frameChunks.size, 0) ++
         chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-          le32(0) ++ le32(rowBytes * h) ++ le32(0) ++ le32(0) ++ le32(0) ++
-          le32(0)))
+          le32(compression) ++ le32(bufSize) ++ le32(0) ++ le32(0) ++
+          le32(0) ++ le32(0)))
     val audsStrl = audio.map { case (sr, pcm) =>
       list("strl",
-        strh("auds", "    ", 1, sr, pcm.length / 2, 2) ++
+        strh("auds", "    ", 1, sr, pcm.length / 2, 2) ++
           chunk("strf", le16(1) ++ le16(1) ++ le32(sr) ++ le32(sr * 2) ++
             le16(2) ++ le16(16)))
     }
     val hdrl = list("hdrl", avih ++ vidsStrl ++ audsStrl.getOrElse(Array.empty))
     val movi = list("movi",
-      frames.map(f => chunk("00db", dib(f))).reduce(_ ++ _) ++
+      frameChunks.map(f => chunk(chunkId, f)).reduce(_ ++ _) ++
         audio.map { case (_, pcm) => chunk("01wb", pcm) }.getOrElse(Array.empty))
     val payload = hdrl ++ movi
     cc("RIFF") ++ le32(payload.length + 4) ++ cc("AVI ") ++ payload

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * linear-interpolation kernel. VIDEO handling is REAL for uncompressed
   * AVI: [[AviCodec]] is a self-written RIFF walker (the WAV path's
   * moral twin) that parses the container's per-stream headers, seeks
-  * frame chunks without decoding the skipped ones, and decodes BGR24
-  * DIB frames to actual pixels for the luma-grid feature path.
-  * COMPRESSED video (H.264 etc.) and the external embedding-model call
+  * frame chunks without decoding the skipped ones, and decodes frames
+  * to actual pixels for the luma-grid feature path — both uncompressed
+  * BGR24 DIB and COMPRESSED Motion-JPEG (each MJPG chunk is a
+  * standalone JPEG the JDK's `javax.imageio` decodes). INTER-FRAME
+  * video codecs (H.264 etc.) and the external embedding-model call
   * for text/unknown payloads remain STUBBED — those genuinely need
   * libraries this container doesn't have — behind [[StubCodec]]-style
   * deterministic fakes; [[decodeBatched]] dispatches per record on the
@@ -150,11 +152,11 @@ object Multimodal {
       out
     }
 
-    /** Bilinear `Graphics2D` resize, re-encoded as PNG (lossless — the
-      * deterministic choice for a fixture-pinned spec). */
-    def resizeOne(r: MediaRecord, targetW: Int, targetH: Int): ResizedMedia = {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      require(src != null, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+    /** The shared bilinear `Graphics2D` kernel — one resize
+      * implementation for still images ([[resizeOne]]) and per-frame
+      * video resize ([[Multimodal.resizeBatched]]'s AVI branch). */
+    private[multimodal] def bilinear(src: java.awt.image.BufferedImage,
+        targetW: Int, targetH: Int): java.awt.image.BufferedImage = {
       val dst = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -163,6 +165,15 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(src, 0, 0, targetW, targetH, null)
       } finally g.dispose()
+      dst
+    }
+
+    /** Bilinear `Graphics2D` resize, re-encoded as PNG (lossless — the
+      * deterministic choice for a fixture-pinned spec). */
+    def resizeOne(r: MediaRecord, targetW: Int, targetH: Int): ResizedMedia = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      require(src != null, s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+      val dst = bilinear(src, targetW, targetH)
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(dst, "png", out)
       ResizedMedia(r.doc_id, "image/png", targetW, targetH, out.toByteArray)
@@ -406,22 +417,89 @@ object Multimodal {
 
   /** Batched resize: same mapPartitions batch shape as decode. Image
     * mimes get the REAL bilinear `Graphics2D` kernel
-    * ([[ImageIoCodec.resizeOne]]); other mimes keep the deterministic
-    * stub (truncate bytes to the target "resolution"), so the
-    * schema/batching/lineage are exercised for every payload type. */
+    * ([[ImageIoCodec.resizeOne]]); AVI video mimes get the REAL
+    * per-frame path — every frame decoded ([[AviCodec.decodeFrame]],
+    * DIB or MJPG), resized through the SAME bilinear kernel, and
+    * re-encoded as an uncompressed AVI at the source fps (lossless
+    * out, so downstream decode is oracle-exact regardless of the input
+    * codec). Remaining mimes keep the deterministic stub (truncate
+    * bytes to the target "resolution"), so the schema/batching/lineage
+    * are exercised for every payload type. */
   def resizeBatched(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
         if (ImageIoCodec.Mimes(r.mime)) ImageIoCodec.resizeOne(r, targetW, targetH)
-        else {
-          // ??? <- real resampling kernel for non-image, non-audio
-          // payloads (audio has the real [[resampleAudioBatched]] path);
-          // deterministic fake:
+        else if (AviCodec.Mimes(r.mime)) {
+          val c = AviCodec.parse(r.doc_id, r.content)
+          val vids = c.streams.find(_.fccType == "vids").getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: AVI has no vids stream"))
+          val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+          require(chunks.nonEmpty, s"doc ${r.doc_id}: AVI has no frames")
+          val resized = chunks.map { case (off, sz) =>
+            ImageIoCodec.bilinear(
+              AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids),
+              targetW, targetH)
+          }
+          ResizedMedia(r.doc_id, "video/avi", targetW, targetH,
+            AviCodec.encode(resized, rate = vids.rate, scale = vids.scale))
+        } else {
+          // ??? <- real resampling kernel for payloads outside the
+          // image/audio/AVI codec surface; deterministic fake:
           val n = math.min(r.content.length, targetW * targetH / 64 + 1)
           ResizedMedia(r.doc_id, r.mime, targetW, targetH, r.content.take(n))
         }
+      })
+    }
+  }
+
+  /** Batched REAL video frame-rate resample — the temporal twin of
+    * [[resampleAudioBatched]]'s linear-interpolation kernel, with
+    * nearest-lower-frame selection instead of interpolation (frames are
+    * discrete; MJPEG/DIB sources both decode through
+    * [[AviCodec.decodeFrame]]). Duration-preserving integer arithmetic,
+    * oracle-reproducible: with source fps `rate/scale` and integer
+    * `targetFps`, `nOut = ⌊nIn·targetFps·scale/rate⌋` and output frame
+    * `j` re-encodes source frame `⌊j·rate/(targetFps·scale)⌋` —
+    * downsampling drops frames, upsampling duplicates them (each source
+    * frame decoded once, memoized across consecutive outputs). Output
+    * is an uncompressed AVI at `targetFps` (lossless, so downstream
+    * decode sees the source pixels bit-exactly). The auds stream, if
+    * any, is dropped — resampling audio is [[resampleAudioBatched]]'s
+    * job on the audio column, not a container-rewrite side effect. */
+  def resampleVideoBatched(spark: SparkSession, media: DataFrame,
+      targetFps: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(targetFps > 0, s"target fps $targetFps")
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(AviCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: no video resampler for mime ${r.mime}")
+        val c = AviCodec.parse(r.doc_id, r.content)
+        val vids = c.streams.find(_.fccType == "vids").getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: AVI has no vids stream"))
+        val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+        require(chunks.nonEmpty, s"doc ${r.doc_id}: AVI has no frames")
+        val nOut = Math.floorDiv(
+          chunks.size.toLong * targetFps * vids.scale, vids.rate.toLong).toInt
+        require(nOut >= 1,
+          s"doc ${r.doc_id}: resample to $targetFps fps yields zero frames")
+        var memoIdx = -1
+        var memoImg: java.awt.image.BufferedImage = null
+        val out = (0 until nOut).map { j =>
+          val srcIdx = Math.floorDiv(
+            j.toLong * vids.rate, targetFps.toLong * vids.scale).toInt
+          if (srcIdx != memoIdx) {
+            val (off, sz) = chunks(srcIdx)
+            memoImg = AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids)
+            memoIdx = srcIdx
+          }
+          memoImg
+        }
+        MediaRecord(r.doc_id, AviCodec.encode(out, rate = targetFps), "video/avi")
       })
     }
   }

@@ -266,22 +266,29 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   // ------------------------------------------------------------------ q69
   /** Benchmark-contamination detection: which training documents share
     * ≥ 30% of an eval-set document's word trigrams? The eval set is
-    * doc_id % 10 == 0, plus one FABRICATED exact leak per eval doc
-    * (doc_id + 1,000,000, same text) so the operator's positive path is
-    * deterministic at every scale factor — mirroring q67's fabricated-PII
-    * pattern. Scale shape: the eval set is the small side by definition
-    * (benchmarks are MBs against a 100 TB corpus), so its exploded
-    * trigrams BROADCAST to both the overlap join and the per-benchmark
-    * totals join — the corpus side never shuffles for the match; the
-    * only wide exchange is the per-pair overlap count, whose input is
-    * already filtered to matching trigrams. */
+    * doc_id % 10 == 0 below a FIXED id cap, plus one FABRICATED exact
+    * leak per eval doc (doc_id + 1,000,000, same text) so the
+    * operator's positive path is deterministic at every scale factor —
+    * mirroring q67's fabricated-PII pattern. Scale shape: a real
+    * benchmark is FIXED-SIZE (MBs against a 100 TB corpus), so the
+    * fixture pins the eval set to `doc_id < 500` rather than a corpus
+    * fraction — that keeps the broadcast side O(1) in corpus scale and
+    * the match-pair output linear. (Without the cap the bench set
+    * grows with the corpus and the pair output goes quadratic: the sf1
+    * decade measured 17× per 10× data before the cap, 46 s at sf1.)
+    * The eval trigrams BROADCAST to both the overlap join and the
+    * per-benchmark totals join — the corpus side never shuffles for
+    * the match; the only wide exchange is the per-pair overlap count,
+    * whose input is already filtered to matching trigrams. */
+  private[queries] val BenchCap = 500L
   private[queries] def q69(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val leaked = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val leaked = docs.where(pmod(col("doc_id"), lit(10)) === 0 &&
+        col("doc_id") < BenchCap)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val tri = Tables.spread(docs.unionByName(leaked))
       .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), 3)).as("sh"))
-    val isBench = pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 1000000L
+    val isBench = pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < BenchCap
     val bench = tri.where(isBench).select(col("doc_id").as("bench_id"), col("sh"))
     val train = tri.where(!isBench).select(col("doc_id").as("train_id"), col("sh"))
     val benchSize = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_sh"))
@@ -298,14 +305,15 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |  SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id < 500),
       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
       |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM w),
       |tri AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
       |bench AS (SELECT doc_id AS bench_id, sh FROM tri
-      |          WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+      |          WHERE doc_id % 10 = 0 AND doc_id < 500),
       |train AS (SELECT doc_id AS train_id, sh FROM tri
-      |          WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+      |          WHERE NOT (doc_id % 10 = 0 AND doc_id < 500)),
       |bc AS (SELECT bench_id, count(*) AS n_sh FROM bench GROUP BY 1),
       |ov AS (SELECT train_id, bench_id, count(*) AS overlap
       |       FROM train JOIN bench USING (sh) GROUP BY 1, 2)

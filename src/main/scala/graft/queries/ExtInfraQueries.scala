@@ -694,4 +694,122 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ----------------------------------------------------------------- q113
+  /** COMPRESSED-video decode under the oracle — Motion-JPEG through the
+    * real JDK JPEG decoder: each document is rendered a genuine MJPEG
+    * AVI ([[graft.multimodal.AviCodec.encodeMjpg]] — every frame chunk
+    * a standalone JPEG) of 16×16 frames whose four 8×8 constant-gray
+    * quadrants derive from table columns; the production sampler
+    * ([[graft.multimodal.Multimodal.videoFrameGridsBatched]]) walks
+    * every frame chunk, dispatches on `biCompression = 'MJPG'` into
+    * `javax.imageio`'s JPEG decode, and pools each frame into a 2×2
+    * mean-luma grid. Quadrants are 8×8-BLOCK-ALIGNED, so each JPEG
+    * block is DC-only and the DCT round-trip is bit-exact (pinned by
+    * AviCodecSpec across all 256 gray levels) — the oracle recomputes
+    * the quadrant formula relationally, and the hash only matches if
+    * the engine actually inverse-DCT'd the compressed frames back to
+    * the source pixels. Scale shape: two narrow mapPartitions stages,
+    * blobs never shuffle, only (doc, frame, 4-int) rows do. */
+  private[queries] def q113(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 1 + (docId % 3).toInt
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val k = (y / 8) * 2 + (x / 8) // row-major 2×2 quadrant index
+              val v = (1L + ((docId + 2L) * (f + 1L) * (k + 3L)) % 250L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Multimodal.MediaRecord(docId,
+          AviCodec.encodeMjpg(frames, rate = 10), "video/avi")
+      }).toDF()
+    Multimodal.videoFrameGridsBatched(spark, media, everyN = 1, g = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        element_at(col("grid"), 1).cast("int").as("q1"),
+        element_at(col("grid"), 2).cast("int").as("q2"),
+        element_at(col("grid"), 3).cast("int").as("q3"),
+        element_at(col("grid"), 4).cast("int").as("q4"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q113Sql =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(1 + doc_id % 3)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |       CAST(1 + ((doc_id + 2) * (frame_idx + 1) * 3) % 250 AS INT) AS q1,
+      |       CAST(1 + ((doc_id + 2) * (frame_idx + 1) * 4) % 250 AS INT) AS q2,
+      |       CAST(1 + ((doc_id + 2) * (frame_idx + 1) * 5) % 250 AS INT) AS q3,
+      |       CAST(1 + ((doc_id + 2) * (frame_idx + 1) * 6) % 250 AS INT) AS q4
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+
+  // ----------------------------------------------------------------- q114
+  /** Video frame-rate resample under the oracle — the temporal member
+    * of the resample family (q104 is the audio one): each document is
+    * rendered an uncompressed AVI of solid-gray frames at a per-doc
+    * source fps, pushed through the production
+    * [[graft.multimodal.Multimodal.resampleVideoBatched]] kernel
+    * (duration-preserving `⌊nIn·dst/src⌋` output count,
+    * nearest-lower-frame selection `⌊j·src/dst⌋` — drops on
+    * downsample, duplicates on upsample; both directions exercised by
+    * the fps spread), and the resampled container is re-decoded by
+    * [[graft.multimodal.Multimodal.decodeFramesBatched]]. The oracle
+    * replays the integer frame-mapping arithmetic relationally: the
+    * hash only matches if output frame `j` carries the true pixels of
+    * source frame `⌊j·src/dst⌋` through the rewrite. Scale shape:
+    * three narrow mapPartitions stages, blobs never shuffle. */
+  private[queries] def q114(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 4 + (docId % 4).toInt
+        val src = 10 + (docId % 5).toInt // 10..14 fps: both directions vs 12
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val v = (1L + ((docId + 1L) * (f + 3L)) % 251L).toInt
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Multimodal.MediaRecord(docId,
+          AviCodec.encode(frames, rate = src), "video/avi")
+      }).toDF()
+    val resampled = Multimodal.resampleVideoBatched(spark, media, targetFps = 12)
+    Multimodal.decodeFramesBatched(spark, resampled.toDF(), everyN = 1).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("luma").cast("int").as("luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q114Sql =
+    """WITH p AS (
+      |  SELECT doc_id, 4 + doc_id % 4 AS nf, 10 + doc_id % 5 AS src
+      |  FROM documents),
+      |f AS (SELECT doc_id, src, unnest(range((nf * 12) // src)) AS j FROM p)
+      |SELECT doc_id, CAST(j AS INT) AS frame_idx,
+      |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |       CAST(1 + ((doc_id + 1) * (((j * src) // 12) + 3)) % 251 AS INT) AS luma
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+
 }

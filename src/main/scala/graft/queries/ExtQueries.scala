@@ -91,7 +91,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q109_ivf_takedown_compact", q109, Some(q109Sql)),
     Decl("q110_video_stream_decode", q110, Some(q110Sql)),
     Decl("q111_video_frame_embed_ann", q111, Some(q111Sql)),
-    Decl("q112_stream_simhash_dedup", q112, Some(q112Sql)))
+    Decl("q112_stream_simhash_dedup", q112, Some(q112Sql)),
+    Decl("q113_mjpeg_video_decode", q113, Some(q113Sql)),
+    Decl("q114_video_fps_resample", q114, Some(q114Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

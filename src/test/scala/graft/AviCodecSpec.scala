@@ -83,7 +83,7 @@ class AviCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("compressed or non-24-bit frames refuse to decode") {
+  test("inter-frame-compressed or non-24-bit frames refuse to decode") {
     val bytes = AviCodec.encode(Seq(gray(4, 4, 7)), rate = 10)
     val c = AviCodec.parse(5L, bytes)
     val chunks = AviCodec.videoFrameChunks(5L, bytes, c)
@@ -91,7 +91,63 @@ class AviCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       AviCodec.decodeFrame(5L, bytes, chunks.head._1, chunks.head._2, bad)
     }
-    assert(e.getMessage.contains("uncompressed"))
+    assert(e.getMessage.contains("decodable"))
+  }
+
+  test("MJPG encode → parse → decode: headers carry the MJPG fourcc and " +
+    "every solid gray level survives the JPEG round-trip bit-exact") {
+    val frames = (0 until 256 by 1).map(gray(8, 8, _))
+    val bytes = AviCodec.encodeMjpg(frames, rate = 25)
+    val c = AviCodec.parse(7L, bytes)
+    val vids = c.streams.head
+    assert(vids.handler === "MJPG")
+    assert(vids.compression === AviCodec.MjpgFourcc)
+    assert(c.totalFrames === 256L)
+    val chunks = AviCodec.videoFrameChunks(7L, bytes, c)
+    assert(chunks.size === 256)
+    for (v <- 0 until 256) {
+      val (o, s) = chunks(v)
+      val img = AviCodec.decodeFrame(7L, bytes, o, s, vids)
+      assert((img.getWidth, img.getHeight) === ((8, 8)))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((img.getRGB(x, y) & 0xffffff) === ((v << 16) | (v << 8) | v),
+          s"gray level $v pixel ($x,$y)")
+    }
+  }
+
+  test("MJPG 8x8-block-aligned constant quadrants decode bit-exact " +
+    "(the DC-only-block property q113's oracle relies on)") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val quad = Array(40, 200, 120, 80)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = quad((y / 8) * 2 + (x / 8))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = AviCodec.encodeMjpg(Seq(img), rate = 10)
+    val c = AviCodec.parse(8L, bytes)
+    val chunks = AviCodec.videoFrameChunks(8L, bytes, c)
+    val dec = AviCodec.decodeFrame(8L, bytes, chunks.head._1,
+      chunks.head._2, c.streams.head)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((dec.getRGB(x, y) & 0xff) === quad((y / 8) * 2 + (x / 8)),
+        s"pixel ($x,$y)")
+    // and the pooled 2x2 grid reads the quadrant values exactly
+    assert(Multimodal.ImageIoCodec.lumaGrid(dec, 2).toSeq ===
+      quad.toSeq.map(_.toFloat))
+  }
+
+  test("MJPG garbage frame chunk fails loudly, not with fake pixels") {
+    val good = AviCodec.encodeMjpg(Seq(gray(8, 8, 99)), rate = 10)
+    val c = AviCodec.parse(9L, good)
+    val chunks = AviCodec.videoFrameChunks(9L, good, c)
+    val (o, s) = chunks.head
+    val corrupt = good.clone()
+    corrupt(o) = 0x00 // destroy the JPEG SOI marker
+    val e = intercept[IllegalArgumentException] {
+      AviCodec.decodeFrame(9L, corrupt, o, s, c.streams.head)
+    }
+    assert(e.getMessage.contains("9"))
   }
 
   test("lumaGrid over decoded AVI frames matches the written gray values") {

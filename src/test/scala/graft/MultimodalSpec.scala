@@ -280,4 +280,63 @@ class MultimodalSpec extends SparkSpecBase {
         $"a.features", $"b.features").as("c"))
     assert(sim.agg(max($"c")).head().getDouble(0) <= 1.0 + 1e-9)
   }
+
+  private def grayFrame(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    img
+  }
+
+  test("REAL video fps resample: downsample drops the right frames, " +
+    "upsample duplicates them, MJPEG input decodes through the rewrite") {
+    import graft.multimodal.AviCodec
+    // doc 1: 6 frames @ 12fps, uncompressed; doc 2: 4 frames @ 6fps MJPEG
+    val lum = Map(1L -> Seq(10, 20, 30, 40, 50, 60), 2L -> Seq(70, 80, 90, 100))
+    val media = Seq(
+      Multimodal.MediaRecord(1L,
+        AviCodec.encode(lum(1L).map(grayFrame(8, 8, _)), rate = 12), "video/avi"),
+      Multimodal.MediaRecord(2L,
+        AviCodec.encodeMjpg(lum(2L).map(grayFrame(8, 8, _)), rate = 6), "video/avi")
+    ).toDF()
+    val out = Multimodal.resampleVideoBatched(spark, media, targetFps = 12)
+    val frames = Multimodal.decodeFramesBatched(spark, out.toDF(), everyN = 1)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.luma.toInt).toMap
+    // doc 1: 12→12 fps is the identity
+    assert((0 until 6).forall(j => frames((1L, j)) === lum(1L)(j)))
+    // doc 2: 6→12 fps doubles every frame (j -> src ⌊j·6/12⌋)
+    assert(frames.count(_._1._1 == 2L) === 8)
+    assert((0 until 8).forall(j => frames((2L, j)) === lum(2L)(j / 2)))
+    // and the output container advertises the target rate
+    val c = AviCodec.parse(0L,
+      out.collect().find(_.doc_id == 2L).get.content)
+    assert((c.streams.head.rate, c.streams.head.scale) === ((12, 1)))
+    // downsample direction: 12→6 halves the count, keeping even frames
+    val down = Multimodal.resampleVideoBatched(spark,
+      media.where($"doc_id" === 1L), targetFps = 6)
+    val dFrames = Multimodal.decodeFramesBatched(spark, down.toDF(), everyN = 1)
+      .collect().map(f => f.frame_idx -> f.luma.toInt).toMap
+    assert(dFrames === Map(0 -> 10, 1 -> 30, 2 -> 50))
+  }
+
+  test("REAL video spatial resize: every frame through the bilinear " +
+    "kernel, container re-encoded losslessly at the source fps") {
+    import graft.multimodal.AviCodec
+    val media = Seq(Multimodal.MediaRecord(3L,
+      AviCodec.encode(Seq(grayFrame(16, 16, 30), grayFrame(16, 16, 90)),
+        rate = 10), "video/avi")).toDF()
+    val resized = Multimodal.resizeBatched(spark, media, 8, 8).collect()
+    assert(resized.length === 1)
+    assert((resized.head.width, resized.head.height) === ((8, 8)))
+    assert(resized.head.mime === "video/avi")
+    val c = AviCodec.parse(3L, resized.head.content)
+    assert((c.width, c.height, c.totalFrames) === ((8, 8, 2L)))
+    assert((c.streams.head.rate, c.streams.head.scale) === ((10, 1)))
+    // solid frames stay solid through bilinear: decoded lumas unchanged
+    val frames = Multimodal.decodeFramesBatched(spark,
+      Seq(Multimodal.MediaRecord(3L, resized.head.content, "video/avi")).toDF(),
+      everyN = 1).collect().map(f => f.frame_idx -> f.luma).toMap
+    assert(frames === Map(0 -> 30.0, 1 -> 90.0))
+  }
 }
