@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   * frame chunks without decoding the skipped ones, and decodes frames
   * to actual pixels for the luma-grid feature path — both uncompressed
   * BGR24 DIB and COMPRESSED Motion-JPEG (each MJPG chunk is a
-  * standalone JPEG the JDK's `javax.imageio` decodes). INTER-FRAME
-  * video codecs (H.264 etc.) and the external embedding-model call
-  * for text/unknown payloads remain STUBBED — those genuinely need
-  * libraries this container doesn't have — behind [[StubCodec]]-style
-  * deterministic fakes; [[decodeBatched]] dispatches per record on the
-  * mime type. Everything around the codecs is real and load-bearing:
+  * standalone JPEG the JDK's `javax.imageio` decodes). MP4/ISO-BMFF
+  * containers get REAL per-track METADATA decode too ([[Mp4Codec]]'s
+  * box-tree walker; mdat sample bytes never read). What remains
+  * STUBBED: SAMPLE decode for inter-frame codecs (H.264 etc.) and the
+  * external embedding-model call for text/unknown payloads — those
+  * genuinely need libraries this container doesn't have — behind
+  * [[StubCodec]]-style deterministic fakes; [[decodeBatched]]
+  * dispatches per record on the mime type. Everything around the codecs is real and load-bearing:
   * the binary schema, the batched iteration shape (decode codecs
   * amortize per-batch setup, exactly like an Arrow-batched pandas UDF),
   * the partition sizing, and the typed output schema.
@@ -405,6 +407,13 @@ object Multimodal {
             val c = AviCodec.parse(r.doc_id, r.content)
             MediaMeta(r.doc_id, r.mime, r.content.length,
               c.width, c.height, c.totalFrames.toInt)
+          } else if (Mp4Codec.Mimes(r.mime)) {
+            // REAL ISO-BMFF header parse: dims + frame count from the
+            // first video track (or the first track for audio-only)
+            val c = Mp4Codec.parse(r.doc_id, r.content)
+            val t = c.tracks.find(_.handler == "vide").getOrElse(c.tracks.head)
+            MediaMeta(r.doc_id, r.mime, r.content.length,
+              t.width, t.height, t.nSamples.toInt)
           } else StubCodec.decode(Seq(r)).head
         }
       }
@@ -585,6 +594,35 @@ object Multimodal {
             s.width, s.height, s.length,
             if (s.fccType == "auds") s.sampleRate else s.rate, s.scale,
             s.channels, if (s.fccType == "auds") s.bitsPerSample else s.bitCount)
+        }
+      })
+    }
+  }
+
+  /** One ISO-BMFF track's parsed facts as a row — [[Mp4Codec]]'s
+    * per-track output schema, the MP4 twin of [[VideoStreamMeta]].
+    * `duration` is in the track's own `timescale` units; `n_samples`
+    * is the stts total (frame count for video). Fields a handler kind
+    * lacks are 0. */
+  case class Mp4TrackMeta(doc_id: Long, track_id: Long, handler: String,
+      codec: String, width: Int, height: Int, timescale: Long,
+      duration: Long, n_samples: Long, channels: Int, sample_rate: Int)
+
+  /** Batched REAL MP4/ISO-BMFF metadata decode: every payload's box
+    * tree through [[Mp4Codec.parse]], one output row PER TRACK — the
+    * MP4 member of the per-stream decode family
+    * ([[decodeVideoStreamsBatched]] for AVI, [[decodeAudioBatched]]
+    * for WAV). Same mapPartitions batch shape; mdat sample bytes are
+    * never touched, so metadata scans stay header-bounded. */
+  def decodeMp4TracksBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[Mp4TrackMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        Mp4Codec.parse(r.doc_id, r.content).tracks.map { t =>
+          Mp4TrackMeta(r.doc_id, t.trackId, t.handler, t.codec,
+            t.width, t.height, t.timescale, t.duration, t.nSamples,
+            t.channels, t.sampleRate)
         }
       })
     }

@@ -680,4 +680,119 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
   }
 
 
+  // ----------------------------------------------------------------- q116
+  /** STREAMING MULTIMODAL INGEST — the multimodal × streaming-index
+    * cross product no other query exercises, composed entirely from
+    * production operators: documents arrive as COMPRESSED Motion-JPEG
+    * video payloads in 2 micro-batches, and INSIDE the streaming plan
+    * each batch is decoded ([[graft.multimodal.AviCodec.decodeFrame]]'s
+    * real JDK JPEG path), pooled into a 2×2 mean-luma grid
+    * ([[graft.multimodal.Multimodal.videoFrameGridsBatched]] — the
+    * 4-float embedding), and fed to `StreamingPipeline.startVectorIngest`
+    * (foreachBatch → `IvfIndex.probeAndAppend` → batch-tagged ANN log,
+    * exactly-once generations — q105's contract with real decoded
+    * pixels as the vector source instead of the embeddings table).
+    * Frame quadrants are 8×8-block-aligned constant grays from table
+    * formulas, so the MJPEG round-trip is bit-exact (q113's property)
+    * and the oracle can replay the ENTIRE history relationally:
+    * fabrication formula → feature vector → frozen first-16 quantizer →
+    * per-batch corpus visibility → top-3-of-2-cells probe. A decode
+    * that faked pixels, a probe that saw its own batch, or a retry that
+    * duplicated a generation all hash-mismatch. Scale shape: fabricate/
+    * decode/pool are narrow in-stream stages (blobs never shuffle, never
+    * enter state — the corpus on storage IS the state), and each batch's
+    * corpus scan is cell-pruned with the batch broadcast onto it. */
+  private[queries] def q116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.multimodal.{AviCodec, Multimodal}
+    val K = 16
+    val tmp = graft.ops.Scratch.tempDir("graft_q116_")
+    try {
+      // one 16x16 MJPEG frame per doc; 8x8-aligned quadrant grays
+      // L(d,k) = 1 + ((d+2)·(k+3) + (d² mod 97)·(k+1)) mod 249 — the
+      // (d² mod 97) term keeps directions varied so cell assignment is
+      // not a near-tie between collinear vectors
+      def mediaOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
+        ids.mapPartitions(_.map { docId =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val k = (y / 8) * 2 + (x / 8)
+              val v = (1L + ((docId + 2L) * (k + 3L) +
+                (docId * docId % 97L) * (k + 1L)) % 249L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          Multimodal.MediaRecord(docId,
+            AviCodec.encodeMjpg(Seq(img), rate = 10), "video/avi")
+        }).toDF()
+      def featsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
+        Multimodal.videoFrameGridsBatched(spark, mediaOf(ids), everyN = 1, g = 2)
+          .toDF()
+          .select(col("doc_id").as("vec_id"), col("grid").as("embedding"))
+      val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      val base = featsOf(ids.where(pmod(col("doc_id"), lit(4)) =!= 0).as[Long])
+      val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(K)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
+      // stream feed: 2 micro-batches of doc ids in doc_id order
+      val streamIds = ids.where(pmod(col("doc_id"), lit(4)) === 0)
+        .as[Long].collect().sorted
+      val per = math.max(1, math.ceil(streamIds.length / 2.0).toInt)
+      val chunks = streamIds.grouped(per).toArray
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.StreamingPipeline.startVectorIngest(
+        featsOf(mem.toDS()),
+        corpusPath = s"$tmp/corpus", annDir = s"$tmp/ann",
+        checkpointDir = s"$tmp/ckpt", cents = cents,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.parquet(s"$tmp/ann")
+          .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos_sim")),
+        Seq("probe_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] val q116Sql =
+    """WITH v AS (
+      |  SELECT doc_id AS vec_id,
+      |    list_transform(range(4), k -> CAST(1 + ((doc_id + 2) * (k + 3)
+      |      + (doc_id * doc_id % 97) * (k + 1)) % 249 AS DOUBLE)) AS v
+      |  FROM documents),
+      |base AS (SELECT vec_id, v FROM v WHERE vec_id % 4 <> 0),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM (
+      |        SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+      |s AS (SELECT vec_id, v,
+      |        (row_number() OVER (ORDER BY vec_id) - 1)
+      |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
+      |      FROM v WHERE vec_id % 4 = 0),
+      |univ AS (SELECT vec_id, v, -1 AS b FROM base
+      |         UNION ALL SELECT vec_id, v, b FROM s),
+      |asg AS (SELECT vec_id, v, b,
+      |          (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |           LIMIT 1) AS cell
+      |        FROM univ),
+      |pc AS (SELECT p.vec_id AS probe_id, p.b AS pb, p.v AS pv, c.c_id,
+      |         row_number() OVER (PARTITION BY p.vec_id
+      |           ORDER BY list_cosine_similarity(p.v, cv) DESC, c_id DESC) AS crn
+      |       FROM s p CROSS JOIN c),
+      |cand AS (SELECT pc.probe_id, a.vec_id, list_cosine_similarity(pc.pv, a.v) AS cos
+      |         FROM pc JOIN asg a ON a.cell = pc.c_id AND pc.crn <= 2
+      |         WHERE a.b < pc.pb)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
 }

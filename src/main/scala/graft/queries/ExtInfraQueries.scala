@@ -812,4 +812,70 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
 
+  // ----------------------------------------------------------------- q115
+  /** REAL MP4/ISO-BMFF metadata decode under the oracle — q110's
+    * contract for the DOMINANT real-world container: each document is
+    * rendered a genuine two-track MP4 ([[graft.multimodal.Mp4Codec
+    * .encode]] — ftyp + moov box tree with per-track tkhd/mdhd/hdlr/
+    * stsd/stts) whose avc1 video dims / frame count / timescale and
+    * mp4a channels / sample rate / sample count derive from table
+    * columns, shipped as the opaque BINARY column, and parsed back PER
+    * TRACK by the production box-walker
+    * ([[graft.multimodal.Multimodal.decodeMp4TracksBatched]]). The
+    * oracle recomputes the parameter formulas relationally — the hash
+    * only matches if the engine actually walked the big-endian box
+    * tree (mdat sample bytes are never read: metadata scans stay
+    * header-bounded; SAMPLE decode for H.264/AAC is the documented
+    * codec-library seam). Scale shape: two narrow mapPartitions
+    * stages, blobs never cross a shuffle, only per-track scalar rows
+    * do. */
+  private[queries] def q115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Mp4Codec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val w = 16 + (docId % 120).toInt
+        val h = 16 + (nChars % 90).toInt
+        val nf = 24 + (docId % 48)
+        val ch = 1 + (docId % 2).toInt
+        val sr = 8000 * (1 + (docId % 3).toInt)
+        val ns = 1000 + (nChars % 500)
+        val bytes = Mp4Codec.encode(movieTimescale = 1000,
+          movieDuration = nf * 40,
+          tracks = Seq(
+            Mp4Codec.TrackSpec(trackId = 1, video = true, width = w,
+              height = h, timescale = 600, duration = nf * 25, nSamples = nf),
+            Mp4Codec.TrackSpec(trackId = 2, video = false, channels = ch,
+              sampleRate = sr, timescale = sr, duration = ns, nSamples = ns)))
+        Multimodal.MediaRecord(docId, bytes, "video/mp4")
+      }).toDF()
+    Multimodal.decodeMp4TracksBatched(spark, media).toDF()
+      .select(col("doc_id"), col("track_id"), col("handler"), col("codec"),
+        col("width"), col("height"), col("timescale"), col("duration"),
+        col("n_samples"), col("channels"), col("sample_rate"))
+      .orderBy(col("doc_id"), col("track_id"))
+  }
+  private[queries] val q115Sql =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS track_id, 'vide' AS handler,
+      |       'avc1' AS codec,
+      |       CAST(16 + doc_id % 120 AS INT) AS width,
+      |       CAST(16 + n_chars % 90 AS INT) AS height,
+      |       CAST(600 AS BIGINT) AS timescale,
+      |       CAST((24 + doc_id % 48) * 25 AS BIGINT) AS duration,
+      |       CAST(24 + doc_id % 48 AS BIGINT) AS n_samples,
+      |       CAST(0 AS INT) AS channels, CAST(0 AS INT) AS sample_rate
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, CAST(2 AS BIGINT), 'soun', 'mp4a',
+      |       CAST(0 AS INT), CAST(0 AS INT),
+      |       CAST(8000 * (1 + doc_id % 3) AS BIGINT),
+      |       CAST(1000 + n_chars % 500 AS BIGINT),
+      |       CAST(1000 + n_chars % 500 AS BIGINT),
+      |       CAST(1 + doc_id % 2 AS INT),
+      |       CAST(8000 * (1 + doc_id % 3) AS INT)
+      |FROM documents
+      |ORDER BY doc_id, track_id""".stripMargin
+
+
 }

@@ -93,7 +93,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q111_video_frame_embed_ann", q111, Some(q111Sql)),
     Decl("q112_stream_simhash_dedup", q112, Some(q112Sql)),
     Decl("q113_mjpeg_video_decode", q113, Some(q113Sql)),
-    Decl("q114_video_fps_resample", q114, Some(q114Sql)))
+    Decl("q114_video_fps_resample", q114, Some(q114Sql)),
+    Decl("q115_mp4_track_decode", q115, Some(q115Sql)),
+    Decl("q116_stream_media_ivf_ingest", q116, Some(q116Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -109,5 +111,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q92_stream_lsh_dedup", "q97_ann_ivf_incremental",
     "q100_pairlog_replay_consumer", "q101_index_takedown_compact",
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
-    "q109_ivf_takedown_compact", "q112_stream_simhash_dedup")
+    "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
+    "q116_stream_media_ivf_ingest")
 }

@@ -320,6 +320,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dFrames === Map(0 -> 10, 1 -> 30, 2 -> 50))
   }
 
+  test("REAL mp4 dispatch: decodeBatched and decodeMp4TracksBatched read " +
+    "the ISO-BMFF box tree; frame decode for mp4 still fails loudly") {
+    import graft.multimodal.Mp4Codec
+    val bytes = Mp4Codec.encode(movieTimescale = 1000, movieDuration = 800,
+      tracks = Seq(
+        Mp4Codec.TrackSpec(trackId = 1, video = true, width = 48, height = 32,
+          timescale = 600, duration = 480, nSamples = 12),
+        Mp4Codec.TrackSpec(trackId = 2, video = false, channels = 1,
+          sampleRate = 8000, timescale = 8000, duration = 4000, nSamples = 4000)))
+    val media = Seq(Multimodal.MediaRecord(7L, bytes, "video/mp4")).toDF()
+    val meta = Multimodal.decodeBatched(spark, media).head()
+    assert((meta.width, meta.height, meta.n_frames) === ((48, 32, 12)))
+    val tracks = Multimodal.decodeMp4TracksBatched(spark, media)
+      .collect().sortBy(_.track_id)
+    assert(tracks.map(t => (t.track_id, t.handler, t.codec)).toSeq ===
+      Seq((1L, "vide", "avc1"), (2L, "soun", "mp4a")))
+    assert((tracks(1).channels, tracks(1).sample_rate) === ((1, 8000)))
+    // sample decode for inter-frame codecs stays a loud failure
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFramesBatched(spark, media, everyN = 1).collect()
+    }
+    assert(e.getMessage.contains("no frame decoder") ||
+      e.getCause.getMessage.contains("no frame decoder"))
+  }
+
   test("REAL video spatial resize: every frame through the bilinear " +
     "kernel, container re-encoded losslessly at the source fps") {
     import graft.multimodal.AviCodec
