@@ -701,13 +701,21 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * duplicated a generation all hash-mismatch. Scale shape: fabricate/
     * decode/pool are narrow in-stream stages (blobs never shuffle, never
     * enter state — the corpus on storage IS the state), and each batch's
-    * corpus scan is cell-pruned with the batch broadcast onto it. */
+    * corpus scan is cell-pruned with the batch broadcast onto it. The
+    * frozen quantizer's cell count scales as `max(16, ⌊√nBase⌋)` — a
+    * FIXED K makes per-probe candidate lists grow linearly with the
+    * corpus and total pair volume quadratic (the sf1 decade measured
+    * 10.6× per 10× data at K=16); √n keeps candidates at ~2√n rows per
+    * probe while staying oracle-replayable (a LIMIT subquery), the
+    * tractable stand-in for the production path's kmeans-trained,
+    * sizedConfig-scaled quantizer (q88). Centroid features decode only
+    * the first K docs, and the K-sizing count reads the parquet footer
+    * path, not the decode path. */
   private[queries] def q116(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.multimodal.{AviCodec, Multimodal}
-    val K = 16
     val tmp = graft.ops.Scratch.tempDir("graft_q116_")
     try {
       // one 16x16 MJPEG frame per doc; 8x8-aligned quadrant grays
@@ -738,9 +746,14 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
           .toDF()
           .select(col("doc_id").as("vec_id"), col("grid").as("embedding"))
       val ids = Tables.documents(spark, dir).select(col("doc_id"))
-      val base = featsOf(ids.where(pmod(col("doc_id"), lit(4)) =!= 0).as[Long])
-      val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(K)
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val baseIds = ids.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      val K = math.max(16, math.sqrt(baseIds.count().toDouble).toInt)
+      val base = featsOf(baseIds.as[Long])
+      // centroids: first K base docs by id — only K docs decode here
+      val cents: Seq[Seq[Float]] =
+        featsOf(baseIds.orderBy(col("doc_id")).limit(K).as[Long])
+          .orderBy(col("vec_id"))
+          .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
       IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
       // stream feed: 2 micro-batches of doc ids in doc_id order
       val streamIds = ids.where(pmod(col("doc_id"), lit(4)) === 0)
@@ -769,7 +782,9 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |  FROM documents),
       |base AS (SELECT vec_id, v FROM v WHERE vec_id % 4 <> 0),
       |c AS (SELECT vec_id AS c_id, v AS cv FROM (
-      |        SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+      |        SELECT * FROM base ORDER BY vec_id
+      |        LIMIT (SELECT CAST(greatest(16, floor(sqrt(count(*)))) AS BIGINT)
+      |               FROM base))),
       |s AS (SELECT vec_id, v,
       |        (row_number() OVER (ORDER BY vec_id) - 1)
       |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
