@@ -232,6 +232,17 @@ object Mp4Codec {
   def encode(movieTimescale: Long, movieDuration: Long,
       tracks: Seq[TrackSpec]): Array[Byte] = {
     require(tracks.nonEmpty, "encode: no tracks")
+    tracks.foreach { t =>
+      // AudioSampleEntry stores the rate as 16.16 fixed point — a u32
+      // holds integer rates < 65536 only (the classic BMFF limitation;
+      // hi-res audio needs the v1 QTFF entry, out of this writer's
+      // scope). Refuse rather than silently wrap.
+      require(t.video || (t.sampleRate > 0 && t.sampleRate <= 0xffff),
+        s"track ${t.trackId}: sample rate ${t.sampleRate} does not fit " +
+          "the 16.16 stsd field (max 65535)")
+      require(t.width <= 0xffff && t.height <= 0xffff,
+        s"track ${t.trackId}: dimensions ${t.width}x${t.height} exceed u16")
+    }
     val ftyp = mkBox("ftyp", cc("isom"), be32(512), cc("isom"), cc("iso2"))
     val mvhd = fullBox("mvhd", 0, be32(0), be32(0), be32(movieTimescale),
       be32(movieDuration),

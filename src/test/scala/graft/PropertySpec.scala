@@ -226,4 +226,38 @@ class PropertySpec extends SparkSpecBase {
       r._1 == r._2 // zero-padded components reassemble the minute exactly
     }, trials = 20)
   }
+
+  test("mp4 encode → parse roundtrips every random track spec exactly " +
+    "(no Spark in the loop — pure codec law)") {
+    import graft.multimodal.Mp4Codec
+    val trackGen: Gen[Mp4Codec.TrackSpec] = for {
+      video <- Gen.oneOf(true, false)
+      w <- Gen.choose(16, 4096); h <- Gen.choose(16, 2160)
+      // 16.16 stsd field: integer rates <= 65535 (encode refuses larger)
+      ch <- Gen.choose(1, 8); sr <- Gen.choose(8000, 65535)
+      ts <- Gen.choose(1L, 1000000L); dur <- Gen.choose(0L, 1L << 31)
+      ns <- Gen.choose(1L, 1 << 20)
+    } yield
+      if (video) Mp4Codec.TrackSpec(0, video = true, width = w, height = h,
+        timescale = ts, duration = dur, nSamples = ns)
+      else Mp4Codec.TrackSpec(0, video = false, channels = ch,
+        sampleRate = sr, timescale = ts, duration = dur, nSamples = ns)
+    val specsGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, trackGen))
+      .map(_.zipWithIndex.map { case (t, i) => t.copy(trackId = i + 1L) })
+    check(Prop.forAll(specsGen, Gen.choose(1L, 100000L),
+        Gen.choose(0L, 1L << 31)) { (specs, mts, mdur) =>
+      val c = Mp4Codec.parse(0L, Mp4Codec.encode(mts, mdur, specs))
+      c.movieTimescale == mts && c.movieDuration == mdur &&
+        c.tracks.size == specs.size &&
+        c.tracks.zip(specs).forall { case (t, s) =>
+          t.trackId == s.trackId &&
+            t.handler == (if (s.video) "vide" else "soun") &&
+            t.codec == (if (s.video) "avc1" else "mp4a") &&
+            t.timescale == s.timescale && t.duration == s.duration &&
+            t.nSamples == s.nSamples &&
+            (!s.video || (t.width == s.width && t.height == s.height)) &&
+            (s.video || (t.channels == s.channels && t.sampleRate == s.sampleRate))
+        }
+    }, trials = 50)
+  }
 }
