@@ -263,22 +263,30 @@ object AviCodec {
     val w = frames.head.getWidth; val h = frames.head.getHeight
     require(frames.forall(f => f.getWidth == w && f.getHeight == h),
       "encodeMjpg: all frames must share one dimension")
-    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val p = writer.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(quality)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try {
-        writer.setOutput(ios)
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      } finally { ios.close(); writer.dispose() }
-      bos.toByteArray
-    }
-    assemble(frames.map(jpeg), chunkId = "00dc", handler = "MJPG",
+    assemble(frames.map(jpegBytes(_, quality)), chunkId = "00dc", handler = "MJPG",
       compression = MjpgFourcc, w = w, h = h, rate = rate, scale = scale,
       audio = audio)
+  }
+
+  /** One standalone JPEG rendering of `img` at `quality` — the shared
+    * frame writer of the MJPEG fixture family ([[encodeMjpg]] here and
+    * [[Mp4Codec.encodeMjpg]]'s sample-table twin). Quality ≥ 0.95 keeps
+    * 8×8-block-aligned constant-gray regions bit-exact through the DCT
+    * round-trip (DC-only blocks), which the oracle-gated queries rely
+    * on. */
+  private[multimodal] def jpegBytes(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
   }
 
   /** The shared container scaffolding both encoders emit: avih + one

@@ -12,12 +12,15 @@ package graft.multimodal
   * duration, sample count, channels, sample rate — implementable with
   * no library at all, mirroring what production metadata scanners do.
   *
-  * SAMPLE decode stays out of scope by design: mdat payloads are
-  * H.264/AAC etc., inter-frame/entropy-coded formats that genuinely
-  * need codec libraries ([[Multimodal]] documents the seam). The
-  * parser therefore never touches `mdat` — metadata scans stay
-  * header-bounded exactly like [[AviCodec.parse]] (frame bytes never
-  * read) and WAV header reads.
+  * SAMPLE decode splits by codec class: intra-frame Motion-JPEG
+  * (`jpeg` sample entries) decodes for REAL — the sample table
+  * (stsc/stsz/stco) locates each standalone-JPEG sample in `mdat` and
+  * the JDK decodes it, the exact MP4 twin of [[AviCodec]]'s MJPG
+  * frame chunks. Inter-frame/entropy-coded formats (H.264/AAC) stay
+  * out of scope by design — they genuinely need codec libraries
+  * ([[Multimodal]] documents the seam). Metadata-only scans never
+  * touch `mdat` either way: sample bytes are read only through
+  * sample-table ranges when a caller asks for frames.
   *
   * Boxes handled (parser tolerates and skips unknown siblings):
   * {{{
@@ -34,7 +37,16 @@ package graft.multimodal
   *                                 fields (video u16 w/h; audio u16
   *                                 channels + 16.16 sample rate)
   *         stts                  — sample count = Σ entry counts
-  * mdat                          — located, never read
+  *         stsc / stsz / stco|co64 — the sample table: when all three
+  *                                 are present the parser expands them
+  *                                 into per-sample (offset, size) byte
+  *                                 ranges, which is what real sample
+  *                                 EXTRACTION needs — intra-frame
+  *                                 codecs (Motion-JPEG's 'jpeg' entry)
+  *                                 then decode per range with no codec
+  *                                 library at all
+  * mdat                          — located; read ONLY through sample-
+  *                                 table ranges, never scanned
   * }}}
   *
   * Loud-failure contract matches the codec family: non-BMFF bytes,
@@ -49,10 +61,14 @@ object Mp4Codec {
   /** One track's parsed facts. `width`/`height`/`channels`/`sampleRate`
     * are 0 where the handler kind has no such field; `duration` is in
     * the TRACK's `timescale` units (mdhd), `nSamples` the stts total
-    * (frame count for video, coded-frame count for audio). */
+    * (frame count for video, coded-frame count for audio). `samples`
+    * is the stsc×stsz×stco expansion — one absolute (offset, size)
+    * byte range per sample, empty when the container ships no sample
+    * table (metadata-only fixtures) so metadata scans stay free. */
   case class TrackInfo(trackId: Long, handler: String, codec: String,
       width: Int, height: Int, timescale: Long, duration: Long,
-      nSamples: Long, channels: Int, sampleRate: Int)
+      nSamples: Long, channels: Int, sampleRate: Int,
+      samples: Seq[(Long, Long)] = Nil)
 
   case class Mp4Container(majorBrand: String, movieTimescale: Long,
       movieDuration: Long, tracks: Seq[TrackInfo])
@@ -114,6 +130,9 @@ object Mp4Codec {
       var width = 0; var height = 0
       var timescale = 0L; var duration = 0L; var nSamples = 0L
       var channels = 0; var sampleRate = 0
+      var sizes: Array[Long] = null            // stsz expansion
+      var chunkOffsets: Array[Long] = null     // stco / co64
+      var stsc: Array[(Long, Long)] = null     // (first_chunk, samples_per_chunk)
       def parseStbl(f2: Int, e2: Int): Unit = walk(docId, bytes, f2, e2) {
         case ("stsd", b, e) =>
           val entries = u32(bytes, b + 4)
@@ -139,7 +158,57 @@ object Mp4Codec {
           val n = u32(bytes, b + 4).toInt
           var i = 0
           while (i < n) { nSamples += u32(bytes, b + 8 + i * 8); i += 1 }
+        case ("stsz", b, _) =>
+          val uniform = u32(bytes, b + 4)
+          val n = u32(bytes, b + 8).toInt
+          sizes =
+            if (uniform != 0L) Array.fill(n)(uniform)
+            else Array.tabulate(n)(i => u32(bytes, b + 12 + i * 4))
+        case ("stco", b, _) =>
+          val n = u32(bytes, b + 4).toInt
+          chunkOffsets = Array.tabulate(n)(i => u32(bytes, b + 8 + i * 4))
+        case ("co64", b, _) =>
+          val n = u32(bytes, b + 4).toInt
+          chunkOffsets = Array.tabulate(n)(i => u64(bytes, b + 8 + i * 8))
+        case ("stsc", b, _) =>
+          val n = u32(bytes, b + 4).toInt
+          stsc = Array.tabulate(n)(i =>
+            (u32(bytes, b + 8 + i * 12), u32(bytes, b + 12 + i * 12)))
         case _ => ()
+      }
+      /** stsc×stsz×stco expansion per ISO/IEC 14496-12 §8.7: each stsc
+        * run (first_chunk, samples_per_chunk) applies from its
+        * first_chunk until the next run's; sample offsets accumulate
+        * sizes within the chunk. Every range is bounds-checked against
+        * the container — a table pointing outside the file throws with
+        * the doc id (loud-failure contract) instead of slicing junk. */
+      def expandSamples(): Seq[(Long, Long)] = {
+        if (sizes == null || chunkOffsets == null ||
+          stsc == null || stsc.isEmpty) return Nil
+        require(stsc.head._1 == 1L,
+          s"doc $docId: stsc must start at chunk 1, got ${stsc.head._1}")
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var si = 0 // next sample index into `sizes`
+        var ci = 0 // chunk index, 0-based
+        var run = 0 // current stsc run
+        while (ci < chunkOffsets.length && si < sizes.length) {
+          while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
+          var off = chunkOffsets(ci)
+          var k = 0L
+          while (k < stsc(run)._2 && si < sizes.length) {
+            val sz = sizes(si)
+            require(off >= 0 && sz >= 0 && off + sz <= bytes.length,
+              s"doc $docId: sample $si range [$off, ${off + sz}) overruns " +
+                s"the ${bytes.length}-byte container")
+            out += ((off, sz))
+            off += sz; si += 1; k += 1
+          }
+          ci += 1
+        }
+        require(si == sizes.length,
+          s"doc $docId: sample table covers $si of ${sizes.length} samples " +
+            "(stsc/stco run out of chunks)")
+        out.toSeq
       }
       def parseMinf(f2: Int, e2: Int): Unit = walk(docId, bytes, f2, e2) {
         case ("stbl", b, e) => parseStbl(b, e)
@@ -177,7 +246,8 @@ object Mp4Codec {
         case _ => ()
       }
       tracks += TrackInfo(trackId, handler, codec, width, height,
-        timescale, duration, nSamples, channels, sampleRate)
+        timescale, duration, nSamples, channels, sampleRate,
+        samples = expandSamples())
     }
 
     walk(docId, bytes, 0, bytes.length) {
@@ -284,5 +354,159 @@ object Mp4Codec {
     val moov = mkBox("moov", (mvhd +: tracks.map(trak)): _*)
     val mdat = mkBox("mdat", Array.fill(8)(0.toByte))
     ftyp ++ moov ++ mdat
+  }
+
+  /** Render a REAL Motion-JPEG MP4: one 'vide' track whose stsd entry is
+    * the QuickTime/BMFF intra-frame `jpeg` sample format, every sample in
+    * `mdat` a standalone JPEG ([[AviCodec.jpegBytes]]), and a genuine
+    * stts/stsc/stsz/stco sample table pointing at them — `samplesPerChunk`
+    * frames per chunk, so the parser's stsc run expansion is exercised,
+    * not just a degenerate one-chunk layout. Chunk offsets are absolute
+    * file offsets; since box lengths depend only on entry COUNTS, the
+    * writer builds `moov` once with zero offsets to measure it, then
+    * rebuilds with the real offsets (asserted same length).
+    *
+    * This is the intra-frame half of MP4 sample decode — the half that
+    * needs no codec library. Inter-frame codecs (H.264/AAC) remain the
+    * documented external-library seam ([[Multimodal]]). */
+  def encodeMjpg(frames: Seq[java.awt.image.BufferedImage],
+      timescale: Long = 600, frameDuration: Long = 25,
+      quality: Float = 1.0f, samplesPerChunk: Int = 2): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpg: no frames")
+    require(samplesPerChunk >= 1, s"samplesPerChunk $samplesPerChunk")
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "encodeMjpg: all frames must share one dimension")
+    require(w <= 0xffff && h <= 0xffff, s"dimensions ${w}x$h exceed u16")
+    val jpegs = frames.map(AviCodec.jpegBytes(_, quality))
+    val chunks = jpegs.grouped(samplesPerChunk).toVector
+    val n = jpegs.length
+    val duration = n * frameDuration
+
+    val ftyp = mkBox("ftyp", cc("isom"), be32(512), cc("isom"), cc("iso2"))
+    def moovFor(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val mvhd = fullBox("mvhd", 0, be32(0), be32(0), be32(timescale),
+        be32(duration),
+        be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(0), be32(0), be32(0), be32(0), be32(0), be32(0),
+        be32(2))
+      val tkhd = fullBox("tkhd", 0, be32(0), be32(0), be32(1),
+        be32(0), be32(duration), be32(0), be32(0), be16(0), be16(0),
+        be16(0), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(w.toLong << 16), be32(h.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, be32(0), be32(0), be32(timescale),
+        be32(duration), be16(0x55c4), be16(0))
+      val hdlr = fullBox("hdlr", 0, be32(0), cc("vide"), be32(0), be32(0),
+        be32(0), Array(0.toByte))
+      val sampleEntry = mkBox("jpeg", new Array[Byte](6), be16(1),
+        new Array[Byte](16), be16(w), be16(h),
+        be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+        new Array[Byte](32), be16(0x0018), be16(0xffff))
+      val stsd = fullBox("stsd", 0, be32(1), sampleEntry)
+      val stts = fullBox("stts", 0, be32(1), be32(n), be32(frameDuration))
+      val stscEntries =
+        if (chunks.length > 1 && chunks.last.length != samplesPerChunk)
+          Seq((1L, samplesPerChunk.toLong),
+            (chunks.length.toLong, chunks.last.length.toLong))
+        else Seq((1L, chunks.head.length.toLong))
+      val stsc = fullBox("stsc", 0, be32(stscEntries.length),
+        stscEntries.flatMap { case (fc, spc) =>
+          Seq(be32(fc), be32(spc), be32(1)) }.reduce(_ ++ _))
+      val stsz = fullBox("stsz", 0, be32(0), be32(n),
+        jpegs.map(j => be32(j.length.toLong)).reduce(_ ++ _))
+      val stco = fullBox("stco", 0, be32(chunkOffsets.length),
+        chunkOffsets.map(be32).reduce(_ ++ _))
+      val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = mkBox("minf", stbl)
+      val mdia = mkBox("mdia", mdhd, hdlr, minf)
+      mkBox("moov", mvhd, mkBox("trak", tkhd, mdia))
+    }
+
+    val moov0 = moovFor(Vector.fill(chunks.length)(0L))
+    val mdatBody = ftyp.length + moov0.length + 8L // first sample's offset
+    val offsets = chunks.scanLeft(mdatBody)((o, c) =>
+      o + c.map(_.length.toLong).sum).dropRight(1)
+    val moov1 = moovFor(offsets)
+    require(moov1.length == moov0.length,
+      "encodeMjpg: moov size changed between offset passes")
+    ftyp ++ moov1 ++ mkBox("mdat", jpegs.reduce(_ ++ _))
+  }
+
+  /** Render a REAL uncompressed-PCM MP4: one mono 'soun' track whose
+    * stsd entry is the QuickTime big-endian 16-bit `twos` sample format,
+    * `mdat` the raw PCM frames, and the sample table UNIFORM-size
+    * (stsz sample_size = 2, no per-sample entries — the uniform branch
+    * real PCM tracks use, since per-frame entries would dwarf the
+    * media). Same two-pass offset patch as [[encodeMjpg]]. The audio
+    * half of intra-frame MP4 sample decode; entropy-coded audio (AAC)
+    * stays the documented codec-library seam. */
+  def encodePcm16(samples: Array[Int], sampleRate: Int,
+      samplesPerChunk: Int = 256): Array[Byte] = {
+    require(samples.nonEmpty, "encodePcm16: no samples")
+    require(samplesPerChunk >= 1, s"samplesPerChunk $samplesPerChunk")
+    require(sampleRate > 0 && sampleRate <= 0xffff,
+      s"sample rate $sampleRate does not fit the 16.16 stsd field")
+    val n = samples.length
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val lastLen = n - (nChunks - 1) * samplesPerChunk
+
+    val ftyp = mkBox("ftyp", cc("isom"), be32(512), cc("isom"), cc("iso2"))
+    def moovFor(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val mvhd = fullBox("mvhd", 0, be32(0), be32(0), be32(sampleRate),
+        be32(n),
+        be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(0), be32(0), be32(0), be32(0), be32(0), be32(0),
+        be32(2))
+      val tkhd = fullBox("tkhd", 0, be32(0), be32(0), be32(1),
+        be32(0), be32(n), be32(0), be32(0), be16(0), be16(0),
+        be16(0x0100), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(0), be32(0))
+      val mdhd = fullBox("mdhd", 0, be32(0), be32(0), be32(sampleRate),
+        be32(n), be16(0x55c4), be16(0))
+      val hdlr = fullBox("hdlr", 0, be32(0), cc("soun"), be32(0), be32(0),
+        be32(0), Array(0.toByte))
+      val sampleEntry = mkBox("twos", new Array[Byte](6), be16(1),
+        new Array[Byte](8), be16(1), be16(16), be16(0), be16(0),
+        be32(sampleRate.toLong << 16))
+      val stsd = fullBox("stsd", 0, be32(1), sampleEntry)
+      val stts = fullBox("stts", 0, be32(1), be32(n), be32(1))
+      val stscEntries =
+        if (nChunks > 1 && lastLen != samplesPerChunk)
+          Seq((1L, samplesPerChunk.toLong), (nChunks.toLong, lastLen.toLong))
+        else Seq((1L, math.min(n, samplesPerChunk).toLong))
+      val stsc = fullBox("stsc", 0, be32(stscEntries.length),
+        stscEntries.flatMap { case (fc, spc) =>
+          Seq(be32(fc), be32(spc), be32(1)) }.reduce(_ ++ _))
+      val stsz = fullBox("stsz", 0, be32(2) /* uniform 2 B */, be32(n))
+      val stco = fullBox("stco", 0, be32(chunkOffsets.length),
+        chunkOffsets.map(be32).reduce(_ ++ _))
+      val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+      mkBox("moov", mvhd, mkBox("trak", tkhd,
+        mkBox("mdia", mdhd, hdlr, mkBox("minf", stbl))))
+    }
+
+    val moov0 = moovFor(Vector.fill(nChunks)(0L))
+    val mdatBody = ftyp.length + moov0.length + 8L
+    val offsets = (0 until nChunks).map(c =>
+      mdatBody + 2L * c * samplesPerChunk)
+    val moov1 = moovFor(offsets)
+    require(moov1.length == moov0.length,
+      "encodePcm16: moov size changed between offset passes")
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      pcm(i * 2) = ((samples(i) >> 8) & 0xff).toByte // big-endian 'twos'
+      pcm(i * 2 + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    ftyp ++ moov1 ++ mkBox("mdat", pcm)
   }
 }

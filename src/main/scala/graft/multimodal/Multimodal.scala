@@ -238,8 +238,45 @@ object Multimodal {
 
     /** Decode to (sampleRate, mono samples): 16-bit signed PCM frames,
       * channels averaged per frame with `floorDiv` (deterministic for
-      * negative sums, unlike `/`). */
-    def samples(r: MediaRecord): (Int, Array[Int]) = {
+      * negative sums, unlike `/`). MP4 mimes route through the sample
+      * table ([[mp4Samples]]) instead of `javax.sound.sampled`. */
+    def samples(r: MediaRecord): (Int, Array[Int]) =
+      if (Mp4Codec.Mimes(r.mime)) mp4Samples(r) else wavSamples(r)
+
+    /** REAL PCM decode out of an ISO-BMFF container: the 'soun' track's
+      * stsc×stsz×stco expansion locates each 16-bit frame in `mdat`;
+      * QuickTime `twos` (big-endian) and `sowt` (little-endian)
+      * uncompressed entries decode with no codec library — entropy-coded
+      * audio (mp4a/AAC) fails loudly as the documented seam. Mono scope
+      * matches [[Mp4Codec.encodePcm16]]'s writer. */
+    private def mp4Samples(r: MediaRecord): (Int, Array[Int]) = {
+      val c = Mp4Codec.parse(r.doc_id, r.content)
+      val t = c.tracks.find(t => t.handler == "soun" && t.samples.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: MP4 has no 'soun' track with a sample table"))
+      require(t.codec == "twos" || t.codec == "sowt",
+        s"doc ${r.doc_id}: MP4 audio sample format '${t.codec}' is " +
+          "entropy-coded and needs a codec library (the documented seam); " +
+          "only uncompressed twos/sowt PCM decodes here")
+      require(t.channels == 1,
+        s"doc ${r.doc_id}: only mono PCM tracks are decodable, " +
+          s"got ${t.channels} channels")
+      val be = t.codec == "twos"
+      val out = new Array[Int](t.samples.length)
+      var i = 0
+      t.samples.foreach { case (off, sz) =>
+        require(sz == 2,
+          s"doc ${r.doc_id}: 16-bit PCM sample $i has size $sz")
+        val o = off.toInt
+        out(i) =
+          if (be) (r.content(o) << 8) | (r.content(o + 1) & 0xff)
+          else (r.content(o + 1) << 8) | (r.content(o) & 0xff)
+        i += 1
+      }
+      (t.sampleRate, out)
+    }
+
+    private def wavSamples(r: MediaRecord): (Int, Array[Int]) = {
       val ais =
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.content))
@@ -645,18 +682,41 @@ object Multimodal {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { r =>
-        require(AviCodec.Mimes(r.mime),
-          s"doc ${r.doc_id}: no video frame decoder for mime ${r.mime}")
-        val c = AviCodec.parse(r.doc_id, r.content)
-        val vids = c.streams.find(_.fccType == "vids").getOrElse(
-          throw new IllegalArgumentException(
-            s"doc ${r.doc_id}: AVI has no vids stream"))
-        val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
-        (0 until chunks.size by everyN).map { f =>
-          val (off, sz) = chunks(f)
-          val img = AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids)
-          FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
-            ImageIoCodec.lumaGrid(img, g))
+        if (Mp4Codec.Mimes(r.mime)) {
+          // REAL MP4 sample extraction: the stsc×stsz×stco expansion
+          // yields per-frame byte ranges; intra-frame 'jpeg' samples
+          // decode through the JDK like AVI-MJPG frame chunks do.
+          val c = Mp4Codec.parse(r.doc_id, r.content)
+          val v = c.tracks.find(t => t.handler == "vide" && t.samples.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: MP4 has no 'vide' track with a sample table"))
+          require(v.codec == "jpeg",
+            s"doc ${r.doc_id}: MP4 video sample format '${v.codec}' is " +
+              "inter-frame/entropy-coded and needs a codec library (the " +
+              "documented seam); only intra-frame 'jpeg' samples decode here")
+          (0 until v.samples.size by everyN).map { f =>
+            val (off, sz) = v.samples(f)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.content, off.toInt, sz.toInt))
+            require(img != null,
+              s"doc ${r.doc_id}: MP4 sample $f is not a decodable JPEG image")
+            FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
+              ImageIoCodec.lumaGrid(img, g))
+          }
+        } else {
+          require(AviCodec.Mimes(r.mime),
+            s"doc ${r.doc_id}: no video frame decoder for mime ${r.mime}")
+          val c = AviCodec.parse(r.doc_id, r.content)
+          val vids = c.streams.find(_.fccType == "vids").getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: AVI has no vids stream"))
+          val chunks = AviCodec.videoFrameChunks(r.doc_id, r.content, c)
+          (0 until chunks.size by everyN).map { f =>
+            val (off, sz) = chunks(f)
+            val img = AviCodec.decodeFrame(r.doc_id, r.content, off, sz, vids)
+            FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
+              ImageIoCodec.lumaGrid(img, g))
+          }
         }
       })
     }

@@ -1157,4 +1157,151 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
        |FROM capped ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q118
+  /** DSIR data selection — Data Selection with Importance Resampling
+    * (Xie et al., arXiv:2302.03169): score every raw document by how
+    * much its hashed-unigram bag looks like a TARGET domain (here the
+    * 'en' slice plays the high-quality target, the full corpus the raw
+    * pool). Both distributions live over B=64 hash buckets
+    * (q80's md5-prefix convention keeps Spark and DuckDB hashing
+    * identical), add-1 smoothed; a doc's log-importance weight is
+    * Σ_tokens ln(p̂_target(b)/p̂_raw(b)), and selection keeps weight > 0
+    * (paper samples ∝ weight; the threshold keeps the gate
+    * deterministic for the oracle).
+    *
+    * Scale shape — DSIR's whole point, preserved here: both "models"
+    * are ONE 64-row aggregate each; the bucket totals come from a
+    * window over those 64 rows (never the corpus); the per-bucket
+    * log-ratio table joins back BROADCAST, so scoring a 100 TB pool is
+    * a map-side pass + one per-doc aggregate. No vocabulary, no
+    * all-pairs anything. */
+  private[queries] def q118(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val bucket = (t: Column) =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("long"),
+        lit(B))
+    val tokens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .select(col("doc_id"), col("lang"), bucket(col("term")).as("b"))
+    val raw = tokens.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    val tgt = tokens.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val whole = Window.partitionBy() // ≤64 rows: totals without a collect
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("cnt_t"), lit(0L)) + 1.0) /
+            (sum(coalesce(col("cnt_t"), lit(0L))).over(whole) + B)) -
+          log((col("cnt_r") + 1.0) /
+            (sum(col("cnt_r")).over(whole) + B))).as("lr"))
+    tokens.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("w"), 4).as("log_weight"),
+        (col("w") > 0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q118Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 6))
+      |           ::BIGINT % 64 AS b
+      |  FROM documents),
+      |raw AS (SELECT b, count(*) AS cnt_r FROM tokens GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS cnt_t FROM tokens
+      |        WHERE lang = 'en' GROUP BY 1),
+      |lr AS (
+      |  SELECT raw.b,
+      |         ln((coalesce(cnt_t, 0) + 1.0)
+      |            / (sum(coalesce(cnt_t, 0)) OVER () + 64))
+      |         - ln((cnt_r + 1.0) / (sum(cnt_r) OVER () + 64)) AS lr
+      |  FROM raw LEFT JOIN tgt USING (b))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(sum(lr), 4) AS log_weight,
+      |       sum(lr) > 0 AS selected
+      |FROM tokens JOIN lr USING (b)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+
+  // ----------------------------------------------------------------- q119
+  /** Filter-cascade attrition audit — the per-rule funnel report every
+    * production curation run publishes (FineWeb/Dolma ship exactly this
+    * table: how many docs each filter removed, in application order,
+    * attributing each doc to the FIRST rule it fails). Rules here are
+    * the repo's own curation gates: a token-count floor, a language
+    * allowlist, a distinct-token (repetition) floor, and a mean-word-
+    * length band. Scale shape: one map-side pass computes each doc's
+    * first failing rule, one 5-row aggregate + a 5-row window cumsum
+    * builds the funnel — corpus size only touches the first scan, the
+    * report is O(rules) regardless of scale. */
+  private[queries] def q119(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val nTok = size(w)
+    val nDis = size(array_distinct(w))
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val firstFail =
+      when(nTok < 20, 1)
+        .when(!col("lang").isin("en", "es", "de", "fr"), 2)
+        .when(nDis.cast("double") / nTok < 0.45, 3)
+        .when(meanLen < 4.0 || meanLen > 6.0, 4)
+        .otherwise(0)
+    val rules = Seq(1 -> "min_tokens", 2 -> "lang_allowlist",
+      3 -> "distinct_ratio", 4 -> "mean_word_len")
+    val ruleNames = rules.foldLeft(lit("kept")) { case (acc, (i, n)) =>
+      when(col("rule_idx") === i, lit(n)).otherwise(acc)
+    }
+    val removed = Tables.spread(Tables.documents(spark, dir))
+      // kept docs sort as pseudo-rule 5 so the cumsum sees them last
+      .select(when(firstFail === 0, 5).otherwise(firstFail).as("rule_idx"))
+      .groupBy(col("rule_idx")).agg(count(lit(1)).as("n"))
+    // 5-row funnel: n_in of rule i = total − removals attributed before i
+    val order = Window.orderBy(col("rule_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    removed
+      .withColumn("total", sum(col("n")).over(whole))
+      .withColumn("n_in", col("total") - coalesce(sum(col("n")).over(order), lit(0L)))
+      .where(col("rule_idx") <= 4)
+      .select(col("rule_idx"),
+        ruleNames.as("rule"),
+        col("n_in"), col("n").as("n_removed"),
+        (col("n_in") - col("n")).as("n_out"),
+        round(col("n") * 100.0 / col("n_in"), 2).as("pct_removed"))
+      .orderBy(col("rule_idx"))
+  }
+  private[queries] val q119Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) < 20 THEN 1
+      |              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 2
+      |              WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.45
+      |                THEN 3
+      |              WHEN (length(text) - len(w) + 1.0) / len(w) < 4.0
+      |                OR (length(text) - len(w) + 1.0) / len(w) > 6.0 THEN 4
+      |              ELSE 0 END AS rule_idx
+      |  FROM d),
+      |removed AS (
+      |  SELECT CASE WHEN rule_idx = 0 THEN 5 ELSE rule_idx END AS rule_idx,
+      |         count(*) AS n
+      |  FROM feat GROUP BY 1),
+      |funnel AS (
+      |  SELECT rule_idx, n, sum(n) OVER () AS total,
+      |         coalesce(sum(n) OVER (ORDER BY rule_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM removed)
+      |SELECT CAST(rule_idx AS INT) AS rule_idx,
+      |       CASE rule_idx WHEN 1 THEN 'min_tokens' WHEN 2 THEN 'lang_allowlist'
+      |            WHEN 3 THEN 'distinct_ratio' ELSE 'mean_word_len' END AS rule,
+      |       CAST(total - before AS BIGINT) AS n_in, n AS n_removed,
+      |       CAST(total - before - n AS BIGINT) AS n_out,
+      |       round(n * 100.0 / (total - before), 2) AS pct_removed
+      |FROM funnel
+      |WHERE rule_idx <= 4
+      |ORDER BY rule_idx""".stripMargin
+
+
 }

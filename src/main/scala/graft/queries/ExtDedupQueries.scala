@@ -997,4 +997,78 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       |ORDER BY w.doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q120
+  /** Content-defined chunk dedup — the storage/dataset-versioning dedup
+    * (LBFS, Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. USENIX
+    * ATC'16) at token granularity: a chunk boundary falls AFTER any
+    * token whose hash ∈ 1/8 of the space (q80's md5-prefix convention,
+    * expected chunk ≈ 8 tokens), so boundaries depend only on LOCAL
+    * content — an insertion reshapes the one chunk it lands in, not
+    * every downstream block (the failure mode of q90's fixed 5-token
+    * grid). Chunks dedup by first corpus occurrence (min (doc, pos)
+    * owner per chunk hash). Scale shape: chunking is an in-row
+    * transform (posexplode + a bounded window cumsum keyed by doc);
+    * only (doc, chunk-hash) pairs shuffle — 16-byte hashes, never
+    * chunk text — and the owner aggregate is one groupBy on that
+    * hash. */
+  private[queries] def q120(spark: SparkSession, dir: String): DataFrame = {
+    val h6 = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("long")
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"),
+        (pmod(h6(col("col")), lit(8)) === 0).cast("long").as("cut"))
+    // chunk index = boundaries strictly BEFORE this token (cut ends a chunk)
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(col("cut")).over(before), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+          s => s.getField("term"))).cast("binary")).as("chash"))
+    val owner = chunks.groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("chunk"))).as("first"))
+    chunks.join(owner, Seq("chash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("first.doc_id") =!= col("doc_id") ||
+          col("first.chunk") =!= col("chunk"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_chunks"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q120Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, pos, term,
+      |         CASE WHEN ('0x' || substr(md5(term), 1, 6))::BIGINT % 8 = 0
+      |              THEN 1 ELSE 0 END AS cut
+      |  FROM toks),
+      |ch AS (
+      |  SELECT doc_id, pos, term,
+      |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM cuts),
+      |chunks AS (
+      |  SELECT doc_id, chunk,
+      |         md5(string_agg(term, ' ' ORDER BY pos)) AS chash
+      |  FROM ch GROUP BY 1, 2),
+      |owner AS (
+      |  SELECT chash, min(doc_id * 1000000 + chunk) AS first_key
+      |  FROM chunks GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN doc_id * 1000000 + chunk <> first_key
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       round(sum(CASE WHEN doc_id * 1000000 + chunk <> first_key
+      |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+      |FROM chunks JOIN owner USING (chash)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+
 }

@@ -878,4 +878,127 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |ORDER BY doc_id, track_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q117
+  /** REAL MP4 SAMPLE decode under the oracle — the step past q115's
+    * metadata walk: each document is rendered a genuine Motion-JPEG MP4
+    * ([[graft.multimodal.Mp4Codec.encodeMjpg]] — every `mdat` sample a
+    * standalone JPEG, located by a real stts/stsc/stsz/stco sample
+    * table with 2 samples per chunk so the stsc run expansion is
+    * exercised), and the production extractor
+    * ([[graft.multimodal.Multimodal.videoFrameGridsBatched]]'s MP4
+    * branch) expands the table to per-sample byte ranges, decodes each
+    * through the JDK JPEG decoder, and pools a 2×2 mean-luma grid.
+    * Frames are 16×16 with 8×8-BLOCK-ALIGNED constant-gray quadrants
+    * from table columns (q113's bit-exact-DCT trick), so the oracle can
+    * recompute the quadrant formula relationally — the hash only
+    * matches if the engine really expanded the sample table to the
+    * right byte ranges AND inverse-DCT'd the samples back to the source
+    * pixels. Scale shape: two narrow mapPartitions stages, blobs never
+    * cross a shuffle, only (doc, frame, 4-int) rows do. */
+  private[queries] def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Mp4Codec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 2 + (docId % 4).toInt // 2..5 frames: 1..3 chunks at spc=2
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val k = (y / 8) * 2 + (x / 8) // row-major 2×2 quadrant index
+              val v = (1L + ((docId + 3L) * (f + 2L) * (k + 5L)) % 250L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Multimodal.MediaRecord(docId,
+          Mp4Codec.encodeMjpg(frames, samplesPerChunk = 2), "video/mp4")
+      }).toDF()
+    Multimodal.videoFrameGridsBatched(spark, media, everyN = 1, g = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        element_at(col("grid"), 1).cast("int").as("q1"),
+        element_at(col("grid"), 2).cast("int").as("q2"),
+        element_at(col("grid"), 3).cast("int").as("q3"),
+        element_at(col("grid"), 4).cast("int").as("q4"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q117Sql =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(2 + doc_id % 4)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 2) * 5) % 250 AS INT) AS q1,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 2) * 6) % 250 AS INT) AS q2,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 2) * 7) % 250 AS INT) AS q3,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 2) * 8) % 250 AS INT) AS q4
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+
+  // ----------------------------------------------------------------- q121
+  /** REAL MP4 PCM sample decode under the oracle — q117's audio twin
+    * and q103's container variant: each document is rendered a genuine
+    * mono 8 kHz `twos` (big-endian 16-bit PCM) MP4
+    * ([[graft.multimodal.Mp4Codec.encodePcm16]] — UNIFORM stsz, the
+    * layout real PCM tracks use), sample values from the q103 cell
+    * formula, and the production audio path
+    * ([[graft.multimodal.Multimodal.extractAudioFeaturesBatched]] →
+    * PcmCodec's MP4 branch) expands the sample table, decodes each
+    * big-endian frame out of `mdat`, and derives zero-crossings + the
+    * 4-cell envelope. The oracle recomputes the formulas relationally —
+    * the hash only matches if the engine really read the PCM through
+    * the stsc×stsz×stco ranges. Scale shape: two narrow mapPartitions
+    * stages; blobs never cross a shuffle. */
+  private[queries] def q121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Mp4Codec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val ns = 64 + (nChars % 64).toInt
+        val p = 2 + (docId % 3).toInt
+        val s = new Array[Int](ns)
+        var k = 0
+        while (k < 4) {
+          // SAME cell bounds the envelope pool uses
+          val i0 = k * ns / 4; val i1 = (k + 1) * ns / 4
+          val a = (1L + ((docId + 2L) * (k + 4L)) % 1000L).toInt
+          var i = i0
+          while (i < i1) {
+            s(i) = if ((i / p) % 2 == 0) a else -a
+            i += 1
+          }
+          k += 1
+        }
+        Multimodal.MediaRecord(docId,
+          Mp4Codec.encodePcm16(s, sampleRate = 8000, samplesPerChunk = 25),
+          "audio/mp4")
+      }).toDF()
+    Multimodal.extractAudioFeaturesBatched(spark, media, cells = 4).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("zero_crossings"),
+        element_at(col("envelope"), 1).cast("double").as("env_0"),
+        element_at(col("envelope"), 2).cast("double").as("env_1"),
+        element_at(col("envelope"), 3).cast("double").as("env_2"),
+        element_at(col("envelope"), 4).cast("double").as("env_3"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q121Sql =
+    """SELECT doc_id, 8000 AS sample_rate,
+      |       CAST(64 + n_chars % 64 AS INT) AS n_samples,
+      |       (64 + n_chars % 64 - 1) // (2 + doc_id % 3) AS zero_crossings,
+      |       CAST(1 + ((doc_id + 2) * 4) % 1000 AS DOUBLE) AS env_0,
+      |       CAST(1 + ((doc_id + 2) * 5) % 1000 AS DOUBLE) AS env_1,
+      |       CAST(1 + ((doc_id + 2) * 6) % 1000 AS DOUBLE) AS env_2,
+      |       CAST(1 + ((doc_id + 2) * 7) % 1000 AS DOUBLE) AS env_3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+
 }

@@ -95,7 +95,12 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q113_mjpeg_video_decode", q113, Some(q113Sql)),
     Decl("q114_video_fps_resample", q114, Some(q114Sql)),
     Decl("q115_mp4_track_decode", q115, Some(q115Sql)),
-    Decl("q116_stream_media_ivf_ingest", q116, Some(q116Sql)))
+    Decl("q116_stream_media_ivf_ingest", q116, Some(q116Sql)),
+    Decl("q117_mp4_sample_decode", q117, Some(q117Sql)),
+    Decl("q118_dsir_importance", q118, Some(q118Sql)),
+    Decl("q119_filter_cascade_audit", q119, Some(q119Sql)),
+    Decl("q120_cdc_chunk_dedup", q120, Some(q120Sql)),
+    Decl("q121_mp4_pcm_decode", q121, Some(q121Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -260,4 +260,30 @@ class PropertySpec extends SparkSpecBase {
         }
     }, trials = 50)
   }
+
+  test("mp4 MJPEG sample table slices every frame back bit-exact for any " +
+    "frame count × chunking (stsc run expansion law)") {
+    import graft.multimodal.Mp4Codec
+    def gray(v: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(0, 0, 16, 16); g.dispose()
+      img
+    }
+    check(Prop.forAll(Gen.choose(1, 9), Gen.choose(1, 4),
+        Gen.choose(0, 255)) { (nf, spc, v0) =>
+      val vals = (0 until nf).map(f => (v0 + 29 * f) % 256)
+      val bytes = Mp4Codec.encodeMjpg(vals.map(gray), samplesPerChunk = spc)
+      val t = Mp4Codec.parse(0L, bytes).tracks.head
+      t.nSamples == nf && t.samples.size == nf &&
+        t.samples.zip(vals).forall { case ((off, sz), v) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            bytes, off.toInt, sz.toInt))
+          // quality-1.0 solid gray roundtrips bit-exact (AviCodecSpec pin)
+          img != null && (img.getRGB(7, 7) & 0xff) == v
+        }
+    }, trials = 40)
+  }
 }
