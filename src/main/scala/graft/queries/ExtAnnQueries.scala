@@ -810,4 +810,94 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ----------------------------------------------------------------- q123
+  /** Product-quantization ANN with asymmetric distance (PQ/ADC — Jégou,
+    * Douze, Schmid, TPAMI 2011): the 64-dim embedding splits into M=4
+    * subvectors of 16 dims, each subspace gets its own K=16 codebook
+    * (the frozen first-16-base convention of q54/q97 — production runs
+    * per-subspace k-means through the same `kmeansTrain` plumbing), and
+    * every corpus vector is ENCODED to 4 small codes: 64 floats → 4
+    * code bytes, the 64× compression that lets a 100 TB corpus's index
+    * live in RAM. A probe scores candidates asymmetrically — true probe
+    * vector vs the candidate's RECONSTRUCTION (its codebook centroids
+    * concatenated), which is exactly Σₘ ‖probe_m − c_m(code_m)‖²
+    * computed as one 64-dim fold.
+    *
+    * Scale shape: codebooks are plan-time literals (like q54's coarse
+    * quantizer), so ENCODING is a pure map-side pass — zero shuffle, no
+    * join, no codebook table anywhere; probes broadcast; the only
+    * corpus-sized movement is the top-k window on (probe, adc). Ties in
+    * both argmin (code assignment → lower code id) and ranking
+    * (→ lower vec_id) are pinned so the oracle is exact. */
+  private[queries] def q123(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4; val DSUB = 16; val K = 16
+    val base: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    def centLit(m: Int, k: Int): Column =
+      array(base(k).slice(m * DSUB, (m + 1) * DSUB).map(lit): _*)
+    def sub(e: Column, m: Int): Column = slice(e, m * DSUB + 1, DSUB)
+    // argmin over the subspace codebook: array_min on (dist, k) structs
+    // compares dist first, then k — ties go to the LOWER code id
+    def codeCol(m: Int): Column = array_min(array((0 until K).map(k =>
+      struct(VectorOps.l2Sq(sub(col("embedding"), m), centLit(m, k)).as("d"),
+        lit(k).as("k"))): _*)).getField("k")
+    def reconSub(m: Int): Column = (1 until K).foldLeft(centLit(m, 0)) {
+      (acc, k) => when(col(s"c$m") === k, centLit(m, k)).otherwise(acc)
+    }
+    val coded = Tables.spread(Tables.embeddings(spark, dir))
+      .select(Seq(col("vec_id")) ++
+        (0 until M).map(m => codeCol(m).as(s"c$m")): _*)
+      .withColumn("recon",
+        concat((0 until M).map(reconSub): _*))
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    coded.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q123Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
+      |sub AS (SELECT vec_id, m, v[m * 16 + 1 : (m + 1) * 16] AS sv
+      |        FROM e CROSS JOIN ms),
+      |c AS (SELECT vec_id AS c_id, m, sv AS cv FROM sub WHERE vec_id < 16),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, c.c_id AS code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY list_sum(list_transform(range(16),
+      |               i -> (sv[i + 1] - cv[i + 1]) ^ 2)) ASC, c.c_id ASC) AS arn
+      |    FROM sub s JOIN c ON c.m = s.m)
+      |  WHERE arn = 1),
+      |recon AS (
+      |  SELECT codes.vec_id, flatten(list(cv ORDER BY codes.m)) AS r
+      |  FROM codes JOIN c ON c.m = codes.m AND c.c_id = codes.code
+      |  GROUP BY codes.vec_id),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |adc AS (
+      |  SELECT p.probe_id, r.vec_id,
+      |         list_sum(list_transform(range(64),
+      |           i -> (p.pv[i + 1] - r.r[i + 1]) ^ 2)) AS adc
+      |  FROM recon r CROSS JOIN p
+      |  WHERE r.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY adc ASC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(adc, 4) AS adc_dist
+      |FROM adc
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
 }

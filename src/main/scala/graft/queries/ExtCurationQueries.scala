@@ -1184,16 +1184,17 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       .select(col("doc_id"), col("lang"),
         explode(TextOps.words(col("text"))).as("term"))
       .select(col("doc_id"), col("lang"), bucket(col("term")).as("b"))
-    val raw = tokens.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
-    val tgt = tokens.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    // raw + target counts in ONE aggregate pass (target is a filtered
+    // sum, not a second token explode + outer join)
+    val cnts = tokens.groupBy(col("b")).agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
     val whole = Window.partitionBy() // ≤64 rows: totals without a collect
-    val lr = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"),
-        (log((coalesce(col("cnt_t"), lit(0L)) + 1.0) /
-            (sum(coalesce(col("cnt_t"), lit(0L))).over(whole) + B)) -
-          log((col("cnt_r") + 1.0) /
-            (sum(col("cnt_r")).over(whole) + B))).as("lr"))
+    val lr = cnts.select(col("b"),
+      (log((col("cnt_t") + 1.0) /
+          (sum(col("cnt_t")).over(whole) + B)) -
+        log((col("cnt_r") + 1.0) /
+          (sum(col("cnt_r")).over(whole) + B))).as("lr"))
     tokens.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("w"))
@@ -1208,15 +1209,15 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 6))
       |           ::BIGINT % 64 AS b
       |  FROM documents),
-      |raw AS (SELECT b, count(*) AS cnt_r FROM tokens GROUP BY 1),
-      |tgt AS (SELECT b, count(*) AS cnt_t FROM tokens
-      |        WHERE lang = 'en' GROUP BY 1),
+      |cnts AS (
+      |  SELECT b, count(*) AS cnt_r,
+      |         count(*) FILTER (WHERE lang = 'en') AS cnt_t
+      |  FROM tokens GROUP BY 1),
       |lr AS (
-      |  SELECT raw.b,
-      |         ln((coalesce(cnt_t, 0) + 1.0)
-      |            / (sum(coalesce(cnt_t, 0)) OVER () + 64))
+      |  SELECT b,
+      |         ln((cnt_t + 1.0) / (sum(cnt_t) OVER () + 64))
       |         - ln((cnt_r + 1.0) / (sum(cnt_r) OVER () + 64)) AS lr
-      |  FROM raw LEFT JOIN tgt USING (b))
+      |  FROM cnts)
       |SELECT doc_id, count(*) AS n_tokens,
       |       round(sum(lr), 4) AS log_weight,
       |       sum(lr) > 0 AS selected
@@ -1302,6 +1303,96 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |FROM funnel
       |WHERE rule_idx <= 4
       |ORDER BY rule_idx""".stripMargin
+
+
+  // ----------------------------------------------------------------- q122
+  /** Bigram-LM quality scoring with Stupid Backoff (Brants et al.,
+    * EMNLP 2007, "Large Language Models in Machine Translation") — the
+    * step past q76's unigram surprisal and the shape of CCNet/KenLM
+    * perplexity filters: train the LM on a HELD 10% slice (doc_id % 10 = 0), score
+    * EVERY doc by mean log-score of its bigram transitions, where
+    * S(w₂|w₁) = cnt(w₁w₂)/cnt(w₁) when the bigram was seen, else
+    * 0.4 · (cnt(w₂)+1)/(N+V) (the paper's α=0.4 backoff into an add-1
+    * unigram, so unseen unigrams stay finite). Training on a strict
+    * subset makes the backoff path REAL: held-out docs contain unseen
+    * bigrams, and both engines must take the same branch per position.
+    *
+    * Scale shape: bigram formation is IN-ROW (a transform over the
+    * token array — no (doc,pos) self-join shuffle); the LM tables join
+    * back BROADCAST (production prunes to top-N n-grams exactly so this
+    * fits — the paper's own serving trick); corpus totals come from a
+    * window over the vocab-sized aggregate, never the corpus. Scoring
+    * 100 TB is a map-side pass + one per-doc aggregate. */
+  private[queries] def q122(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val w = TextOps.words(col("text"))
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    val held = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val uniCnt = held
+      .select(explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt_u"))
+    val tot = uniCnt.agg(sum(col("cnt_u")).as("n_total"),
+      count(lit(1)).as("vocab")) // one row: LM normalization constants
+    val bigCnt = held.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt_b"))
+    docs
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(bigCnt), Seq("bg"), "left")
+      .join(broadcast(uniCnt.select(col("term").as("w1"),
+        col("cnt_u").as("cnt_w1"))), Seq("w1"), "left")
+      .join(broadcast(uniCnt.select(col("term").as("w2"),
+        col("cnt_u").as("cnt_w2"))), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cnt_b").isNotNull && col("cnt_w1").isNotNull,
+          log(col("cnt_b").cast("double") / col("cnt_w1")))
+          .otherwise(log(lit(0.4) *
+            (coalesce(col("cnt_w2"), lit(0L)) + 1.0) /
+            (col("n_total") + col("vocab")))).as("lp"),
+        when(col("cnt_b").isNull || col("cnt_w1").isNull, 1L)
+          .otherwise(0L).as("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("backoff")).as("n_backoff"),
+        round(avg(col("lp")), 4).as("mean_logscore"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q122Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM d),
+      |held_uni AS (
+      |  SELECT term, count(*) AS cnt_u FROM (
+      |    SELECT unnest(w) AS term FROM d WHERE doc_id % 10 = 0)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(cnt_u) AS n_total, count(*) AS vocab FROM held_uni),
+      |held_big AS (
+      |  SELECT bg, count(*) AS cnt_b FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+      |pos AS (
+      |  SELECT b.doc_id,
+      |         CASE WHEN hb.cnt_b IS NOT NULL AND u1.cnt_u IS NOT NULL
+      |              THEN ln(hb.cnt_b * 1.0 / u1.cnt_u)
+      |              ELSE ln(0.4 * (coalesce(u2.cnt_u, 0) + 1.0)
+      |                      / (tot.n_total + tot.vocab)) END AS lp,
+      |         CASE WHEN hb.cnt_b IS NULL OR u1.cnt_u IS NULL
+      |              THEN 1 ELSE 0 END AS backoff
+      |  FROM bg b
+      |  LEFT JOIN held_big hb USING (bg)
+      |  LEFT JOIN held_uni u1 ON u1.term = string_split(b.bg, ' ')[1]
+      |  LEFT JOIN held_uni u2 ON u2.term = string_split(b.bg, ' ')[2]
+      |  CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+      |       round(avg(lp), 4) AS mean_logscore
+      |FROM pos GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
 
 }

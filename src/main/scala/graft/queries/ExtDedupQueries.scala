@@ -1006,27 +1006,39 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * content — an insertion reshapes the one chunk it lands in, not
     * every downstream block (the failure mode of q90's fixed 5-token
     * grid). Chunks dedup by first corpus occurrence (min (doc, pos)
-    * owner per chunk hash). Scale shape: chunking is an in-row
-    * transform (posexplode + a bounded window cumsum keyed by doc);
-    * only (doc, chunk-hash) pairs shuffle — 16-byte hashes, never
+    * owner per chunk hash). Scale shape: chunking is ONE in-row
+    * `aggregate` fold over the token array (a linear codegen'd pass -
+    * no posexplode of tokens, no per-doc window sort, no shuffle to
+    * FORM chunks); only (doc, chunk-hash) pairs shuffle — 16-byte hashes, never
     * chunk text — and the owner aggregate is one groupBy on that
     * hash. */
   private[queries] def q120(spark: SparkSession, dir: String): DataFrame = {
     val h6 = (t: Column) =>
       conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("long")
-    val toks = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"),
-        (pmod(h6(col("col")), lit(8)) === 0).cast("long").as("cut"))
-    // chunk index = boundaries strictly BEFORE this token (cut ends a chunk)
-    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
-      .withColumn("chunk", coalesce(sum(col("cut")).over(before), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk"))
-      .agg(md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("term")))),
-          s => s.getField("term"))).cast("binary")).as("chash"))
+    val isCut = (t: Column) => pmod(h6(t), lit(8)) === 0
+    // ONE left-to-right in-row fold forms the chunks: append the running
+    // chunk when its last token is a cut token, flush the unterminated
+    // tail in the finisher. Linear, codegen'd, zero shuffle to chunk.
+    val emptyAcc = struct(
+      array().cast("array<string>").as("done"), lit("").as("cur"))
+    val chunkArr = aggregate(
+      TextOps.words(col("text")),
+      emptyAcc,
+      (acc, t) => {
+        val joined = when(acc.getField("cur") === "", t)
+          .otherwise(concat(acc.getField("cur"), lit(" "), t))
+        when(isCut(t),
+          struct(array_append(acc.getField("done"), joined).as("done"),
+            lit("").as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"),
+            joined.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
+    val chunks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(chunkArr))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk"),
+        md5(col("col").cast("binary")).as("chash"))
     val owner = chunks.groupBy(col("chash"))
       .agg(min(struct(col("doc_id"), col("chunk"))).as("first"))
     chunks.join(owner, Seq("chash"))

@@ -100,7 +100,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q118_dsir_importance", q118, Some(q118Sql)),
     Decl("q119_filter_cascade_audit", q119, Some(q119Sql)),
     Decl("q120_cdc_chunk_dedup", q120, Some(q120Sql)),
-    Decl("q121_mp4_pcm_decode", q121, Some(q121Sql)))
+    Decl("q121_mp4_pcm_decode", q121, Some(q121Sql)),
+    Decl("q122_bigram_lm_backoff", q122, Some(q122Sql)),
+    Decl("q123_pq_adc_ann", q123, Some(q123Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
