@@ -829,28 +829,45 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * corpus-sized movement is the top-k window on (probe, adc). Ties in
     * both argmin (code assignment → lower code id) and ranking
     * (→ lower vec_id) are pinned so the oracle is exact. */
-  private[queries] def q123(spark: SparkSession, dir: String): DataFrame = {
-    val M = 4; val DSUB = 16; val K = 16
-    val base: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < K).orderBy(col("vec_id"))
+  /** The frozen PQ codebooks of q123/q124/q125: 4 subspaces × 16
+    * centroids, each centroid the matching 16-dim slice of one of the
+    * first 16 base vectors (the q54/q97 frozen-quantizer convention —
+    * production trains per-subspace k-means through q88's plumbing). */
+  private[queries] def pqBase(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 16).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** PQ-encode the corpus map-side: (vec_id, c0..c3, recon[, cell]).
+    * Codebooks ride the plan as literals — no join, no shuffle; `recon`
+    * is the candidate-side reconstruction ADC scores against. Argmin
+    * ties go to the LOWER code id (array_min on (dist, k) structs
+    * compares dist first, then k). */
+  private[queries] def pqCoded(spark: SparkSession, dir: String,
+      base: Seq[Seq[Float]], withCell: Boolean = false): DataFrame = {
+    val M = 4; val DSUB = 16; val K = 16
     def centLit(m: Int, k: Int): Column =
       array(base(k).slice(m * DSUB, (m + 1) * DSUB).map(lit): _*)
     def sub(e: Column, m: Int): Column = slice(e, m * DSUB + 1, DSUB)
-    // argmin over the subspace codebook: array_min on (dist, k) structs
-    // compares dist first, then k — ties go to the LOWER code id
     def codeCol(m: Int): Column = array_min(array((0 until K).map(k =>
       struct(VectorOps.l2Sq(sub(col("embedding"), m), centLit(m, k)).as("d"),
         lit(k).as("k"))): _*)).getField("k")
     def reconSub(m: Int): Column = (1 until K).foldLeft(centLit(m, 0)) {
       (acc, k) => when(col(s"c$m") === k, centLit(m, k)).otherwise(acc)
     }
-    val coded = Tables.spread(Tables.embeddings(spark, dir))
-      .select(Seq(col("vec_id")) ++
-        (0 until M).map(m => codeCol(m).as(s"c$m")): _*)
-      .withColumn("recon",
-        concat((0 until M).map(reconSub): _*))
+    val cols = Seq(col("vec_id")) ++
+      (0 until M).map(m => codeCol(m).as(s"c$m")) ++
+      (if (withCell)
+        Seq(graft.ops.IvfIndex.cellOf(spark, col("embedding"), base).as("cell"))
+      else Nil)
+    Tables.spread(Tables.embeddings(spark, dir)).select(cols: _*)
+      .withColumn("recon", concat((0 until M).map(reconSub): _*))
+  }
+
+  private[queries] def q123(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val coded = pqCoded(spark, dir, pqBase(spark, dir))
     val probes = Tables.embeddings(spark, dir)
       .where(col("vec_id") >= K && col("vec_id") < K + 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
@@ -865,8 +882,13 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         round(col("adc"), 4).as("adc_dist"))
       .orderBy(col("probe_id"), col("rn"))
   }
-  private[queries] val q123Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle CTE prefix of the PQ family (q123/q124/q125): the
+    * sub-vector split, codebooks, per-(vec, subspace) code assignment
+    * (same argmin tie rule as `pqCoded`), reconstruction, and the probe
+    * set. Lazy: referenced by vals that may initialize before this
+    * trait's fields (the q112 lesson). */
+  private[queries] lazy val pqCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
       |sub AS (SELECT vec_id, m, v[m * 16 + 1 : (m + 1) * 16] AS sv
       |        FROM e CROSS JOIN ms),
@@ -884,7 +906,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |  FROM codes JOIN c ON c.m = codes.m AND c.c_id = codes.code
       |  GROUP BY codes.vec_id),
       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
-      |      WHERE vec_id >= 16 AND vec_id < 21),
+      |      WHERE vec_id >= 16 AND vec_id < 21)""".stripMargin
+
+  private[queries] lazy val q123Sql =
+    s"""WITH $pqCtes,
       |adc AS (
       |  SELECT p.probe_id, r.vec_id,
       |         list_sum(list_transform(range(64),
@@ -897,6 +922,218 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |       vec_id AS neighbor_id, round(adc, 4) AS adc_dist
       |FROM adc
       |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ----------------------------------------------------------------- q124
+  /** IVF + PQ combined (IVFADC without residual encoding — the
+    * `by_residual = false` spelling of Jégou et al.'s IVFADC, i.e. a
+    * FAISS `IndexIVFPQ` shape): q54's coarse quantizer prunes the
+    * candidate set to the probe's nprobe=2 cells, and PQ's asymmetric
+    * distance ranks the survivors — the index that makes BOTH the scan
+    * (cell pruning) and the per-candidate cost (4 code bytes + a
+    * table-free reconstruction distance) sublinear. One corpus pass
+    * computes cell AND codes map-side off the same literals; the only
+    * corpus-sized movement stays the top-k window. */
+  private[queries] def q124(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val base = pqBase(spark, dir)
+    val coded = pqCoded(spark, dir, base, withCell = true)
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        graft.ops.IvfIndex.topCellsOf(spark, col("embedding"), base, NPROBE)
+          .as("pcells"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    coded.crossJoin(broadcast(probes))
+      .where(array_contains(col("pcells"), col("cell")) &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] lazy val q124Sql =
+    s"""WITH $pqCtes,
+      |fc AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM fc ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |pcells AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS crn
+      |  FROM p CROSS JOIN fc),
+      |adc AS (
+      |  SELECT p.probe_id, r.vec_id,
+      |         list_sum(list_transform(range(64),
+      |           i -> (p.pv[i + 1] - r.r[i + 1]) ^ 2)) AS adc
+      |  FROM p JOIN pcells ON pcells.probe_id = p.probe_id AND pcells.crn <= 2
+      |       JOIN asg a ON a.cell = pcells.c_id
+      |       JOIN recon r ON r.vec_id = a.vec_id
+      |  WHERE r.vec_id <> p.probe_id)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY adc ASC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(adc, 4) AS adc_dist
+      |FROM adc
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
+
+
+  // ----------------------------------------------------------------- q125
+  /** The two-stage PQ search frames shared by q125/q126: the ADC
+    * shortlist (top-`sl` per probe by reconstruction distance — the
+    * cheap pass that reads 4 code bytes per candidate) and its exact
+    * re-rank (the refine step every production PQ deployment runs:
+    * shortlist ids broadcast back against the corpus scan to fetch
+    * full-precision vectors, exact L2 top-3). */
+  private[queries] def pqRerank(spark: SparkSession, dir: String,
+      sl: Int): (DataFrame, DataFrame) = {
+    val K = 16
+    val coded = pqCoded(spark, dir, pqBase(spark, dir))
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortl = coded.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
+      .withColumn("srn", row_number().over(wAdc)).where(col("srn") <= sl)
+      .select(col("probe_id"), col("vec_id"))
+    val wL2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val rer = Tables.spread(Tables.embeddings(spark, dir))
+      .join(broadcast(shortl), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("d2", VectorOps.l2Sq(col("probe"), col("embedding")))
+      .withColumn("rn", row_number().over(wL2)).where(col("rn") <= 3)
+    (shortl, rer)
+  }
+
+  /** PQ recall + quantization-collapse audit — q87's calibration-audit
+    * contract for the PQ path: per probe, (a) raw ADC top-3 and (b) the
+    * production shortlist-50 + exact-re-rank top-3 (q126's operator),
+    * each vs exact full-precision L2 top-3 ground truth → two declared
+    * recalls, plus the shortlist's scan fraction and the number of
+    * DISTINCT code words the corpus uses (a collapsed codebook — few
+    * distinct codes — is the classic silent PQ failure). On this
+    * synthetic corpus the numbers honestly expose PQ's limit on
+    * near-random vectors (distance concentration): raw ADC recall ~0,
+    * re-rank recovers a chunk of it at a declared scan cost — exactly
+    * the trust-the-sketch-on-YOUR-distribution report the audit family
+    * exists to produce (q84/q108's charter). */
+  private[queries] def q125(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val coded = pqCoded(spark, dir, pqBase(spark, dir))
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val pq = coded.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
+      .withColumn("rn", row_number().over(wAdc)).where(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"))
+    val (shortl, rerFull) = pqRerank(spark, dir, sl = 50)
+    val rer = rerFull.select(col("probe_id"), col("vec_id"))
+    val wL2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val bf = Tables.spread(Tables.embeddings(spark, dir))
+      .crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", VectorOps.l2Sq(col("probe"), col("embedding")))
+      .withColumn("rn", row_number().over(wL2)).where(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"))
+    val out = pq.join(bf, Seq("probe_id", "vec_id"))
+      .agg(count(lit(1)).as("h"))
+      .crossJoin(rer.join(bf, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("h2")))
+      .crossJoin(shortl.agg(count(lit(1)).as("nsl")))
+      .crossJoin(coded.agg(countDistinct(
+        col("c0"), col("c1"), col("c2"), col("c3")).as("n_codes"),
+        count(lit(1)).as("ne")))
+      .select(lit(5).as("n_probes"),
+        round(col("h") / 15.0, 4).as("adc_recall_at_3"),
+        round(col("h2") / 15.0, 4).as("rerank_recall_at_3"),
+        round(col("nsl") / (lit(5.0) * col("ne")), 4).as("rerank_scan_frac"),
+        col("n_codes").as("n_distinct_codes"))
+    Caches.localize(out, maxRows = 1)
+      .getOrElse(sys.error("q125 audit must be one row"))
+  }
+  /** Shared two-stage CTEs (the shortlist + re-rank of q125/q126). */
+  private[queries] lazy val pqRerankCtes: String =
+    """adc AS (
+      |  SELECT p.probe_id, r.vec_id,
+      |         list_sum(list_transform(range(64),
+      |           i -> (p.pv[i + 1] - r.r[i + 1]) ^ 2)) AS adc
+      |  FROM recon r CROSS JOIN p
+      |  WHERE r.vec_id <> p.probe_id),
+      |shortl AS (SELECT probe_id, vec_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY adc ASC, vec_id) <= 50),
+      |rerc AS (
+      |  SELECT s.probe_id, s.vec_id,
+      |         list_sum(list_transform(range(64),
+      |           i -> (p.pv[i + 1] - e.v[i + 1]) ^ 2)) AS d2
+      |  FROM shortl s JOIN e USING (vec_id) JOIN p USING (probe_id)),
+      |rer AS (SELECT probe_id, vec_id, d2,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY d2 ASC, vec_id) AS rn
+      |  FROM rerc QUALIFY rn <= 3)""".stripMargin
+
+  private[queries] lazy val q125Sql =
+    s"""WITH $pqCtes,
+      |$pqRerankCtes,
+      |pq AS (SELECT probe_id, vec_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY adc ASC, vec_id) <= 3),
+      |bfc AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |         list_sum(list_transform(range(64),
+      |           i -> (p.pv[i + 1] - e.v[i + 1]) ^ 2)) AS d2
+      |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+      |bf AS (SELECT probe_id, vec_id FROM bfc
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY d2 ASC, vec_id) <= 3),
+      |cw AS (SELECT count(DISTINCT l) AS n_codes FROM (
+      |  SELECT vec_id, list(code ORDER BY m) AS l FROM codes GROUP BY vec_id))
+      |SELECT 5 AS n_probes,
+      |  round((SELECT count(*) FROM pq JOIN bf USING (probe_id, vec_id)) / 15.0, 4)
+      |    AS adc_recall_at_3,
+      |  round((SELECT count(*) FROM rer JOIN bf USING (probe_id, vec_id)) / 15.0, 4)
+      |    AS rerank_recall_at_3,
+      |  round((SELECT count(*) FROM shortl) /
+      |        (5.0 * (SELECT count(*) FROM e)), 4) AS rerank_scan_frac,
+      |  (SELECT n_codes FROM cw) AS n_distinct_codes""".stripMargin
+
+
+  // ----------------------------------------------------------------- q126
+  /** PQ shortlist + exact re-rank — the operator production PQ systems
+    * actually serve (FAISS refine / two-stage retrieval): the ADC pass
+    * scans 4 CODE BYTES per candidate to shortlist 50, then ONLY the
+    * shortlist's full-precision vectors are fetched (ids broadcast back
+    * against the corpus scan — a semi-join fetch, never a full-corpus
+    * second pass) and exact L2 re-ranks the top-3. Compression does the
+    * heavy scan, full precision does the final ordering; the shortlist
+    * size is the declared recall/cost dial q125 audits. */
+  private[queries] def q126(spark: SparkSession, dir: String): DataFrame = {
+    val (_, rer) = pqRerank(spark, dir, sl = 50)
+    rer.select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("d2"), 4).as("l2_dist"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] lazy val q126Sql =
+    s"""WITH $pqCtes,
+      |$pqRerankCtes
+      |SELECT probe_id, rn, vec_id AS neighbor_id, round(d2, 4) AS l2_dist
+      |FROM rer
       |ORDER BY probe_id, rn""".stripMargin
 
 

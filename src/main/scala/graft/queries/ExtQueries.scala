@@ -102,7 +102,10 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q120_cdc_chunk_dedup", q120, Some(q120Sql)),
     Decl("q121_mp4_pcm_decode", q121, Some(q121Sql)),
     Decl("q122_bigram_lm_backoff", q122, Some(q122Sql)),
-    Decl("q123_pq_adc_ann", q123, Some(q123Sql)))
+    Decl("q123_pq_adc_ann", q123, Some(q123Sql)),
+    Decl("q124_ivfpq_ann", q124, Some(q124Sql)),
+    Decl("q125_pq_recall_audit", q125, Some(q125Sql)),
+    Decl("q126_pq_rerank_ann", q126, Some(q126Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -77,7 +77,8 @@ class PlanHealthSpec extends SparkSpecBase {
       "q74_mixture_sampling", "q93_bpe_apply_merge",
       "q97_ann_ivf_incremental", "q98_temperature_upsampling",
       "q99_media_embed_ann", "q111_video_frame_embed_ann",
-      "q122_bigram_lm_backoff", "q123_pq_adc_ann")
+      "q122_bigram_lm_backoff", "q123_pq_adc_ann", "q124_ivfpq_ann",
+      "q125_pq_recall_audit", "q126_pq_rerank_ann")
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
