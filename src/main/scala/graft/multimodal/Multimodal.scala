@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque BINARY columns
@@ -123,17 +123,28 @@ object Multimodal {
       * division) makes the values bit-reproducible by a relational
       * oracle — a float-normalization pass would smear ~1e-7 noise over
       * every component for no semantic gain. */
-    def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Float] = {
+    def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Float] =
+      lumaGridWH(img, g, g)
+
+    /** Rectangular variant of [[lumaGrid]] — `gw` columns × `gh` rows,
+      * row-major `out(i*gw + j)`. The non-square shape exists for
+      * perceptual hashes whose bit layout is asymmetric by construction
+      * (dHash compares horizontally adjacent cells, so it pools one more
+      * column than rows — 9×8 for a 63/64-bit hash). Same exact integer
+      * pixel statistics as [[lumaGrid]]: floor cell bounds, per-pixel
+      * integer luma, one final division — bit-reproducible by a
+      * relational oracle. */
+    def lumaGridWH(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
       val w = img.getWidth; val h = img.getHeight
-      require(w >= g && h >= g,
-        s"image ${w}x$h smaller than the ${g}x$g pooling grid")
-      val out = new Array[Float](g * g)
+      require(w >= gw && h >= gh,
+        s"image ${w}x$h smaller than the ${gw}x$gh pooling grid")
+      val out = new Array[Float](gw * gh)
       var i = 0
-      while (i < g) {
-        val y0 = i * h / g; val y1 = (i + 1) * h / g
+      while (i < gh) {
+        val y0 = i * h / gh; val y1 = (i + 1) * h / gh
         var j = 0
-        while (j < g) {
-          val x0 = j * w / g; val x1 = (j + 1) * w / g
+        while (j < gw) {
+          val x0 = j * w / gw; val x1 = (j + 1) * w / gw
           var sum = 0L
           var y = y0
           while (y < y1) {
@@ -146,7 +157,7 @@ object Multimodal {
             }
             y += 1
           }
-          out(i * g + j) = sum.toFloat / ((y1 - y0) * (x1 - x0))
+          out(i * gw + j) = sum.toFloat / ((y1 - y0) * (x1 - x0))
           j += 1
         }
         i += 1
@@ -606,6 +617,31 @@ object Multimodal {
     }
   }
 
+  /** Batched REAL still-image pooling onto a RECTANGULAR `gw`×`gh`
+    * mean-luma grid ([[ImageIoCodec.lumaGridWH]]) — the decode stage of
+    * the perceptual-hash pipeline (graft.ops.MediaFingerprint.dhash63
+    * consumes the row-major grid). Kept separate from
+    * [[extractFeaturesBatched]] because perceptual hashes need the
+    * asymmetric grid shape, not a square embedding. Same batched
+    * mapPartitions shape as [[decodeBatched]]: blobs never cross a
+    * shuffle; only (doc, gw·gh floats) rows do. */
+  def imageGridsBatched(spark: SparkSession, media: DataFrame,
+      gw: Int, gh: Int, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(ImageIoCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: imageGridsBatched expects a still-image " +
+            s"mime, got ${r.mime}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null,
+          s"doc ${r.doc_id}: payload is not a decodable ${r.mime}")
+        MediaFeatures(r.doc_id, ImageIoCodec.lumaGridWH(img, gw, gh))
+      })
+    }
+  }
+
   /** One stream's parsed `strh`+`strf` facts as a row — [[AviCodec]]'s
     * per-stream output schema. `width`/`height` are 0 for audio streams,
     * `rate` is the fps numerator for video and the sample rate for
@@ -720,6 +756,27 @@ object Multimodal {
         }
       })
     }
+  }
+
+  /** Scene-change (shot-boundary) detection over a decoded per-frame
+    * luma stream: a frame is a CUT when its mean luma jumps by at least
+    * `threshold` versus the previous frame of the same video. Input is
+    * any (doc_id, frame_idx, <luma scalar>) frame table — e.g.
+    * [[videoFrameGridsBatched]] with g=1 — so the detector composes
+    * with every container path (AVI, MJPEG, MP4) the codecs decode.
+    * Pure declarative window: one shuffle on doc_id (frames of one
+    * video co-locate; 1000-executor safe — no global ordering), lag(1)
+    * inside the partition, a filter. Returns the cut frames with both
+    * lumas so callers can split scenes or score cut confidence. */
+  def sceneCuts(frames: DataFrame, luma: Column, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("luma", luma.cast("double"))
+      .withColumn("prev_luma", lag(col("luma"), 1).over(w))
+      .where(col("prev_luma").isNotNull &&
+        abs(col("luma") - col("prev_luma")) >= threshold)
+      .select(col("doc_id"), col("frame_idx"), col("prev_luma"), col("luma"))
   }
 
   /** Frame sampling plan for video-ish payloads: every `everyN`-th frame

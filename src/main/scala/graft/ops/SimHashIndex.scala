@@ -71,16 +71,25 @@ object SimHashIndex {
     pmod(xxhash64(col("band"), col("key")), lit(cfg.indexPartitions)).cast("int")
 
   /** (doc_id, sh, band, key) — `bands` rows per doc, all map-side: the
-    * fingerprint is in-row, the band keys are shifts of it. */
+    * fingerprint is in-row, the band keys are shifts of it. The index
+    * machinery is FINGERPRINT-AGNOSTIC: any 63-bit comparative hash
+    * rides the same band layout — `hashCol = Some(c)` takes the
+    * precomputed fingerprint from column `c` (e.g. an image dHash from
+    * MediaFingerprint.dhash63 after a media decode stage) instead of
+    * fingerprinting `text` in-row. */
   private def bandRows(docs: DataFrame, cfg: Config,
-      id: String, text: String): DataFrame = {
+      id: String, text: String, hashCol: Option[String] = None): DataFrame = {
     val bandArr = array((0 until cfg.bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), cfg.bandBits * b)
           .bitwiseAND(lit((1L << cfg.bandBits) - 1)).as("key"))): _*)
+    val fp = hashCol match {
+      case Some(c) => col(c).cast("bigint")
+      case None =>
+        TextOps.simhash63InRow(array_distinct(TextOps.words(col(text))))
+    }
     graft.sources.Tables.spread(docs)
-      .select(col(id).as("doc_id"),
-        TextOps.simhash63InRow(array_distinct(TextOps.words(col(text)))).as("sh"))
+      .select(col(id).as("doc_id"), fp.as("sh"))
       .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -88,9 +97,10 @@ object SimHashIndex {
 
   /** Build the index at `path` from a base corpus. */
   def build(docs: DataFrame, path: String, cfg: Config = Config(),
-      id: String = "doc_id", text: String = "text"): Unit = {
+      id: String = "doc_id", text: String = "text",
+      hashCol: Option[String] = None): Unit = {
     GenTable.writePartitioned(
-      bandRows(docs, cfg, id, text).withColumn("__part", bandPk(cfg)),
+      bandRows(docs, cfg, id, text, hashCol).withColumn("__part", bandPk(cfg)),
       bandsPath(path), cfg.bandFiles, "overwrite", "base",
       col("band"), col("key"))
     writeMeta(docs.sparkSession, path, cfg)
@@ -103,9 +113,10 @@ object SimHashIndex {
     * verified new pairs (doc_a, doc_b, hamming), localized. */
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id", text: String = "text",
-      batchId: Option[Long] = None): DataFrame = IndexLock.withWriter(path) {
+      batchId: Option[Long] = None,
+      hashCol: Option[String] = None): DataFrame = IndexLock.withWriter(path) {
     val layout = adoptMeta(spark, path, cfg)
-    val newBands = bandRows(newDocs, layout, id, text).persist()
+    val newBands = bandRows(newDocs, layout, id, text, hashCol).persist()
     try {
       val gen = batchId.map(b => s"b$b")
       // file-level pruning: the batch's distinct pk values (≤

@@ -1395,4 +1395,125 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q130
+  /** BM25 top-k retrieval — the ranked-search operator a training
+    * pipeline runs for decontamination forensics, RAG-corpus curation
+    * and eval-set mining (TF-IDF ranks terms per doc, q38; THIS ranks
+    * docs per query): Okapi BM25 (k1=1.2, b=0.75) of 4 two-term
+    * queries derived deterministically from the corpus itself (the 8
+    * highest-df terms, paired by rank), scored over the full corpus
+    * and cut to the top 10 docs per query. Plan shape for 100 TB: the
+    * doc length rides INTO the term-frequency aggregation (max(dl)
+    * per (doc,term) group — no second corpus join), document
+    * frequency and the query set reduce to ≤vocab-size aggregates of
+    * which only 8 rows and one (N, avgdl) scalar row survive — both
+    * broadcast — so the corpus-sized side shuffles exactly twice
+    * (tokenize→tf, then the per-query partial top-k); ranking is a
+    * per-query window AFTER the groupBy collapses to (query, doc)
+    * rows. Summation per (query,doc) is ≤2 addends, so double
+    * determinism holds without ordering tricks (IEEE addition is
+    * commutative). */
+  private[queries] def q130(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val tokens = docs.select(col("doc_id"),
+      size(TextOps.words(col("text"))).as("dl"),
+      explode(TextOps.words(col("text"))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // Document frequency FROM the tf table (one row per (doc, term)
+    // already) — no second corpus tokenize + distinct shuffle; Catalyst
+    // reuses tf's exchange for both consumers.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = df.orderBy(col("df").desc, col("term")).limit(8)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .select(((col("r") - 1) / 2).cast("bigint").as("query_id"),
+        col("term"), col("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(TextOps.words(col("text")))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * tfn)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("bm25"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+  private[queries] val q130Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY 1),
+      |qt AS (SELECT (row_number() OVER (ORDER BY df DESC, term) - 1) // 2
+      |                 AS query_id, term, df
+      |       FROM df ORDER BY df DESC, term LIMIT 8),
+      |stats AS (SELECT count(*) AS n,
+      |                 avg(len(string_split(text, ' '))) AS avgdl
+      |          FROM documents),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((stats.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         ((tf.tf * 2.2) /
+      |          (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
+      |  FROM tf JOIN qt ON tf.term = qt.term CROSS JOIN stats),
+      |agg AS (SELECT query_id, doc_id, sum(s) AS score
+      |        FROM scored GROUP BY 1, 2)
+      |SELECT query_id, doc_id, round(score, 4) AS bm25,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY score DESC, doc_id) AS rn
+      |FROM agg
+      |QUALIFY rn <= 10
+      |ORDER BY query_id, rn""".stripMargin
+
+
+  // ----------------------------------------------------------------- q131
+  /** Unicode NFC normalization under the oracle — the canonical-
+    * equivalence pass every multilingual corpus needs before dedup and
+    * tokenization (decomposed e+U+0301 and precomposed é must produce
+    * one dedup key, or accented duplicates survive): each document's
+    * text is augmented with DECOMPOSED sequences (e + combining acute,
+    * A + combining ring above), pushed through the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no
+    * normalization built-in — this is the (b)-tier custom Expression,
+    * whole-stage-codegen'd with an ASCII fast path that skips the
+    * String round-trip on the ~all-ASCII hot path), and keyed by md5
+    * of the composed bytes. The oracle runs DuckDB's independent
+    * `nfc_normalize` implementation over the same construction — two
+    * unrelated normalizers agreeing on code-point counts AND exact
+    * UTF-8 digest is the correctness contract. Map-only: no shuffle
+    * but the final presentation sort. */
+  private[queries] def q131(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(substring(col("text"), 1, 16),
+      lit(" caf"), lit("e\u0301"), lit(" "), lit("A\u030A"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        length(col("aug")).as("raw_len"),
+        length(graft.functions.NfcNormalize.nfc(spark, col("aug"))).as("norm_len"),
+        md5(graft.functions.NfcNormalize.nfc(spark, col("aug")).cast("binary"))
+          .as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q131Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         substr(text, 1, 16) || ' caf' || chr(101) || chr(769) ||
+      |         ' ' || chr(65) || chr(778) AS aug
+      |  FROM documents)
+      |SELECT doc_id, length(aug) AS raw_len,
+      |       length(nfc_normalize(aug)) AS norm_len,
+      |       md5(nfc_normalize(aug)) AS norm_md5
+      |FROM a ORDER BY doc_id""".stripMargin
 }

@@ -1001,4 +1001,342 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |FROM documents ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q127
+  /** IMAGE perceptual near-dup under the oracle — dHash + banded
+    * Hamming, the pixel-side twin of the SimHash text path (q107):
+    * each document is rendered a genuine PNG of 9×8 constant-gray 2×2
+    * cells whose BASE pattern derives from a content key
+    * (`doc_id % 101` — ~5 visual duplicates per key at sf0.01) and
+    * whose per-doc GLOBAL brightness offset (`doc_id % 20`) is exactly
+    * the perturbation dHash is built to ignore: every bit is an
+    * adjacent-cell `>`, so a uniform offset flips nothing and
+    * brightness-shifted copies still collide. The production path is
+    * decode → [[graft.multimodal.Multimodal.imageGridsBatched]] (9×8
+    * mean-luma pool of the REAL pixels) →
+    * [[graft.ops.MediaFingerprint.dhash63]] → the same 4×16-bit band
+    * bucketing / hot-bucket cap / popcount-of-XOR verify machinery as
+    * q107 (pigeonhole: Hamming ≤ 3 shares a band). Everything after
+    * the decode is integer-exact (gray luma `(299+587+114)v/1000 = v`,
+    * constant 2×2 pool), so the oracle recomputes the hash from the
+    * cell formulas relationally — it can only match if the engine
+    * actually decoded the pixels. Scale shape: blobs never shuffle;
+    * the self-join shuffles 4 small band rows per image, capped
+    * buckets bound the candidate set, verify is two BIGINTs. */
+  /** The dHash fixture family's image synth (q127/q132): a genuine PNG
+    * of 9×8 constant-gray 2×2 cells — base pattern from content key
+    * `doc_id % 101`, plus the global brightness offset `doc_id % 20`
+    * that dHash is built to ignore. */
+  private[queries] def dhashPngMedia(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val ck = docId % 101; val o = (docId % 20).toInt
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 9) {
+            val v = (20 + ((ck + 1) * (i * 9 + j + 3)) % 200).toInt + o
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                img.setRGB(j * 2 + dx, i * 2 + dy, (v << 16) | (v << 8) | v)
+                dx += 1
+              }
+              dy += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        graft.multimodal.Multimodal.MediaRecord(docId, out.toByteArray, "image/png")
+      }).toDF()
+  }
+
+  /** decode → 9×8 luma pool → 63-bit dHash, the production fingerprint
+    * stage both q127 (batch) and q132 (per micro-batch) run. */
+  private[queries] def dhashFingerprints(spark: SparkSession, ids: DataFrame): DataFrame =
+    graft.multimodal.Multimodal
+      .imageGridsBatched(spark, dhashPngMedia(spark, ids), gw = 9, gh = 8)
+      .toDF()
+      .select(col("doc_id"),
+        graft.ops.MediaFingerprint.dhash63(col("features"), gw = 9, gh = 8).as("sh"))
+
+  private[queries] def q127(spark: SparkSession, dir: String): DataFrame = {
+    // Fingerprint ONCE and persist: the (doc_id, 8-byte hash) frame is
+    // minuscule next to the decode that produced it, and the band
+    // self-join + cap would otherwise re-run the PNG encode+decode per
+    // consumer (cap count, pair side a, pair side b = 3× codec work).
+    // At 100 TB this frame is a table you'd materialize anyway.
+    val h = dhashFingerprints(spark,
+        Tables.spread(Tables.documents(spark, dir)).select(col("doc_id")))
+      .persist()
+    try {
+      val bandArr = array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), 16 * b).bitwiseAND(lit(65535L)).as("key"))): _*)
+      val bands = h
+        .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val kept = TextOps.capHotBuckets(
+        bands, Seq("band", "key"), TextOps.DefaultMaxBucket, "dhash_hot_buckets")
+      val a = kept.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("sh").as("ha"))
+      val b = kept.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("sh").as("hb"))
+      val pairs = a.join(b, Seq("band", "key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .where(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+      // Localized so the returned plan does not outlive the unpersist
+      // (bounded: caps keep the pair set ≪ maxRows at declared SFs).
+      Caches.localize(pairs, maxRows = 1 << 20)
+        .getOrElse(sys.error("q127 pair set exceeded the localize bound"))
+    } finally h.unpersist()
+  }
+  /** The 63-bit dHash as one DuckDB expression straight off the cell
+    * formulas (the brightness offset cancels out of every strict
+    * comparison, exactly as it does in the decoded pixels). */
+  private[queries] lazy val dhashBitsSql: String = (0 until 63).map { k =>
+    val m1 = (k / 8) * 9 + (k % 8); val m2 = m1 + 1
+    s"CASE WHEN ((doc_id % 101 + 1) * ($m1 + 3)) % 200 > ((doc_id % 101 + 1) * ($m2 + 3)) % 200 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+  private[queries] lazy val q127Sql =
+    s"""WITH h AS (SELECT doc_id, CAST($dhashBitsSql AS BIGINT) AS sh FROM documents),
+       |bands AS (SELECT doc_id, sh, b, (sh >> (16 * b)) & 65535 AS v
+       |          FROM h, unnest(range(4)) AS t(b)),
+       |bsz AS (SELECT b, v FROM bands GROUP BY b, v
+       |        HAVING count(*) <= ${TextOps.DefaultMaxBucket}),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (b, v)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
+       |                b.doc_id AS doc_b, b.sh AS hb
+       |         FROM kept a JOIN kept b
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+
+  // ----------------------------------------------------------------- q128
+  /** AUDIO perceptual dedup under the oracle — loudness-contour
+    * fingerprints, the PCM-side member of the fingerprint family: each
+    * document is rendered a genuine mono 8 kHz WAVE whose 8 envelope
+    * cells carry constant amplitude `a_k = 1 + ((ck+1)·131·(k+3)) % 1000`
+    * (the ·131 forces the modulus to wrap, so contours differ across
+    * keys — 23 distinct shapes over the 29 keys)
+    * from a content key (`ck = doc_id % 29`) MULTIPLIED by a per-doc
+    * volume gain (`1 + doc_id % 5`) — the perturbation the contour
+    * hash is built to ignore: every bit is an adjacent-cell `>`, and a
+    * positive gain scales all cells equally, so re-mastered copies of
+    * the same recording still collide. Production path: REAL PCM
+    * decode ([[graft.multimodal.Multimodal.extractAudioFeaturesBatched]]
+    * → PcmCodec.envelopeGrid, integer-exact means) →
+    * [[graft.ops.MediaFingerprint.contourBits]] → one window over the
+    * fingerprint for canonical/group-size. The oracle replays the
+    * formulas; the hash only matches if the engine decoded the true
+    * sample values. Scale shape: blobs never shuffle; one shuffle on
+    * the 7-bit fingerprint (≤128 partitions of a corpus — the
+    * production spelling widens cells for discrimination). */
+  private[queries] def q128(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.ops.MediaFingerprint
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val ns = 64 + (nChars % 64).toInt
+        val ck = docId % 29; val gain = (1 + docId % 5).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var k = 0
+        while (k < 8) {
+          // SAME cell bounds the envelope pool uses: [⌊k·ns/8⌋, ⌊(k+1)·ns/8⌋)
+          val i0 = k * ns / 8; val i1 = (k + 1) * ns / 8
+          val v = (1L + ((ck + 1) * 131L * (k + 3)) % 1000L).toInt * gain
+          var i = i0
+          while (i < i1) {
+            pcm(i * 2) = (v & 0xff).toByte
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Multimodal.MediaRecord(docId, out.toByteArray, "audio/wav")
+      }).toDF()
+    val fp = Multimodal.extractAudioFeaturesBatched(spark, media, cells = 8)
+      .toDF()
+      .select(col("doc_id"),
+        MediaFingerprint.contourBits(col("envelope"), cells = 8).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    fp.select(col("doc_id"), col("fp"),
+        min(col("doc_id")).over(w).as("canonical"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] lazy val contourBitsSql: String = (0 until 7).map { k =>
+    s"CASE WHEN ((doc_id % 29 + 1) * 131 * (${k + 4})) % 1000 > ((doc_id % 29 + 1) * 131 * (${k + 3})) % 1000 THEN ${1 << k} ELSE 0 END"
+  }.mkString(" + ")
+  private[queries] lazy val q128Sql =
+    s"""WITH f AS (SELECT doc_id, CAST($contourBitsSql AS INT) AS fp FROM documents)
+       |SELECT doc_id, fp,
+       |       min(doc_id) OVER (PARTITION BY fp) AS canonical,
+       |       count(*) OVER (PARTITION BY fp) AS group_size
+       |FROM f ORDER BY doc_id""".stripMargin
+
+
+  // ----------------------------------------------------------------- q129
+  /** VIDEO scene-change detection under the oracle — the temporal
+    * analytics member of the video family (q113 decodes, q114
+    * resamples, this one SEGMENTS): each document is rendered a
+    * genuine MJPEG AVI of solid-gray 16×16 frames whose luma follows a
+    * base + small-jitter series with one hard +80 jump at a per-doc
+    * cut frame; the production path decodes every frame
+    * ([[graft.multimodal.Multimodal.videoFrameGridsBatched]], g=1 —
+    * solid-gray JPEG frames are DC-only, so the DCT round-trip is
+    * bit-exact) and [[graft.multimodal.Multimodal.sceneCuts]] finds
+    * the jump with a lag(1) window over (doc, frame). Jitter (≤9) sits
+    * far below the threshold (40) and the jump (80±9) far above, so
+    * the cut set is formula-determined and the oracle replays it
+    * relationally — a hash match requires real frame decode AND
+    * correct windowed differencing. Scale shape: blobs never shuffle;
+    * one shuffle co-locates each video's frame rows, lag is
+    * partition-local — no global ordering anywhere. */
+  private[queries] def q129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nf = 5 + (docId % 4).toInt
+        val cut = 2 + (docId % 3).toInt
+        val base = 20 + (docId % 120).toInt
+        val frames = (0 until nf).map { f =>
+          val v = base + ((docId * 7 + f * 13) % 10).toInt +
+            (if (f >= cut) 80 else 0)
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Multimodal.MediaRecord(docId,
+          AviCodec.encodeMjpg(frames, rate = 10), "video/avi")
+      }).toDF()
+    val frames = Multimodal.videoFrameGridsBatched(spark, media, everyN = 1, g = 1)
+      .toDF()
+    Multimodal.sceneCuts(frames, element_at(col("grid"), 1), threshold = 40.0)
+      .select(col("doc_id"), col("frame_idx"), col("prev_luma"), col("luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q129Sql =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(5 + doc_id % 4)) AS fi FROM documents),
+      |v AS (SELECT doc_id, fi,
+      |        CAST(20 + doc_id % 120 + (doc_id * 7 + fi * 13) % 10
+      |             + CASE WHEN fi >= 2 + doc_id % 3 THEN 80 ELSE 0 END
+      |          AS DOUBLE) AS luma
+      |      FROM f),
+      |l AS (SELECT doc_id, fi, luma,
+      |        lag(luma) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+      |      FROM v)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, prev AS prev_luma, luma
+      |FROM l WHERE prev IS NOT NULL AND abs(luma - prev) >= 40
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+
+  // ----------------------------------------------------------------- q132
+  /** STREAMING perceptual IMAGE dedup — q112's streaming contract for
+    * the dHash family, proving the banded-Hamming index is
+    * fingerprint-agnostic end to end: the base corpus (doc_id % 4 != 0)
+    * is rendered, DECODED and dHashed through the production stage
+    * ([[dhashFingerprints]]) and indexed via `SimHashIndex.build
+    * (hashCol)`; the stream docs arrive in 3 micro-batches of raw ids
+    * whose images are fabricated, decoded and hashed INSIDE the stream
+    * (`StreamingPipeline.startFingerprintIngest` — the media decode is
+    * the per-batch fingerprint stage), probed against the PRE-batch
+    * index with in-stream lag-1 auto-compaction (`compactEvery = 2`),
+    * verified pairs (Hamming ≤ 3, ≥ 1 stream member) logged
+    * batch-tagged. The oracle replays the INCREMENTAL cap semantics
+    * (q112's rule: a bucket caps at its size as of the pair's emission
+    * batch) over the dHash formula — the hash only matches if real
+    * in-stream pixel decode, banded probing, exactly-once appends and
+    * the mid-stream compaction together reproduce it. Scale shape:
+    * q112's, with the decode as an extra narrow map stage per batch —
+    * blobs never shuffle, never persist. */
+  private[queries] def q132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q132_")
+    try {
+      val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      graft.ops.SimHashIndex.build(
+        dhashFingerprints(spark, ids.where(!isStream)), s"$tmp/idx",
+        hashCol = Some("sh"))
+      val rows = ids.where(isStream).as[Long].collect().sorted
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.StreamingPipeline.startFingerprintIngest(
+        mem.toDF().toDF("doc_id"),
+        batch => dhashFingerprints(batch.sparkSession, batch),
+        indexPath = s"$tmp/idx", pairsDir = s"$tmp/pairs",
+        checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(2))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.parquet(s"$tmp/pairs")
+          .select(col("doc_a"), col("doc_b"), col("hamming")),
+        Seq("doc_a", "doc_b"))
+    } finally rmRecursive(tmp) // result rows are driver-local; safe now
+  }
+  /** q112's incremental-cap replay over the dHash formula (see there for
+    * the batch/bucket-size CTE semantics). */
+  private[queries] lazy val q132Sql =
+    s"""WITH h AS (SELECT doc_id, CAST($dhashBitsSql AS BIGINT) AS sh FROM documents),
+       |st AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+       |              count(*) OVER () AS n
+       |       FROM h WHERE doc_id % 4 = 0),
+       |bat AS (SELECT doc_id,
+       |               CAST(rn // CAST(ceil(n / 3.0) AS BIGINT) AS INT) + 1 AS batch
+       |        FROM st),
+       |hb AS (SELECT h.doc_id, h.sh, COALESCE(bat.batch, 0) AS batch
+       |       FROM h LEFT JOIN bat USING (doc_id)),
+       |bands AS (SELECT doc_id, sh, batch, b, (sh >> (16 * b)) & 65535 AS v
+       |          FROM hb, unnest(range(4)) AS t(b)),
+       |sz AS (SELECT x.b, x.v, t.b2, count(*) AS cnt
+       |       FROM bands x, unnest(range(1, 4)) AS t(b2)
+       |       WHERE x.batch <= t.b2 GROUP BY x.b, x.v, t.b2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS ha,
+       |                b.doc_id AS doc_b, b.sh AS hb2
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+       |         JOIN sz ON sz.b = a.b AND sz.v = a.v
+       |           AND sz.b2 = greatest(a.batch, b.batch)
+       |         WHERE greatest(a.batch, b.batch) >= 1
+       |           AND sz.cnt <= ${TextOps.DefaultMaxBucket})
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb2)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -105,7 +105,13 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q123_pq_adc_ann", q123, Some(q123Sql)),
     Decl("q124_ivfpq_ann", q124, Some(q124Sql)),
     Decl("q125_pq_recall_audit", q125, Some(q125Sql)),
-    Decl("q126_pq_rerank_ann", q126, Some(q126Sql)))
+    Decl("q126_pq_rerank_ann", q126, Some(q126Sql)),
+    Decl("q127_image_dhash_neardup", q127, Some(q127Sql)),
+    Decl("q128_audio_contour_dedup", q128, Some(q128Sql)),
+    Decl("q129_video_scene_cuts", q129, Some(q129Sql)),
+    Decl("q130_bm25_topk", q130, Some(q130Sql)),
+    Decl("q131_nfc_normalize", q131, Some(q131Sql)),
+    Decl("q132_stream_image_dhash_dedup", q132, Some(q132Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -122,5 +128,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q100_pairlog_replay_consumer", "q101_index_takedown_compact",
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
     "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
-    "q116_stream_media_ivf_ingest")
+    "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup")
 }

@@ -213,6 +213,49 @@ object StreamingPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(pairsDir)
 
+  /** Continuously-ingesting PERCEPTUAL near-dup detection — the
+    * MULTIMODAL generalization of [[startSimHashIngest]]: each
+    * micro-batch is first mapped through `fingerprint` — any
+    * batch → (doc_id, sh BIGINT) stage, e.g. media decode →
+    * MediaFingerprint.dhash63 — and the resulting 63-bit hashes ride
+    * the SAME banded-Hamming index (ops/SimHashIndex with
+    * `hashCol`), the same generation-keyed exactly-once appends, the
+    * same batch-tagged pair log and the same lag-1 `compactEvery`
+    * policy. One index family, every comparative fingerprint. */
+  def startFingerprintIngest(docs: DataFrame,
+      fingerprint: DataFrame => DataFrame,
+      indexPath: String, pairsDir: String, checkpointDir: String,
+      cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          fingerprintIngestBatch(fingerprint(batch), batchId, indexPath,
+            pairsDir, cfg)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.SimHashIndex.compact(
+              batch.sparkSession, indexPath, keepBatch = Some(batchId))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the fingerprint ingest (`hashes` = (doc_id, sh)),
+    * idempotent in `batchId` — exposed like [[simHashIngestBatch]]. */
+  def fingerprintIngestBatch(hashes: DataFrame, batchId: Long,
+      indexPath: String, pairsDir: String,
+      cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config()): Unit =
+    graft.ops.SimHashIndex.probeAndAppend(
+        hashes.sparkSession, indexPath, hashes, cfg, batchId = Some(batchId),
+        hashCol = Some("sh"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(pairsDir)
+
   /** Continuously-ingesting IVF vector search — the VECTOR twin of
     * [[startNearDupIngest]], completing the streaming story for the ANN
     * index family: each micro-batch of embeddings ANN-probes the

@@ -71,14 +71,15 @@ class PlanHealthSpec extends SparkSpecBase {
     // by design: kNN probes (q23/q54, the 5 media probes of q99/q111,
     // q123's 5 PQ probes), the q15 cosine probe row, q38's 1-row corpus
     // count, q74's 1-row (n_tot, w_tot) mixture totals, q93's 1-row
-    // learned merge pair, q122's 1-row LM normalization constants
+    // learned merge pair, q122's 1-row LM normalization constants,
+    // q130's 1-row (N, avgdl) BM25 corpus stats
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
       "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk",
       "q74_mixture_sampling", "q93_bpe_apply_merge",
       "q97_ann_ivf_incremental", "q98_temperature_upsampling",
       "q99_media_embed_ann", "q111_video_frame_embed_ann",
       "q122_bigram_lm_backoff", "q123_pq_adc_ann", "q124_ivfpq_ann",
-      "q125_pq_recall_audit", "q126_pq_rerank_ann")
+      "q125_pq_recall_audit", "q126_pq_rerank_ann", "q130_bm25_topk")
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
