@@ -169,6 +169,43 @@ object TextOps {
     jaccardOnCandidates(cooc, shingles, id).where(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC containment dedup — the quote-inclusion case Jaccard
+    * misses: a short doc fully quoted inside a long one has
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≈ 1 while J(A,B) = |A∩B|/|A∪B|
+    * stays small (the union is dominated by the long doc). Candidate
+    * discovery is [[exactNearDupPairs]]'s df-capped shingle inverted
+    * index (same 100 TB posting-list rationale); verification divides
+    * the true intersection by the SMALLER set. Output is directed:
+    * `doc_sub` (the contained/smaller doc — ties break to the lower
+    * id, which candidate order already guarantees) → `doc_sup`. A
+    * containment-dedup pass drops `doc_sub`, keeping the superset
+    * document. */
+  def containmentPairs(shingles: DataFrame, id: String, threshold: Double,
+      dfCap: Int = DefaultMaxBucket): DataFrame = {
+    val rare = capHotBuckets(shingles, Seq("shingle"), dfCap, "containment_hot_shingles")
+    val a = rare.select(col("shingle"), col(id).as("doc_a"))
+    val b = rare.select(col("shingle"), col(id).as("doc_b"))
+    val cooc = a.join(b, "shingle").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = shingles.select(col(id).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(id).as("doc_b"), col("shingle"))
+    val inter = cooc.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_sub"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_sup"),
+        col("containment"))
+  }
+
   /** 16-bit SimHash over the DISTINCT words of a doc, as aggregate
     * expressions: bit j of md5(word)'s first 4 hex chars votes ±1; the
     * sign of the vote sum sets bit j of the fingerprint. Returns the

@@ -1083,4 +1083,111 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       |ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q133
+  /** PageRank over the verified near-dup graph — the iterative GRAPH
+    * ANALYTICS member beyond q59's connected components: on the
+    * undirected dup graph (q20's verified pairs, both directions), a
+    * doc's rank measures how centrally it sits in its duplication
+    * cluster — the signal curation uses to pick the canonical version
+    * of a heavily-recombined boilerplate family (the cluster minimum
+    * q59/q85 use is arbitrary; the rank-max is the most-duplicated
+    * representative). 3 fixed power iterations, damping 0.85,
+    * teleport over the VERTEX set (docs with ≥1 dup edge — isolated
+    * docs carry no rank information). Scale shape: each iteration is
+    * the canonical two-shuffle step (join ranks onto edges by src,
+    * re-aggregate contributions by dst); the undirected graph has no
+    * dangling nodes, so no mass-redistribution pass; the vertex count
+    * is the only driver scalar. Output doubles round to 6dp — each
+    * value is a ≤deg-addend sum, contraction-mapped across
+    * iterations, so cross-engine ulp drift stays far below the
+    * rounding grain. */
+  private[queries] def q133(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count() // vertex count of the dup graph — bounded scalar
+    val edgesDeg = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("doc_id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 3) {
+      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("doc_id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("doc_id"),
+          (lit(0.15 / n) + lit(0.85) * col("s")).as("pr"))
+    }
+    ranks.join(deg, ranks("doc_id") === deg("src"))
+      .select(col("doc_id"), col("deg").as("degree"),
+        round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q133Sql =
+    s"""WITH $pairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nv AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nv) AS pr FROM deg),
+       |it1 AS (SELECT e.dst AS doc_id,
+       |          0.15 / (SELECT n FROM nv) + 0.85 * sum(r.pr / e.deg) AS pr
+       |        FROM (SELECT edges.*, deg.deg FROM edges JOIN deg USING (src)) e
+       |        JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
+       |it2 AS (SELECT e.dst AS doc_id,
+       |          0.15 / (SELECT n FROM nv) + 0.85 * sum(r.pr / e.deg) AS pr
+       |        FROM (SELECT edges.*, deg.deg FROM edges JOIN deg USING (src)) e
+       |        JOIN it1 r ON r.doc_id = e.src GROUP BY e.dst),
+       |it3 AS (SELECT e.dst AS doc_id,
+       |          0.15 / (SELECT n FROM nv) + 0.85 * sum(r.pr / e.deg) AS pr
+       |        FROM (SELECT edges.*, deg.deg FROM edges JOIN deg USING (src)) e
+       |        JOIN it2 r ON r.doc_id = e.src GROUP BY e.dst)
+       |SELECT r.doc_id, d.deg AS degree, round(r.pr, 6) AS pagerank
+       |FROM it3 r JOIN deg d ON d.src = r.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+
+  // ----------------------------------------------------------------- q134
+  /** ASYMMETRIC containment dedup ([[TextOps.containmentPairs]]) — the
+    * quote-inclusion near-dup class every symmetric measure misses: a
+    * short doc fully embedded in a longer one has containment
+    * |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard (q22) stays low because
+    * the union is dominated by the long doc. Candidates come from the
+    * same df-capped 2-gram shingle inverted index as the exact-jaccard
+    * audit (boilerplate shingles never join); verification divides the
+    * true intersection by the SMALLER set; the directed output names
+    * the contained doc (`doc_sub` — what a containment pass drops) and
+    * its superset. All integer counting → the oracle replays the exact
+    * pair set. Scale shape: one (id, shingle) distinct shuffle, a
+    * capped posting-list self-join, and two broadcast-sized size
+    * joins per surviving candidate. */
+  private[queries] def q134(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text", 2)
+    TextOps.containmentPairs(sh, "doc_id", threshold = 0.8)
+      .select(col("doc_sub"), col("doc_sup"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+  private[queries] val q134Sql =
+    s"""WITH ${shingleCtes(2)},
+       |rare AS (SELECT sh.* FROM sh JOIN (
+       |    SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING count(*) <= ${TextOps.DefaultMaxBucket}) r USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rare a JOIN rare b
+       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |                      JOIN sh sb ON sb.doc_id = c.doc_b
+       |                                AND sb.shingle = sa.shingle
+       |          GROUP BY c.doc_a, c.doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |c AS (SELECT doc_a, doc_b, za.n AS na, zb.n AS nb,
+       |             CAST(n_inter AS DOUBLE) / least(za.n, zb.n) AS cont
+       |      FROM inter JOIN sizes za ON za.doc_id = doc_a
+       |                 JOIN sizes zb ON zb.doc_id = doc_b)
+       |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_sub,
+       |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_sup,
+       |       round(cont, 4) AS containment
+       |FROM c WHERE cont >= 0.8
+       |ORDER BY doc_sub, doc_sup""".stripMargin
 }

@@ -111,7 +111,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q129_video_scene_cuts", q129, Some(q129Sql)),
     Decl("q130_bm25_topk", q130, Some(q130Sql)),
     Decl("q131_nfc_normalize", q131, Some(q131Sql)),
-    Decl("q132_stream_image_dhash_dedup", q132, Some(q132Sql)))
+    Decl("q132_stream_image_dhash_dedup", q132, Some(q132Sql)),
+    Decl("q133_pagerank_neardup", q133, Some(q133Sql)),
+    Decl("q134_containment_dedup", q134, Some(q134Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

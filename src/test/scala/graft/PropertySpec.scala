@@ -286,4 +286,59 @@ class PropertySpec extends SparkSpecBase {
         }
     }, trials = 40)
   }
+
+  test("dhash63 is invariant under a global brightness offset and " +
+    "positive contrast gain (the perceptual-dup law)") {
+    import graft.ops.MediaFingerprint
+    val gridGen = Gen.listOfN(72, Gen.choose(0, 180))
+    def hash(cells: Seq[Float]): Long =
+      Seq(Tuple1(cells.toArray)).toDF("g")
+        .select(MediaFingerprint.dhash63($"g", 9, 8)).as[Long].head()
+    check(Prop.forAll(gridGen, Gen.choose(1, 70), Gen.choose(1, 4)) {
+      (cells, off, gain) =>
+        val base = cells.map(_.toFloat)
+        val h = hash(base)
+        h >= 0L &&
+          h == hash(base.map(_ + off)) &&        // brightness shift
+          h == hash(base.map(_ * gain))          // positive contrast gain
+    }, trials = 25)
+  }
+
+  test("contourBits is invariant under positive gain; complement under " +
+    "strict contour reversal") {
+    import graft.ops.MediaFingerprint
+    // strictly monotone-step envelopes: adjacent cells never tie, so the
+    // reversed contour's bits are the exact complement
+    val stepGen = Gen.listOfN(7, Gen.oneOf(-40, -15, -3, 3, 15, 40))
+    def fp(env: Seq[Float]): Int =
+      Seq(Tuple1(env.toArray)).toDF("e")
+        .select(MediaFingerprint.contourBits($"e", 8)).as[Int].head()
+    check(Prop.forAll(stepGen, Gen.choose(1, 5)) { (steps, gain) =>
+      val env = steps.scanLeft(300f)((a, d) => a + d)
+      // rev_bit[k] compares env[6-k] vs env[7-k] = NOT orig_bit[6-k]:
+      // reversal complements the BIT-REVERSED fingerprint
+      val f = fp(env)
+      val revComp = (0 until 7).map(k => ((~f >> (6 - k)) & 1) << k).sum
+      f == fp(env.map(_ * gain)) && fp(env.reverse) == revComp
+    }, trials = 25)
+  }
+
+  test("nfc_normalize is idempotent, agrees with java.text.Normalizer, " +
+    "and is the identity on ASCII") {
+    import graft.functions.NfcNormalize
+    val asciiGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val unicodeGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaChar.map(_.toString), Gen.const("e\u0301"),
+      Gen.const("A\u030A"), Gen.const("\u00e9"), Gen.const("\u00f4"),
+      Gen.const("\u212b") /* ANGSTROM SIGN, NFC-composes to A-ring */)).map(_.mkString)
+    def run(s: String): String =
+      Seq(Tuple1(s)).toDF("s")
+        .select(NfcNormalize.nfc(spark, $"s")).as[String].head()
+    check(Prop.forAll(unicodeGen) { s =>
+      val once = run(s)
+      once == java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFC) && run(once) == once
+    }, trials = 25)
+    check(Prop.forAll(asciiGen) { s => run(s) == s }, trials = 15)
+  }
 }

@@ -179,4 +179,22 @@ class TextOpsSpec extends SparkSpecBase {
       .select(TextOps.bpeishTokenCountOf("text").as("n")).as[Int].head()
     assert(got === 5) // ab|12|cd|!|e
   }
+
+  test("containmentPairs flags quote-inclusion that jaccard misses, " +
+    "directed sub → sup") {
+    // doc 2 is doc 1 verbatim plus a long unique tail: containment of
+    // doc 1 in doc 2 is 1.0, but jaccard is diluted by the tail
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta tail1 tail2 tail3 tail4 tail5 tail6 " +
+        "tail7 tail8 tail9 tail10 tail11 tail12"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(docs, "doc_id", "text", 2)
+    val cont = TextOps.containmentPairs(sh, "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 1.0)), "doc 1 is fully contained in doc 2")
+    val jac = TextOps.exactNearDupPairs(sh, "doc_id", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(jac.isEmpty, "the symmetric measure must miss the inclusion")
+  }
 }
