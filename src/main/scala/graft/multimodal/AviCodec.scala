@@ -35,6 +35,12 @@ package graft.multimodal
   */
 object AviCodec {
 
+  // In-memory stream cache for the JDK JPEG codec (see the Multimodal
+  // object note — the default disk-backed cache made MJPEG decode an
+  // I/O workload at scale). Idempotent; repeated here so direct codec
+  // use also gets it.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Mimes this codec owns; everything else falls back per
     * [[Multimodal.decodeBatched]]'s dispatch. */
   val Mimes: Set[String] = Set("video/avi", "video/x-msvideo", "video/msvideo")

@@ -55,6 +55,10 @@ package graft.multimodal
   */
 object Mp4Codec {
 
+  // In-memory stream cache for the JDK JPEG codec (see the Multimodal
+  // object note). Idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Mimes this codec owns ([[Multimodal.decodeBatched]] dispatch). */
   val Mimes: Set[String] = Set("video/mp4", "audio/mp4", "video/quicktime")
 

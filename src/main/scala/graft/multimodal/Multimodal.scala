@@ -41,6 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read(InputStream)/write(OutputStream) round-trips through a
+  // temp FILE in java.io.tmpdir (FileCacheImageInput/OutputStream).
+  // Per-frame codec work at corpus scale then becomes an I/O workload —
+  // the sf1 scaling sweep measured the MJPEG-heavy queries super-linear
+  // (q129 15.9×/decade) purely from this. All payloads here are
+  // in-memory byte arrays, so the memory cache is strictly better.
+  // Idempotent, executor-local, applies to every ImageIO entry point in
+  // this package (executors touch this object before any codec call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(doc_id: Long, content: Array[Byte], mime: String)
   case class MediaMeta(doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)

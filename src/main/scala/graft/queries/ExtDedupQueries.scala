@@ -192,7 +192,10 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       localizeRows(
-        spark.read.parquet(s"$tmp/pairs")
+        // explicit schema: an all-capped batch writes zero footers (see
+        // readHammingPairLog) and must read as empty, not throw
+        spark.read.schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, batch_id BIGINT")
+          .parquet(s"$tmp/pairs")
           .select(col("doc_a"), col("doc_b"), col("jaccard")),
         Seq("doc_a", "doc_b"))
     } finally rmRecursive(tmp) // result rows are driver-local; safe now
@@ -255,7 +258,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       localizeRows(
-        spark.read.parquet(s"$tmp/pairs")
+        readHammingPairLog(spark, s"$tmp/pairs")
           .select(col("doc_a"), col("doc_b"), col("hamming")),
         Seq("doc_a", "doc_b"))
     } finally rmRecursive(tmp) // result rows are driver-local; safe now
@@ -338,7 +341,9 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
           graft.streaming.StreamingPipeline.nearDupIngestBatch(
             c.toSeq.toDF("doc_id", "text"), i.toLong, s"$tmp/idx", s"$tmp/pairs")
       }
-      val log = spark.read.parquet(s"$tmp/pairs")
+      val log = spark.read
+        .schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, batch_id BIGINT")
+        .parquet(s"$tmp/pairs")
       val byPair = Window.partitionBy(col("doc_a"), col("doc_b"))
       val consumed = log
         .withColumn("n_versions", count(lit(1)).over(byPair))

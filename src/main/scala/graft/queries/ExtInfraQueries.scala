@@ -1306,7 +1306,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       localizeRows(
-        spark.read.parquet(s"$tmp/pairs")
+        readHammingPairLog(spark, s"$tmp/pairs")
           .select(col("doc_a"), col("doc_b"), col("hamming")),
         Seq("doc_a", "doc_b"))
     } finally rmRecursive(tmp) // result rows are driver-local; safe now

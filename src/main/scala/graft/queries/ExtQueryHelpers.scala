@@ -112,6 +112,19 @@ private[queries] trait ExtQueryHelpers {
        |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5)""".stripMargin
   private[queries] val pairCtes = pairCtesWith("")
 
+  /** Read a Hamming-family pair log (the batch-tagged parquet the
+    * SimHash/fingerprint ingests write) with an EXPLICIT schema: when
+    * every band bucket of a batch crosses the hot-bucket cap the log
+    * legitimately contains zero rows — and zero parquet footers — so a
+    * schema-inferring read throws UNABLE_TO_INFER_SCHEMA where the
+    * correct answer is an empty relation (first hit: the sf1 scaling
+    * sweep, whose 10× dup groups push every fixture bucket past the
+    * cap). */
+  private[queries] def readHammingPairLog(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(
+      "doc_a BIGINT, doc_b BIGINT, hamming INT, batch_id BIGINT")
+      .parquet(dir)
+
   /** Recursively delete a query-local scratch directory. */
   private[queries] def rmRecursive(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
