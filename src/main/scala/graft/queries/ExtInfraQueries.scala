@@ -1001,6 +1001,45 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |FROM documents ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q135
+  /** Format-interop roundtrip under the oracle — the export/ingest
+    * surface a pipeline needs beyond its native parquet (q61/q63 cover
+    * parquet layouts): the documents table is written to ORC and to
+    * quoted CSV (both Spark-native, partition-parallel writers), read
+    * back — CSV through an EXPLICIT schema, never inference — and
+    * per-language counts/char-sums are taken from the ROUNDTRIPPED
+    * bytes. The oracle aggregates the original parquet: the hash
+    * matches only if both format encoders/decoders preserved every row
+    * and every text byte (commas, quotes and unicode riding CSV's
+    * quoting rules). Scale shape: two narrow format-encode passes and
+    * two scans — no shuffle beyond the final small aggregate; formats
+    * write partition-parallel exactly like the parquet sinks. */
+  private[queries] def q135(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q135_")
+    try {
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"), col("text"))
+      docs.write.mode("overwrite").orc(s"$tmp/orc")
+      docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      val orc = spark.read.orc(s"$tmp/orc")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs_orc"),
+          sum(length(col("text"))).as("sum_chars"))
+      val csv = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("header", "true").csv(s"$tmp/csv")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs_csv"))
+      localizeRows(
+        orc.join(csv, "lang")
+          .select(col("lang"), col("n_docs_orc"), col("n_docs_csv"),
+            col("sum_chars")),
+        Seq("lang"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] val q135Sql =
+    """SELECT lang, count(*) AS n_docs_orc, count(*) AS n_docs_csv,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+
   // ----------------------------------------------------------------- q127
   /** IMAGE perceptual near-dup under the oracle — dHash + banded
     * Hamming, the pixel-side twin of the SimHash text path (q107):

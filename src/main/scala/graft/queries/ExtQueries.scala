@@ -113,7 +113,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q131_nfc_normalize", q131, Some(q131Sql)),
     Decl("q132_stream_image_dhash_dedup", q132, Some(q132Sql)),
     Decl("q133_pagerank_neardup", q133, Some(q133Sql)),
-    Decl("q134_containment_dedup", q134, Some(q134Sql)))
+    Decl("q134_containment_dedup", q134, Some(q134Sql)),
+    Decl("q135_format_interop", q135, Some(q135Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -130,5 +131,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q100_pairlog_replay_consumer", "q101_index_takedown_compact",
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
     "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
-    "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup")
+    "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup",
+    "q135_format_interop")
 }
