@@ -1395,6 +1395,37 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |ORDER BY doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q136
+  /** Token frequency SPECTRUM (frequency-of-frequencies) — the Zipf
+    * audit tokenizer and vocabulary planning starts from: for every
+    * occurrence count k, how many distinct terms occur exactly k times
+    * and what corpus mass they carry. The hapax row (k=1) sizes the
+    * vocabulary tail a BPE merge table must absorb; the top-k rows are
+    * the stopword mass a filter cascade discounts. Scale shape: two
+    * aggregations — term→count (map-side partial, the corpus-sized
+    * shuffle the tokenizer already pays) then count→(n_terms, mass)
+    * over the vocab-sized frame; output is the distinct-count set,
+    * O(√corpus) rows by Zipf's law, no limit needed. */
+  private[queries] def q136(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("k"))
+    tf.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_terms"),
+        (count(lit(1)) * col("k")).as("occurrences"))
+      .select(col("k"), col("n_terms"), col("occurrences"))
+      .orderBy(col("k"))
+  }
+  private[queries] val q136Sql =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS k
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term)
+      |SELECT k, count(*) AS n_terms,
+      |       CAST(count(*) * k AS BIGINT) AS occurrences
+      |FROM tf GROUP BY k ORDER BY k""".stripMargin
+
+
   // ----------------------------------------------------------------- q130
   /** BM25 top-k retrieval — the ranked-search operator a training
     * pipeline runs for decontamination forensics, RAG-corpus curation

@@ -114,7 +114,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q132_stream_image_dhash_dedup", q132, Some(q132Sql)),
     Decl("q133_pagerank_neardup", q133, Some(q133Sql)),
     Decl("q134_containment_dedup", q134, Some(q134Sql)),
-    Decl("q135_format_interop", q135, Some(q135Sql)))
+    Decl("q135_format_interop", q135, Some(q135Sql)),
+    Decl("q136_token_spectrum", q136, Some(q136Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
