@@ -79,6 +79,37 @@ class IndexConcurrencySpec extends SparkSpecBase {
     }
   }
 
+  test("SimHash (hashCol fingerprints): compact racing probeAndAppend " +
+    "never loses the appended generation") {
+    import graft.ops.SimHashIndex
+    // precomputed 63-bit fingerprints (the q132 image-dHash path): the
+    // index machinery must fence identically when no text is involved
+    def hashes(rows: (Long, Long)*) = rows.toDF("doc_id", "sh")
+    val base = (1L to 120L).map(i => (i, (i % 13) * 0x1111111L))
+    val idx = tmpDir("simhash_race")
+    SimHashIndex.build(hashes(base: _*), idx, hashCol = Some("sh"))
+    (0 until 3).foreach { i =>
+      SimHashIndex.probeAndAppend(spark, idx,
+        hashes((1000L + i) -> ((i % 13) * 0x1111111L)),
+        batchId = Some(i.toLong), hashCol = Some("sh"))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => errs.add(t); () })
+    val a = thread(SimHashIndex.compact(spark, idx))
+    val b = thread(SimHashIndex.probeAndAppend(spark, idx,
+      hashes(5000L -> (5L * 0x1111111L)),
+      batchId = Some(9L), hashCol = Some("sh")))
+    a.start(); b.start()
+    a.join(120000); b.join(120000)
+    assert(errs.isEmpty, s"racing writers failed: ${errs.peek()}")
+    val bands = spark.read.parquet(s"$idx/bands")
+    assert(bands.where($"doc_id" === 5000L).select("band").distinct()
+      .count() === 4L, "append lost (or duplicated) by the racing compaction")
+    assert(bands.select("doc_id").distinct().count() === 124L,
+      "pre-race docs lost by the race")
+  }
+
   test("IVF: compactCorpus racing probeAndAppend keeps every vector " +
     "exactly once") {
     val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
