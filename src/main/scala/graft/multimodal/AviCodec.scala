@@ -84,7 +84,9 @@ object AviCodec {
       while (o + 8 <= end) {
         val id = fourcc(bytes, o); val sz = i32(bytes, o + 4)
         val body = o + 8
-        require(sz >= 0 && body + sz <= bytes.length,
+        // Long arithmetic: a hostile sz near Int.MaxValue overflows
+        // body + sz to negative in Int space and would pass the check.
+        require(sz >= 0 && body + sz.toLong <= bytes.length,
           s"doc $docId: chunk $id overruns the container")
         id match {
           case "LIST" =>
@@ -148,6 +150,11 @@ object AviCodec {
       while (o + 8 <= end) {
         val id = fourcc(bytes, o); val sz = i32(bytes, o + 4)
         val body = o + 8
+        // Same validation as parse: a negative sz (e.g. -8) would make
+        // o = body + sz + (sz & 1) = o — an infinite loop on an executor —
+        // and the contract is a loud throw with the doc id, never a hang.
+        require(sz >= 0 && body + sz.toLong <= end,
+          s"doc $docId: chunk $id overruns the movi list")
         if (id == "LIST" && fourcc(bytes, body) == "rec ") walk(body + 4, body + sz)
         else if (id.startsWith(prefix) &&
             (id.endsWith("db") || id.endsWith("dc")))

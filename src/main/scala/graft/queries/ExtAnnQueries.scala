@@ -307,7 +307,7 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
       IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
       // stream feed: 2 micro-batches in vec_id order (q100's chunking)
-      val rows = emb.where(isStream).as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray
       val mem = MemoryStream[(Long, Seq[Float])]

@@ -1326,8 +1326,13 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   private[queries] def q122(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val w = TextOps.words(col("text"))
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    // size(w) < 2 would make sequence(1, 0) DESCENDING and element_at(w, 0)
+    // throw — guard like TextOps.wordShingles (DuckDB's range(1, len) is
+    // already empty there, so the guarded form keeps oracle parity).
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
     val held = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val uniCnt = held
       .select(explode(TextOps.words(col("text"))).as("term"))

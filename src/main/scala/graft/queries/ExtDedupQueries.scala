@@ -179,7 +179,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
       // The stream feed: batch docs in doc_id order, 3 micro-batches (the
       // harness chunking used by every streaming oracle query).
-      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
       val chunks = rows.grouped(per).toArray
       val mem = MemoryStream[(Long, String)]
@@ -245,7 +245,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
       graft.ops.SimHashIndex.build(docs.where(!isStream), s"$tmp/idx")
-      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
       val chunks = rows.grouped(per).toArray
       val mem = MemoryStream[(Long, String)]
@@ -331,7 +331,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
       LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
-      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray
       chunks.zipWithIndex.foreach { case (c, i) =>

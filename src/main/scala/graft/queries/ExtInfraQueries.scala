@@ -1024,8 +1024,12 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       val orc = spark.read.orc(s"$tmp/orc")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs_orc"),
           sum(length(col("text"))).as("sum_chars"))
+      // multiLine + escape: document text containing a newline round-trips
+      // through CSV quoting on write, but the default line-split reader
+      // would shred it into two malformed rows and silently diverge.
       val csv = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
-        .option("header", "true").csv(s"$tmp/csv")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(s"$tmp/csv")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs_csv"))
       localizeRows(
         orc.join(csv, "lang")
@@ -1331,7 +1335,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       graft.ops.SimHashIndex.build(
         dhashFingerprints(spark, ids.where(!isStream)), s"$tmp/idx",
         hashCol = Some("sh"))
-      val rows = ids.where(isStream).as[Long].collect().sorted
+      val rows = fixtureSlice(ids.where(isStream).as[Long]).sorted
       val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
       val chunks = rows.grouped(per).toArray
       val mem = MemoryStream[Long]

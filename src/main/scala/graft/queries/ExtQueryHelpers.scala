@@ -112,6 +112,31 @@ private[queries] trait ExtQueryHelpers {
        |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5)""".stripMargin
   private[queries] val pairCtes = pairCtesWith("")
 
+  /** Hard bound on the rows a streaming-fixture collect may pull
+    * driver-side. The MemoryStream harness queries (q92/q100/q105/q106/
+    * q112/q132) fabricate their micro-batches from a corpus slice; at
+    * the declared SFs the slice is a few thousand rows, but the bound
+    * must be EXPLICIT so a larger declared SF fails loudly instead of
+    * OOM-ing the driver mid-fixture. The production operators
+    * (`startNearDupIngest`/`startVectorIngest`/...) consume a real
+    * stream and never collect — only the test-harness feed does. */
+  private[queries] val StreamFixtureCap = 200000
+
+  /** Collect a streaming-fixture slice with the cap enforced: the
+    * `limit` bounds what the collect can ever pull (never more than
+    * cap+1 rows), and the `require` turns an over-cap slice into a loud
+    * error rather than silently-truncated stream semantics (which would
+    * diverge from the from-scratch oracle). Below the cap the rows are
+    * exactly the full slice, so oracle parity is untouched. */
+  private[queries] def fixtureSlice[T](ds: org.apache.spark.sql.Dataset[T]): Array[T] = {
+    val rows = ds.limit(StreamFixtureCap + 1).collect()
+    require(rows.length <= StreamFixtureCap,
+      s"streaming fixture slice has > $StreamFixtureCap rows at this SF — " +
+        "the MemoryStream harness is driver-side by design; shard the feed " +
+        "or raise StreamFixtureCap consciously")
+    rows
+  }
+
   /** Read a Hamming-family pair log (the batch-tagged parquet the
     * SimHash/fingerprint ingests write) with an EXPLICIT schema: when
     * every band bucket of a batch crosses the hot-bucket cap the log
