@@ -673,7 +673,14 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { r =>
-        AviCodec.parse(r.doc_id, r.content).streams.map { s =>
+        if (Y4mCodec.Mimes(r.mime)) {
+          // Y4M is single-stream by construction: one vids row with the
+          // header geometry, the walked frame count, and the F rational
+          // as rate/scale (8-bit planar luma).
+          val c = Y4mCodec.parse(r.doc_id, r.content)
+          Seq(VideoStreamMeta(r.doc_id, 0, "vids", c.width, c.height,
+            c.nFrames.toLong, c.fpsNum, c.fpsDen, 0, 8))
+        } else AviCodec.parse(r.doc_id, r.content).streams.map { s =>
           VideoStreamMeta(r.doc_id, s.streamIdx, s.fccType,
             s.width, s.height, s.length,
             if (s.fccType == "auds") s.sampleRate else s.rate, s.scale,
@@ -749,6 +756,15 @@ object Multimodal {
               s"doc ${r.doc_id}: MP4 sample $f is not a decodable JPEG image")
             FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
               ImageIoCodec.lumaGrid(img, g))
+          }
+        } else if (Y4mCodec.Mimes(r.mime)) {
+          // REAL Y4M path: the FRAME-marker walk yields plane offsets;
+          // luma is the native Y plane, pooled with the same exact
+          // integer statistics as the image path (no RGB roundtrip).
+          val c = Y4mCodec.parse(r.doc_id, r.content)
+          (0 until c.nFrames by everyN).map { f =>
+            FrameFeatures(r.doc_id, f, c.width, c.height,
+              Y4mCodec.frameLumaGrid(r.doc_id, r.content, c, f, g))
           }
         } else {
           require(AviCodec.Mimes(r.mime),

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Persisted PRODUCT-QUANTIZATION code table — the storage/lifecycle
+  * half of the PQ ANN family (the query half is q123–q126): the corpus
+  * lives as `M` sub-space code bytes per vector instead of the raw
+  * floats (64× compression at the default 64-dim/4-subspace/16-centroid
+  * geometry — the property that lets a 100 TB corpus's search structure
+  * stay RAM-resident, Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011), and a probe scores candidates
+  * ASYMMETRICALLY: true probe vector vs the candidate's reconstruction.
+  *
+  * Same storage contract as [[IvfIndex]]'s corpus (one scaladoc, two
+  * families): generation-partitioned parquet (`gen=base` + `gen=b<id>`),
+  * ingest appends land via dynamic partition overwrite so a
+  * foreachBatch retry REPLACES its own generation and converges, and a
+  * probe with `batchId = Some(b)` excludes generation `b<b>` so a retry
+  * probes the identical pre-batch table. Codebooks are FROZEN plan-time
+  * literals (FAISS add-after-train): encoding is a pure map-side pass —
+  * zero shuffle, no codebook table anywhere in the plan.
+  *
+  * The probe here is FLAT ADC (every stored code scored — the
+  * RAM-resident regime where the linear scan of 4-byte codes is the
+  * point); the cell-pruned IVFPQ composition is q124's shape and slots
+  * in by carrying [[IvfIndex.cellOf]] next to the codes. */
+object PqIndex {
+
+  /** Default geometry: 4 subspaces × 16 dims × 16 centroids (64-dim
+    * vectors, 16 total codebook rows — one code byte per subspace). */
+  val M = 4
+  val DSUB = 16
+  val K = 16
+
+  /** Centroid `k`'s sub-vector for subspace `m`, as a plan literal. */
+  def centLit(base: Seq[Seq[Float]], m: Int, k: Int): Column =
+    array(base(k).slice(m * DSUB, (m + 1) * DSUB).map(lit): _*)
+
+  private def subVec(e: Column, m: Int): Column = slice(e, m * DSUB + 1, DSUB)
+
+  /** Subspace `m`'s code for an embedding column: argmin centroid by
+    * squared L2, ties to the LOWER code id (`array_min` on (dist, k)
+    * structs compares dist first, then k — the pinned oracle rule). */
+  def codeOf(e: Column, base: Seq[Seq[Float]], m: Int): Column =
+    array_min(array((0 until K).map(k =>
+      struct(VectorOps.l2Sq(subVec(e, m), centLit(base, m, k)).as("d"),
+        lit(k).as("k"))): _*)).getField("k")
+
+  /** Reconstruction (concatenated codebook centroids) from stored code
+    * columns `codeCol(0..M-1)` — a when-chain per subspace, all
+    * literals, so candidates rebuild map-side with zero joins. */
+  def reconOf(codeCol: Int => Column, base: Seq[Seq[Float]]): Column =
+    concat((0 until M).map { m =>
+      (1 until K).foldLeft(centLit(base, m, 0)) { (acc, k) =>
+        when(codeCol(m) === k, centLit(base, m, k)).otherwise(acc)
+      }
+    }: _*)
+
+  /** PQ-encode: (id, c0..c{M-1}) map-side off the literal codebooks. */
+  def encode(vectors: DataFrame, base: Seq[Seq[Float]],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    vectors.select(col(id).as("vec_id") +:
+      (0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")): _*)
+
+  private def writeGen(codes: DataFrame, path: String, files: Int,
+      mode: String, gen: String): Unit = {
+    val w = codes.withColumn("gen", lit(gen))
+      .repartition(files).write.partitionBy("gen")
+    mode match {
+      case "replace-gen" =>
+        w.option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(path)
+      case m => w.mode(m).parquet(path)
+    }
+  }
+
+  /** Build the persisted code table (`gen=base`) under frozen codebooks
+    * — the train+add half. One map-side encode, one narrow write. */
+  def buildCodes(vectors: DataFrame, path: String, base: Seq[Seq[Float]],
+      files: Int = 4, id: String = "vec_id", vec: String = "embedding"): Unit =
+    writeGen(graft.sources.Tables.spread(
+        encode(vectors, base, id, vec)), path, files, "overwrite", "base")
+
+  /** One ingest batch against the persisted code table: ADC-probe the
+    * PRE-batch state for each batch vector's top-`k` neighbors (probe's
+    * TRUE floats vs each candidate's code-table reconstruction — the
+    * asymmetric distance), then append the batch's own codes into its
+    * generation. Returns (probe_id, rn, neighbor_id, adc_dist),
+    * materialized BEFORE the append so the result cannot lazily observe
+    * the post-append table.
+    *
+    * Scale shape: the corpus side never shuffles and never carries
+    * floats — only the 4 code ints ride the scan, reconstruction is a
+    * literal when-chain, the batch broadcasts onto it; the only
+    * corpus-sized movement is the top-k window on (probe, adc). The
+    * `batchId` delivery contract is [[IvfIndex.probeAndAppend]]'s
+    * verbatim (replace-gen + own-generation exclusion = exactly-once on
+    * storage). */
+  def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
+      base: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
+      files: Int = 2, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = IndexLock.withWriter(path) {
+    import org.apache.spark.sql.expressions.Window
+    val gen = batchId.fold("adhoc")(b => s"b$b")
+    // one evaluation of the batch plan + one K-centroid pass per
+    // subspace, shared by the probe broadcast and the append
+    val coded = batch
+      .select(col(id).as("vec_id") +: col(vec).as("embedding") +:
+        (0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")): _*)
+      .persist()
+    try {
+      val probes = coded.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe"))
+      val corpus = spark.read.parquet(path)
+        .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
+        .withColumn("recon", reconOf(m => col(s"c$m"), base))
+      val cand = corpus.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("adc"), 4).as("adc_dist"))
+      // k rows per batch vector — bounded; materialize before the append
+      val result = Caches.localize(ann, maxRows = 1 << 22)
+        .getOrElse(ann.localCheckpoint())
+      writeGen(coded.drop("embedding"), path, files,
+        if (batchId.isDefined) "replace-gen" else "append", gen)
+      result
+    } finally coded.unpersist()
+  }
+
+  /** Fold accumulated generations back into one tight `gen=base` table
+    * — [[IvfIndex.compactCorpus]]'s contract for the code table,
+    * including the `keepBatch` lag-1 in-stream form (the kept
+    * generation is rewritten verbatim so the in-flight batch's
+    * replace-gen retry still replaces exactly its own partitions).
+    * Takedown/tombstones compose via the same TombstoneLog pattern as
+    * the other families when the corpus needs it; the code table itself
+    * carries no text/floats, so a rewrite moves 4 ints per vector. */
+  def compact(spark: SparkSession, path: String, files: Int = 4,
+      keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
+    val staged = s"$path.compacting"
+    Layout.healSwap(spark, staged, path)
+    val keepGen = keepBatch.map(b => s"b$b")
+    val all = spark.read.parquet(path)
+    val dataCols = all.columns.filter(_ != "gen").map(col)
+    writeGen(keepGen.fold(all)(g => all.where(col("gen") =!= g))
+      .select(dataCols: _*), staged, files, "overwrite", "base")
+    keepGen.foreach { g =>
+      writeGen(all.where(col("gen") === g).select(dataCols: _*),
+        staged, files, "append", g)
+    }
+    Layout.swapInto(spark, staged, path)
+  }
+}

@@ -846,23 +846,18 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * compares dist first, then k). */
   private[queries] def pqCoded(spark: SparkSession, dir: String,
       base: Seq[Seq[Float]], withCell: Boolean = false): DataFrame = {
-    val M = 4; val DSUB = 16; val K = 16
-    def centLit(m: Int, k: Int): Column =
-      array(base(k).slice(m * DSUB, (m + 1) * DSUB).map(lit): _*)
-    def sub(e: Column, m: Int): Column = slice(e, m * DSUB + 1, DSUB)
-    def codeCol(m: Int): Column = array_min(array((0 until K).map(k =>
-      struct(VectorOps.l2Sq(sub(col("embedding"), m), centLit(m, k)).as("d"),
-        lit(k).as("k"))): _*)).getField("k")
-    def reconSub(m: Int): Column = (1 until K).foldLeft(centLit(m, 0)) {
-      (acc, k) => when(col(s"c$m") === k, centLit(m, k)).otherwise(acc)
-    }
+    // encoding/reconstruction expressions live in ops.PqIndex (the
+    // persisted-code-table operator, q138) — one source of truth for
+    // the argmin tie rule and the when-chain reconstruction
+    import graft.ops.PqIndex
     val cols = Seq(col("vec_id")) ++
-      (0 until M).map(m => codeCol(m).as(s"c$m")) ++
+      (0 until PqIndex.M).map(m =>
+        PqIndex.codeOf(col("embedding"), base, m).as(s"c$m")) ++
       (if (withCell)
         Seq(graft.ops.IvfIndex.cellOf(spark, col("embedding"), base).as("cell"))
       else Nil)
     Tables.spread(Tables.embeddings(spark, dir)).select(cols: _*)
-      .withColumn("recon", concat((0 until M).map(reconSub): _*))
+      .withColumn("recon", PqIndex.reconOf(m => col(s"c$m"), base))
   }
 
   private[queries] def q123(spark: SparkSession, dir: String): DataFrame = {
@@ -1137,4 +1132,92 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |ORDER BY probe_id, rn""".stripMargin
 
 
+  // ----------------------------------------------------------------- q138
+  /** STREAMING PQ ingest — the lifecycle twin q92/q105/q112 gave the
+    * LSH/IVF/SimHash families, now for the COMPRESSED vector index
+    * (ops/PqIndex): the base corpus (vec_id % 4 != 0) is PQ-encoded
+    * under codebooks frozen from its own first 16 vectors and persisted
+    * as a generation-keyed code table; the stream vectors (vec_id % 4
+    * == 0) are fed in 2 vec_id-ordered micro-batches through the
+    * production `StreamingPipeline.startPqIngest` — each batch
+    * ADC-probes the PRE-batch table (true probe floats vs candidate
+    * reconstructions), logs its top-3 per vector, and appends its own 4
+    * code ints per vector for the next batch to match against. The
+    * oracle recomputes the WHOLE thing from scratch in SQL — codebook
+    * slices, per-subspace argmin codes (same lower-code-id tie),
+    * reconstructions, ADC, and the b(atch)-visibility rule `r.b < p.b`:
+    * the hash only matches if in-stream encoding, the generation-keyed
+    * appends AND the pre-batch exclusion together produce exactly the
+    * from-scratch incremental ADC result. Scale shape: per batch the
+    * corpus side moves 4 ints/vector (never floats), reconstruction is
+    * a literal when-chain, probes broadcast; the stream's own state
+    * store is EMPTY — the code table on storage IS the state. */
+  private[queries] def q138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q138_")
+    try {
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val isStream = pmod(col("vec_id"), lit(4)) === 0
+      val baseCorpus = emb.where(!isStream)
+      val base: Seq[Seq[Float]] = baseCorpus.orderBy(col("vec_id")).limit(16)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      graft.ops.PqIndex.buildCodes(baseCorpus, s"$tmp/codes", base)
+      val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])]).sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingPipeline.startPqIngest(
+        mem.toDF().toDF("vec_id", "embedding"),
+        codesPath = s"$tmp/codes", annDir = s"$tmp/ann",
+        checkpointDir = s"$tmp/ckpt", base = base,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.parquet(s"$tmp/ann")
+          .select(col("probe_id"), col("rn"), col("neighbor_id"),
+            col("adc_dist")),
+        Seq("probe_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] val q138Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |base AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v
+      |       FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
+      |c AS (SELECT c_id, m, v[m * 16 + 1 : (m + 1) * 16] AS cv
+      |      FROM cb CROSS JOIN ms),
+      |s AS (SELECT vec_id, v,
+      |        (row_number() OVER (ORDER BY vec_id) - 1)
+      |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
+      |      FROM e WHERE vec_id % 4 = 0),
+      |univ AS (SELECT vec_id, v, -1 AS b FROM base
+      |         UNION ALL SELECT vec_id, v, b FROM s),
+      |sub AS (SELECT vec_id, b, m, v[m * 16 + 1 : (m + 1) * 16] AS sv
+      |        FROM univ CROSS JOIN ms),
+      |codes AS (SELECT vec_id, b, m, code FROM (
+      |    SELECT sub.vec_id, sub.b, sub.m, c.c_id AS code,
+      |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+      |             ORDER BY list_sum(list_transform(range(16),
+      |               i -> (sv[i + 1] - cv[i + 1]) ^ 2)) ASC, c.c_id ASC) AS arn
+      |    FROM sub JOIN c ON c.m = sub.m)
+      |  WHERE arn = 1),
+      |recon AS (SELECT codes.vec_id, max(codes.b) AS b,
+      |                 flatten(list(cv ORDER BY codes.m)) AS r
+      |          FROM codes JOIN c ON c.m = codes.m AND c.c_id = codes.code
+      |          GROUP BY codes.vec_id),
+      |adc AS (SELECT p.vec_id AS probe_id, r.vec_id,
+      |               list_sum(list_transform(range(64),
+      |                 i -> (p.v[i + 1] - r.r[i + 1]) ^ 2)) AS adc
+      |        FROM s p JOIN recon r ON r.b < p.b)
+      |SELECT probe_id,
+      |       row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY adc ASC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(adc, 4) AS adc_dist
+      |FROM adc
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
 }

@@ -1382,4 +1382,88 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb2)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb2)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+
+  // ----------------------------------------------------------------- q137
+  /** RAW-video (YUV4MPEG2) decode → luma embed under the oracle — the
+    * third container of the video family (AVI q110/q113, MP4 q115/q117),
+    * and the one a pipeline hits as lossless interchange between tools:
+    * each document is rendered a genuine `.y4m` stream
+    * ([[graft.multimodal.Y4mCodec.encode]] — ASCII header, FRAME
+    * markers, uncompressed planar pixels) whose geometry, frame count,
+    * fps and colorspace derive from table columns. Even docs are Cmono
+    * (luma-only planes), odd docs C420 (chroma planes PRESENT and
+    * skipped by the plane-offset arithmetic — get the colorspace layout
+    * wrong and every luma value is garbage); each frame's Y plane is
+    * four constant quadrants from q113's formula family. Two production
+    * consumers run: [[graft.multimodal.Multimodal.videoFrameGridsBatched]]
+    * (Y4M branch — walks the FRAME markers and pools every frame's
+    * NATIVE Y plane into a 2×2 mean-luma grid, zero RGB conversion) and
+    * [[graft.multimodal.Multimodal.decodeVideoStreamsBatched]] (header
+    * facts: the F rational and walked frame count), equi-joined per
+    * doc. The oracle recomputes geometry/fps/quadrants relationally —
+    * the hash only matches if header parse, colorspace plane arithmetic
+    * AND the marker walk all land on the true bytes. Scale shape: two
+    * narrow mapPartitions stages + one doc_id equi-join of scalar rows;
+    * blobs never cross a shuffle. */
+  private[queries] def q137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, Y4mCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val w = 4 + 4 * (docId % 3).toInt
+        val h = 4 + 4 * (nChars % 3).toInt
+        val nf = 1 + (docId % 3).toInt
+        val fps = 10 + (docId % 20).toInt
+        val cs = if (docId % 2 == 0) "Cmono" else "C420"
+        val fb = Y4mCodec.frameBytes(docId, cs, w, h)
+        val frames = (0 until nf).map { f =>
+          val plane = new Array[Byte](fb)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val k = (y / (h / 2)) * 2 + (x / (w / 2)) // row-major quadrant
+              plane(y * w + x) =
+                (1L + ((docId + 3L) * (f + 1L) * (k + 2L)) % 251L).toByte
+              x += 1
+            }
+            y += 1
+          }
+          // C420 chroma planes: neutral 128 (never read by the luma path)
+          java.util.Arrays.fill(plane, w * h, fb, 128.toByte)
+          plane
+        }
+        Multimodal.MediaRecord(docId,
+          Y4mCodec.encode(frames, w, h, fps, 1, cs), "video/y4m")
+      }).toDF()
+    val grids = Multimodal.videoFrameGridsBatched(spark, media, everyN = 1, g = 2)
+      .toDF()
+    val meta = Multimodal.decodeVideoStreamsBatched(spark, media).toDF()
+      .select(col("doc_id"), col("rate").as("fps_num"),
+        col("length").as("n_frames"))
+    grids.join(meta, "doc_id")
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("fps_num"), col("n_frames"),
+        element_at(col("grid"), 1).cast("int").as("q1"),
+        element_at(col("grid"), 2).cast("int").as("q2"),
+        element_at(col("grid"), 3).cast("int").as("q3"),
+        element_at(col("grid"), 4).cast("int").as("q4"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private[queries] val q137Sql =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars, unnest(range(1 + doc_id % 3)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(4 + 4 * (doc_id % 3) AS INT) AS width,
+      |       CAST(4 + 4 * (n_chars % 3) AS INT) AS height,
+      |       CAST(10 + doc_id % 20 AS INT) AS fps_num,
+      |       CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 2) % 251 AS INT) AS q1,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 3) % 251 AS INT) AS q2,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 4) % 251 AS INT) AS q3,
+      |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 5) % 251 AS INT) AS q4
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -115,7 +115,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q133_pagerank_neardup", q133, Some(q133Sql)),
     Decl("q134_containment_dedup", q134, Some(q134Sql)),
     Decl("q135_format_interop", q135, Some(q135Sql)),
-    Decl("q136_token_spectrum", q136, Some(q136Sql)))
+    Decl("q136_token_spectrum", q136, Some(q136Sql)),
+    Decl("q137_y4m_video_decode", q137, Some(q137Sql)),
+    Decl("q138_stream_pq_ingest", q138, Some(q138Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -133,5 +135,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
     "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
     "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup",
-    "q135_format_interop")
+    "q135_format_interop", "q138_stream_pq_ingest")
 }

@@ -309,6 +309,54 @@ object StreamingPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(annDir)
 
+  /** Continuously-ingesting PQ vector search — the COMPRESSED-index
+    * twin of [[startVectorIngest]], completing the streaming story for
+    * the PQ family (q123–q126): each micro-batch of embeddings
+    * ADC-probes the persisted code table (ops/PqIndex) in its PRE-batch
+    * state — the probe's true floats against every candidate's
+    * code-table reconstruction — logs the per-vector top-k (tagged with
+    * the micro-batch id) to `annDir`, then PQ-ENCODES the batch
+    * map-side off the frozen codebooks and appends its 4 code ints per
+    * vector into the table. The codebooks stay FROZEN (FAISS
+    * add-after-train); re-train + re-encode is the offline path.
+    *
+    * Delivery mirrors the other ingests exactly: generation-keyed
+    * appends via dynamic partition overwrite, own-generation exclusion
+    * at probe time, batch_id-partitioned ANN log — a foreachBatch retry
+    * converges on storage. `compactEvery` is the same lag-1 in-stream
+    * compaction contract as [[startVectorIngest]]. */
+  def startPqIngest(vectors: DataFrame, codesPath: String, annDir: String,
+      checkpointDir: String, base: Seq[Seq[Float]], k: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          pqIngestBatch(batch, batchId, codesPath, annDir, base, k)
+        // evaluated outside the isEmpty guard (the startVectorIngest rule)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.PqIndex.compact(
+              batch.sparkSession, codesPath, keepBatch = Some(batchId))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the PQ ingest, idempotent in `batchId` —
+    * exposed (like [[vectorIngestBatch]]) for replay specs and batch
+    * backfill drivers. */
+  def pqIngestBatch(batch: DataFrame, batchId: Long, codesPath: String,
+      annDir: String, base: Seq[Seq[Float]], k: Int = 3): Unit =
+    graft.ops.PqIndex.probeAndAppend(
+        batch.sparkSession, codesPath, batch, base, batchId = Some(batchId),
+        k = k)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(annDir)
+
   /** Partitioned streaming file sink with the reference's 60 s cadence
     * (run_toy_example.py:25). Time partitions derive from EVENT time; the
     * reference's processing-time partitioning (toy_lambda_function.py:9-19)
