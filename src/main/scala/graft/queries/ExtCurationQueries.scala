@@ -883,6 +883,99 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |ORDER BY w.doc_id""".stripMargin
 
 
+  // ----------------------------------------------------------------- q139
+  /** MULTI-ROUND BPE trainer — the driver loop q82/q93 are one step of,
+    * run for a fixed `q139Rounds = 8` rounds so the full
+    * tokenizer-training story is under one oracle (Sennrich et al.,
+    * ACL'16: repeat {count adjacent pairs; learn the top merge; apply
+    * it greedily} — production runs 32k rounds of exactly this loop;
+    * 8 is the declared, oracle-unrollable unit, the q88/q94
+    * closed-form-iteration precedent). Each round reuses the PROVEN
+    * one-step operators verbatim: q93's in-row shingle count learns the
+    * merge (count desc, shingle asc — the pinned tie), and
+    * `TextOps.bpeApplyMerge`'s greedy left-to-right non-overlapping
+    * fusion rewrites the corpus for the next round. The declared output
+    * is the learned VOCAB TABLE — (round, mt1, mt2, pair_count), the
+    * artifact a tokenizer ships — and the oracle replays all 8 rounds
+    * as an unrolled CTE chain (q93's gaps-and-islands apply, 8×): any
+    * drift in ONE round's count, tie-break or merge application
+    * cascades into every later round's counts and hash-mismatches.
+    * Scale shape per round: one in-row shingle explode + partial/final
+    * count + a 1-row TakeOrderedAndProject, then a map-side in-row fold
+    * — the corpus text never shuffles; each round's rewrite is
+    * persisted and the previous cache released, so lineage stays O(1)
+    * deep instead of O(rounds). */
+  private[queries] val q139Rounds = 8
+  private[queries] def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")).persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    try {
+      for (r <- 0 until q139Rounds) {
+        val (mt1, mt2, c) = docs
+          .select(explode(TextOps.wordShingles(col("text"), 2)).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("sh"))
+          .limit(1)
+          .select(substring_index(col("sh"), " ", 1),
+            substring_index(col("sh"), " ", -1), col("c"))
+          .as[(String, String, Long)].collect().head
+        merges += ((r, mt1, mt2, c))
+        if (r < q139Rounds - 1) {
+          val next = docs.select(col("doc_id"),
+            concat_ws(" ", TextOps.bpeApplyMerge(
+              TextOps.words(col("text")), lit(mt1), lit(mt2))).as("text"))
+            .persist()
+          next.count() // materialize before releasing the parent cache
+          docs.unpersist()
+          docs = next
+        }
+      }
+    } finally docs.unpersist()
+    merges.toSeq.toDF("round", "mt1", "mt2", "pair_count")
+      .orderBy(col("round"))
+  }
+  /** The 8-round unroll: q93's pair-count + gaps-and-islands greedy
+    * apply, chained w0 → w1 → … → w8, emitting each round's learned
+    * merge. Generated, not hand-written, so the round machinery cannot
+    * drift between rounds. */
+  private[queries] lazy val q139Sql = {
+    def round(r: Int): String = {
+      val w = s"w$r"; val nw = s"w${r + 1}"
+      s"pp_$r AS (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM $w),\n" +
+      s"pr_$r AS (SELECT doc_id, pos, w[pos] AS t1, w[pos + 1] AS t2 FROM pp_$r),\n" +
+      s"m_$r AS MATERIALIZED (SELECT t1 AS mt1, t2 AS mt2, c FROM (\n" +
+      s"        SELECT t1, t2, count(*) AS c FROM pr_$r GROUP BY 1, 2)\n" +
+      s"      ORDER BY c DESC, t1 || ' ' || t2 LIMIT 1),\n" +
+      s"tok_$r AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM $w),\n" +
+      s"tt_$r AS (SELECT doc_id, pos, w[pos] AS t,\n" +
+      s"              CASE WHEN pos < len(w) THEN w[pos + 1] END AS nt FROM tok_$r),\n" +
+      s"p_$r AS (SELECT tt_$r.*, coalesce(t = m_$r.mt1 AND nt = m_$r.mt2, FALSE) AS isp\n" +
+      s"      FROM tt_$r, m_$r),\n" +
+      s"r_$r AS (SELECT *, CASE WHEN isp\n" +
+      s"        THEN pos - ROW_NUMBER() OVER (PARTITION BY doc_id, isp ORDER BY pos)\n" +
+      s"      END AS grp FROM p_$r),\n" +
+      s"ma_$r AS MATERIALIZED (SELECT *, isp AND\n" +
+      s"         (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS merge_at\n" +
+      s"       FROM r_$r),\n" +
+      s"cons_$r AS (SELECT doc_id, pos + 1 AS pos FROM ma_$r WHERE merge_at),\n" +
+      s"$nw AS MATERIALIZED (SELECT ma.doc_id,\n" +
+      s"          list(CASE WHEN ma.merge_at THEN ma.t || '_' || ma.nt ELSE ma.t END\n" +
+      s"               ORDER BY ma.pos) AS w\n" +
+      s"        FROM ma_$r ma LEFT JOIN cons_$r cons\n" +
+      s"          ON cons.doc_id = ma.doc_id AND cons.pos = ma.pos\n" +
+      s"        WHERE cons.pos IS NULL GROUP BY ma.doc_id)"
+    }
+    val rounds = (0 until q139Rounds).map(round).mkString(",\n")
+    val sel = (0 until q139Rounds).map(r =>
+      s"SELECT $r AS round, mt1, mt2, CAST(c AS BIGINT) AS pair_count FROM m_$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
+      s"$rounds\n$sel\nORDER BY round"
+  }
+
+
   // ------------------------------------------------------------------ q86
   /** Per-source cap (CurationPipeline.sourceCap, the C4/CCNet-style
     * domain cap): keep at most 10 docs per source, longest first, ties

@@ -117,7 +117,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q135_format_interop", q135, Some(q135Sql)),
     Decl("q136_token_spectrum", q136, Some(q136Sql)),
     Decl("q137_y4m_video_decode", q137, Some(q137Sql)),
-    Decl("q138_stream_pq_ingest", q138, Some(q138Sql)))
+    Decl("q138_stream_pq_ingest", q138, Some(q138Sql)),
+    Decl("q139_bpe_trainer", q139, Some(q139Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Cross-generation index-compatibility tripwire: the committed fixture
+  * under `src/test/resources/index_fixture/` holds each persisted index
+  * family AS WRITTEN BY AN EARLIER ROUND'S CODE (round 13 wrote the
+  * current era; see [[IndexFixtureGen]]), plus the probe outputs that
+  * round recorded. Each test copies the committed index into scratch
+  * and re-delivers the SAME batch (a cross-round crash-retry): current
+  * code must read the old layout — hive partitions, generation dirs,
+  * `_index_meta` adoption — and converge on the recorded rows. Any
+  * layout or semantics drift (partition scheme, meta keys, band/hash
+  * spelling, tie rules) fails here loudly instead of corrupting a
+  * production index on upgrade. */
+class IndexCompatSpec extends SparkSpecBase {
+
+  private val fixture = new java.io.File("src/test/resources/index_fixture")
+    .getAbsolutePath
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+      ()
+    }
+  }
+
+  private def rowsOf(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+    df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def check(family: String)(
+      probe: String => DataFrame): Unit = {
+    val tmp = tmpDir(s"compat_$family")
+    copyDir(s"$fixture/$family", s"$tmp/idx")
+    val got = rowsOf(probe(s"$tmp/idx"))
+    val want = rowsOf(spark.read.parquet(s"$fixture/expected_$family"))
+    assert(want.nonEmpty, s"$family fixture recorded no probe rows")
+    assert(got == want,
+      s"$family: current code probing the committed old-round index " +
+        s"diverged from its recorded output")
+  }
+
+  test("LSH index written by the previous layout era replays identically") {
+    check("lsh")(p => graft.ops.LshIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
+  }
+
+  test("SimHash index written by the previous layout era replays identically") {
+    check("simhash")(p => graft.ops.SimHashIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
+  }
+
+  test("IVF corpus written by the previous layout era replays identically") {
+    check("ivf")(p => graft.ops.IvfIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchVecs(spark), IndexFixtureData.base16,
+      batchId = Some(0L)))
+  }
+
+  test("PQ code table written by the previous layout era replays identically") {
+    check("pq")(p => graft.ops.PqIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchVecs(spark), IndexFixtureData.base16,
+      batchId = Some(0L)))
+  }
+}
