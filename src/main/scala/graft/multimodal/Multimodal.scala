@@ -719,6 +719,139 @@ object Multimodal {
     }
   }
 
+  /** One demuxed elementary stream of an MPEG transport stream as a
+    * row — [[TsCodec]]'s per-PID output schema plus the PSI facts
+    * (program number, PMT/PCR PIDs) every row carries so a consumer
+    * can group/join without a second parse. `cc_ok` is the per-PID
+    * continuity-counter verdict (mod-16 sequence unbroken). */
+  case class TsEsRow(doc_id: Long, program_number: Int, pmt_pid: Int,
+      pcr_pid: Int, pid: Int, stream_type: Int, n_packets: Int,
+      payload_bytes: Long, n_pusi: Int, cc_ok: Boolean)
+
+  /** Batched REAL MPEG-TS demux: every payload's 188-byte packet layer
+    * and PAT/PMT sections through [[TsCodec.parse]] (CRC-validated),
+    * one output row PER ELEMENTARY STREAM — the transport-stream member
+    * of the per-stream decode family ([[decodeVideoStreamsBatched]] for
+    * AVI/Y4M, [[decodeMp4TracksBatched]] for MP4). ES payload bytes are
+    * counted, never decoded (H.264/AAC is the documented codec seam).
+    * Same batched mapPartitions shape: blobs never cross a shuffle,
+    * only scalar stat rows do. */
+  def tsDemuxStatsBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[TsEsRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(TsCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: tsDemuxStatsBatched expects an MPEG-TS " +
+            s"mime, got ${r.mime}")
+        val d = TsCodec.parse(r.doc_id, r.content)
+        d.streams.map { s =>
+          TsEsRow(r.doc_id, d.programNumber, d.pmtPid, d.pcrPid,
+            s.pid, s.streamType, s.nPackets, s.payloadBytes, s.nPusi,
+            s.ccErrors == 0)
+        }
+      })
+    }
+  }
+
+  /** One FLAC payload's metadata layer as a row — [[FlacCodec]]'s
+    * STREAMINFO facts plus the block inventory (`block_types` is the
+    * comma-joined type chain in file order) and the undecoded frame
+    * region's byte length. */
+  case class FlacMetaRow(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, total_samples: Long, n_blocks: Int, block_types: String,
+      frame_bytes: Long)
+
+  /** Batched REAL FLAC metadata decode: every payload's metadata-block
+    * chain through [[FlacCodec.parse]] — the FLAC member of the
+    * audio-metadata family ([[decodeAudioBatched]] owns WAV/AIFF/AU via
+    * javax.sound; FLAC's packed STREAMINFO bitfields need the
+    * self-written walker). Audio FRAMES are Rice/LPC entropy-coded —
+    * counted, never decoded (the documented codec seam). Same batched
+    * mapPartitions shape: blobs never cross a shuffle. */
+  def flacMetaBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[FlacMetaRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(FlacCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: flacMetaBatched expects a FLAC mime, " +
+            s"got ${r.mime}")
+        val m = FlacCodec.parse(r.doc_id, r.content)
+        FlacMetaRow(r.doc_id, m.sampleRate, m.channels, m.bitsPerSample,
+          m.totalSamples, m.blockTypes.size, m.blockTypes.mkString(","),
+          m.frameBytes)
+      })
+    }
+  }
+
+  /** One WARC record as a row — [[WarcCodec]]'s framing facts, the
+    * HTTP split of `response` records, and the document payload bytes
+    * (the bytes a crawl ingest hands to the text pipeline).
+    * `member_bytes` is the record's own gzip-member compressed size
+    * (deflate-implementation-dependent — never oracle it; 0 for plain
+    * input). */
+  case class WarcRecordRow(doc_id: Long, record_idx: Int, warc_type: String,
+      target_uri: String, warc_date: String, content_type: String,
+      content_length: Int, http_status: Int, http_header_bytes: Int,
+      payload: Array[Byte], member_bytes: Int)
+
+  /** Batched REAL WARC ingest: every payload (plain or Common-Crawl
+    * member-gzipped `.warc.gz`, auto-detected) through
+    * [[WarcCodec.parse]] — gzip members inflated + CRC-checked, WARC
+    * framing walked, `response` records' HTTP layer split so the
+    * payload column holds exactly the document bytes. One output row
+    * per record. Same batched mapPartitions shape as the media
+    * decoders: archive blobs never cross a shuffle, downstream stages
+    * project the scalar facts (or a payload hash) before any keyed
+    * op. */
+  def warcRecordsBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(WarcCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: warcRecordsBatched expects a WARC mime, " +
+            s"got ${r.mime}")
+        WarcCodec.parse(r.doc_id, r.content).zipWithIndex.map {
+          case (p, i) =>
+            WarcRecordRow(r.doc_id, i, p.warcType, p.targetUri, p.date,
+              p.contentType, p.contentLength, p.httpStatus,
+              p.httpHeaderBytes, p.payload, p.memberBytes)
+        }
+      })
+    }
+  }
+
+  /** One MP3's metadata layers as a row — [[Mp3Codec]]'s ID3v2 text
+    * facts plus the MPEG frame-walk facts. */
+  case class Mp3MetaRow(doc_id: Long, title: String, artist: String,
+      tag_bytes: Int, n_frames: Int, bitrate_kbps: Int, sample_rate: Int,
+      channels: Int, audio_bytes: Long, duration_ms: Long)
+
+  /** Batched REAL MP3 metadata decode: ID3v2.3 tag walk + MPEG-1
+    * Layer III frame-header walk through [[Mp3Codec.parse]] — the
+    * compressed-audio member of the audio-metadata family (javax.sound
+    * owns WAV/AIFF/AU, [[FlacCodec]] owns FLAC). Huffman frame
+    * payloads are counted, never decoded (the documented entropy-codec
+    * seam). Same batched mapPartitions shape: blobs never cross a
+    * shuffle. */
+  def mp3MetaBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[Mp3MetaRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(Mp3Codec.Mimes(r.mime),
+          s"doc ${r.doc_id}: mp3MetaBatched expects an MP3 mime, " +
+            s"got ${r.mime}")
+        val m = Mp3Codec.parse(r.doc_id, r.content)
+        Mp3MetaRow(r.doc_id, m.title, m.artist, m.tagBytes, m.nFrames,
+          m.bitrateKbps, m.sampleRate, m.channels, m.audioBytes,
+          m.durationMs)
+      })
+    }
+  }
+
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
       height: Int, grid: Array[Float])
 

@@ -247,6 +247,96 @@ object AggQueries {
        |SELECT event_type, user_id, n FROM ranked WHERE rk <= $SS_K
        |ORDER BY event_type, n DESC, user_id""".stripMargin
 
+  // ----------------------------------------------------------------- q141
+  /** HyperLogLog as a first-class RELATION — the shard-union cardinality
+    * pattern a 100 TB corpus actually runs: each shard reduces to a
+    * 256-register table (bucket = first md5 byte, rho = leading-zero
+    * rank of the next 48 bits), shards merge by `max(rho)` per bucket —
+    * the HLL union IS a group-by — and the estimate comes from the
+    * merged registers alone. Unlike q34 (Spark's opaque HLL++ sketch,
+    * error-bound-checked only), the registers here are md5-derived rows,
+    * so the ESTIMATE ITSELF is oracle-matched bit-for-bit: DuckDB builds
+    * the same registers and applies the same alpha·m²/Σ2^−rho formula
+    * with the identical small-range linear-counting branch
+    * (E ≤ 2.5m ∧ V>0 → m·ln(m/V) — the regime the correctness SF sits
+    * in; larger SFs cross into the raw regime, which the decade sweep
+    * exercises). The Σ2^−rho sum rides EXACT integers (Σ2^(49−rho) as
+    * BIGINT, one final conversion) so partition order cannot flip a
+    * digit. Scale shape: one map-side-partial aggregate to ≤ shards·256
+    * register rows per group, one tiny merge, one 5-row broadcast join
+    * for the exact-count audit column — the corpus never shuffles, and
+    * register tables persist/merge across ingest generations for free
+    * (max is idempotent + commutative). */
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    val two49 = 562949953421312L // 2^49: rho <= 49, so 2^(49-rho) is exact
+    val ev = Tables.events(spark, dir).where(col("user_id").isNotNull)
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    // rho = (leading zeros of the 48-bit tail) + 1 = 49 - bitlength.
+    val rho = when(col("w48") === 0, lit(49))
+      .otherwise(lit(49) - length(bin(col("w48"))))
+    val shardRegs = ev
+      .select(col("event_type"), pmod(col("user_id"), lit(4)).as("shard"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(h, 3, 12), 16, 10).cast("long").as("w48"))
+      .select(col("event_type"), col("shard"), col("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("shard"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val regs = shardRegs // the shard-union merge: max per register
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("rho"), count(lit(1)).as("nsb"))
+    val est = regs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")).as("s"),
+      sum(col("nsb")).as("n_shard_regs"))
+    val v = lit(256L) - col("n_regs")
+    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+      lit(65536.0) * lit(562949953421312.0)
+    val eRaw = alphaM2 / ((v * lit(two49) + col("s")).cast("double"))
+    val exact = Tables.events(spark, dir).where(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(est), "event_type")
+      .select(col("event_type"), col("exact_users"),
+        col("n_shard_regs"), col("n_regs"), v.as("v_empty"),
+        round(when(v > 0 && eRaw <= lit(640.0), // 2.5·m small-range branch
+          lit(256.0) * log(lit(256.0) / v)).otherwise(eRaw), 4)
+          .as("hll_estimate"))
+      .orderBy(col("event_type"))
+  }
+  private val q141Sql =
+    """WITH w AS (
+      |  SELECT event_type, user_id % 4 AS shard,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT AS w48
+      |  FROM events WHERE user_id IS NOT NULL),
+      |shard_regs AS (
+      |  SELECT event_type, shard, bucket,
+      |         MAX(CASE WHEN w48 = 0 THEN 49
+      |                  ELSE 49 - length(bin(w48)) END) AS rho
+      |  FROM w GROUP BY 1, 2, 3),
+      |regs AS (
+      |  SELECT event_type, bucket, MAX(rho) AS rho, COUNT(*) AS nsb
+      |  FROM shard_regs GROUP BY 1, 2),
+      |est AS (
+      |  SELECT event_type, COUNT(*) AS n_regs,
+      |         CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS s,
+      |         CAST(SUM(nsb) AS BIGINT) AS n_shard_regs
+      |  FROM regs GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      |SELECT e.event_type, ex.exact_users, e.n_shard_regs, e.n_regs,
+      |       256 - e.n_regs AS v_empty,
+      |       round(CASE WHEN 256 - e.n_regs > 0
+      |                   AND ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0) * 562949953421312.0
+      |                       / CAST((256 - e.n_regs) * 562949953421312 + e.s AS DOUBLE) <= 640.0
+      |                  THEN 256.0 * ln(256.0 / (256 - e.n_regs))
+      |                  ELSE ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0) * 562949953421312.0
+      |                       / CAST((256 - e.n_regs) * 562949953421312 + e.s AS DOUBLE)
+      |             END, 4) AS hll_estimate
+      |FROM est e JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q34_approx_sketches", q34, Some(q34Sql)),
     Decl("q35_cube", q35, Some(q35Sql)),
@@ -254,5 +344,6 @@ object AggQueries {
     Decl("q37_percentiles", q37, Some(q37Sql)),
     Decl("q42_salted_agg", q42, Some(q42Sql)),
     Decl("q43_kmv_sketch", q43, Some(q43Sql)),
-    Decl("q60_heavy_hitters", q60, Some(q60Sql)))
+    Decl("q60_heavy_hitters", q60, Some(q60Sql)),
+    Decl("q141_hll_shard_union", q141, Some(q141Sql)))
 }

@@ -1220,4 +1220,133 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |FROM adc
       |QUALIFY rn <= 3
       |ORDER BY probe_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------- q148
+  /** NN-Descent k-NN-graph construction (Dong et al., WWW 2011) — the
+    * graph-ANN family's BUILD step, next to the table families (LSH
+    * q24, IVF q54, PQ q123): start every node with k pseudo-random
+    * neighbors and iterate "a neighbor of a neighbor is probably a
+    * neighbor" — each round symmetrizes the current graph, proposes
+    * all pairs that share a common node (the LOCAL JOIN: ≤ (2k choose
+    * 2) candidate pairs per node, never all-pairs), scores them, and
+    * keeps each node's top-k. Two fixed rounds, relationally unrolled,
+    * oracle-replayed step for step (the closed-form-iteration
+    * precedent of q88/q94/q139); cosine rides the same
+    * [[CosineSimilarity]] expression q23 bit-pins against DuckDB. The
+    * output carries an HONEST per-edge `is_true` audit against exact
+    * top-k for the 50 reported nodes — recall is a measured property,
+    * not a promise. Scale shape: every step is keyed — the local join
+    * shuffles on the shared node, the two embedding fetches and the
+    * top-k window shuffle on vec_id; candidate volume is O(n·k²) per
+    * round by construction. The audit's crossJoin is
+    * `crossJoin(broadcast(50 probes))`, the standard bounded ANN
+    * scan. */
+  private[queries] def q148(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val nRows = emb.agg(count(lit(1)).as("n"))
+    val init = emb.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(nRows))
+      .select(col("src"), explode(sequence(lit(1), lit(k))).as("j"), col("n"))
+      .withColumn("d0", pmod(col("src") * 37L + col("j") * 101L + 1L, col("n")))
+      .select(col("src"), when(col("d0") === col("src"),
+        pmod(col("d0") + 1L, col("n"))).otherwise(col("d0")).as("dst"))
+    def withCos(edges: DataFrame): DataFrame = edges
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
+      .select(col("src"), col("dst"),
+        CosineSimilarity.cosineSim(spark, col("se"), col("de")).as("cos"))
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      scored.groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).drop("rn")
+    }
+    def descend(cur: DataFrame): DataFrame = {
+      val u = cur.select(col("src"), col("dst")).unionByName(
+        cur.select(col("dst").as("src"), col("src").as("dst")))
+      val pairs = u.as("x").join(u.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst")).distinct()
+      val cand = withCos(pairs)
+      val sym = cand.unionByName(cand.select(col("dst").as("src"),
+        col("src").as("dst"), col("cos")))
+      topK(cur.unionByName(sym))
+    }
+    val e2 = descend(descend(topK(withCos(init))))
+    val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 50)
+      .select(col("vec_id").as("src"), col("embedding").as("probe"))
+    val wTrue = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val truth = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(wTrue)).where(col("rn") <= k)
+      .select(col("src"), col("dst"), lit(true).as("is_true"))
+    val wOut = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    e2.where(col("src") < 50)
+      .join(truth, Seq("src", "dst"), "left")
+      .select(col("src"), row_number().over(wOut).as("rn"),
+        col("dst").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+      .orderBy(col("src"), col("rn"))
+  }
+  private[queries] lazy val q148Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM e),
+      |init AS (
+      |  SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst
+      |  FROM (SELECT v.vec_id AS src, (v.vec_id * 37 + j.j * 101 + 1) % nn.n AS d0, nn.n AS n
+      |        FROM e v CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j)),
+      |c0 AS (SELECT i.src, i.dst, list_cosine_similarity(a.emb, b.emb) AS cos
+      |       FROM init i JOIN e a ON a.vec_id = i.src JOIN e b ON b.vec_id = i.dst),
+      |e0 AS (SELECT src, dst, cos FROM (
+      |        SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+      |          ORDER BY cos DESC, dst) AS rn
+      |        FROM (SELECT src, dst, max(cos) AS cos FROM c0 GROUP BY 1, 2))
+      |       WHERE rn <= 4),
+      |u1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |p1 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+      |       FROM u1 x JOIN u1 y ON x.src = y.src AND x.dst < y.dst),
+      |c1 AS (SELECT p.src, p.dst, list_cosine_similarity(a.emb, b.emb) AS cos
+      |       FROM p1 p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst),
+      |m1 AS (SELECT src, dst, cos FROM e0
+      |       UNION ALL SELECT src, dst, cos FROM c1
+      |       UNION ALL SELECT dst, src, cos FROM c1),
+      |e1 AS (SELECT src, dst, cos FROM (
+      |        SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+      |          ORDER BY cos DESC, dst) AS rn
+      |        FROM (SELECT src, dst, max(cos) AS cos FROM m1 GROUP BY 1, 2))
+      |       WHERE rn <= 4),
+      |u2 AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+      |p2 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+      |       FROM u2 x JOIN u2 y ON x.src = y.src AND x.dst < y.dst),
+      |c2 AS (SELECT p.src, p.dst, list_cosine_similarity(a.emb, b.emb) AS cos
+      |       FROM p2 p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst),
+      |m2 AS (SELECT src, dst, cos FROM e1
+      |       UNION ALL SELECT src, dst, cos FROM c2
+      |       UNION ALL SELECT dst, src, cos FROM c2),
+      |e2 AS (SELECT src, dst, cos FROM (
+      |        SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+      |          ORDER BY cos DESC, dst) AS rn
+      |        FROM (SELECT src, dst, max(cos) AS cos FROM m2 GROUP BY 1, 2))
+      |       WHERE rn <= 4),
+      |truth AS (SELECT src, dst FROM (
+      |        SELECT p.vec_id AS src, c.vec_id AS dst,
+      |               row_number() OVER (PARTITION BY p.vec_id
+      |                 ORDER BY list_cosine_similarity(c.emb, p.emb) DESC,
+      |                          c.vec_id) AS rn
+      |        FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 50) p
+      |        WHERE c.vec_id <> p.vec_id)
+      |       WHERE rn <= 4)
+      |SELECT g.src,
+      |       row_number() OVER (PARTITION BY g.src
+      |         ORDER BY g.cos DESC, g.dst) AS rn,
+      |       g.dst AS neighbor_id, round(g.cos, 4) AS cos_sim,
+      |       t.dst IS NOT NULL AS is_true
+      |FROM e2 g LEFT JOIN truth t ON t.src = g.src AND t.dst = g.dst
+      |WHERE g.src < 50
+      |ORDER BY g.src, rn""".stripMargin
 }

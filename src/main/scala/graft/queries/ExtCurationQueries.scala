@@ -1645,4 +1645,180 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |       length(nfc_normalize(aug)) AS norm_len,
       |       md5(nfc_normalize(aug)) AS norm_md5
       |FROM a ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q142
+  /** Classifier calibration audit: AUC of q80's quality model against a
+    * reference label — the monitoring query every classifier-filtered
+    * corpus runs per ingest batch (a silently drifting filter model is
+    * how quality regressions ship). Label = `lang = 'en'`, score = the
+    * hashed-feature margin; AUC comes from the rank-sum identity over a
+    * FIXED 1024-bin score histogram (margin ∈ [−1,1] → bin
+    * ⌊(margin+1)·512⌋, tie mass contributes 0.5 — the binned/tied AUC
+    * estimator). Binning is the scale move: per-(bin,label) counts
+    * reduce map-side, the rank-sum window runs over ≤1024 rows of
+    * global state regardless of corpus size — never a corpus-wide sort.
+    * Every AUC term is an exact-in-double product of counts and a half
+    * (multiples of 0.5), so partial-sum order cannot flip a digit and
+    * the estimate itself is oracle-matched, not bound-checked. */
+  private[queries] def q142(spark: SparkSession, dir: String): DataFrame = {
+    val w = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("double") *
+        2.0 / 16777215.0 - 1.0
+    val scored = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(w(col("term"))).as("margin"))
+    val per = scored.select(
+      least(greatest(floor((round(col("margin"), 6) + 1.0) * 512.0)
+        .cast("int"), lit(0)), lit(1023)).as("bin"),
+      (col("lang") === "en").cast("int").as("pos"))
+      .groupBy(col("bin"))
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val win = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("cum_nn", coalesce(sum(col("nn")).over(win), lit(0L)))
+      .agg(sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("np") * (col("cum_nn") + lit(0.5) * col("nn"))).as("u"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        col("n_bins_used"),
+        round(col("u") / (col("p") * col("n")), 4).as("auc"))
+  }
+  private[queries] val q142Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |         avg(('0x' || substr(md5(term), 1, 6))::BIGINT * 2.0 / 16777215.0 - 1.0)
+      |           AS margin
+      |  FROM tokens GROUP BY 1, 2),
+      |binned AS (
+      |  SELECT least(greatest(CAST(floor((round(margin, 6) + 1.0) * 512.0) AS INT),
+      |                        0), 1023) AS bin,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM scored),
+      |per AS (
+      |  SELECT bin, SUM(pos) AS np, COUNT(*) - SUM(pos) AS nn
+      |  FROM binned GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, np, nn,
+      |         COALESCE(SUM(nn) OVER (ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+      |  FROM per)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |       CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+      |       round(SUM(np * (cum_nn + 0.5 * nn)) /
+      |             (CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT)), 4) AS auc
+      |FROM cum""".stripMargin
+
+  // ----------------------------------------------------------------- q143
+  /** Token-entropy quality signal: Shannon entropy (bits/token) of each
+    * document's unigram distribution plus type–token ratio — the
+    * repetition/gibberish detector that complements q70's surface
+    * repetition ratio (entropy catches distributional degeneracy q70's
+    * fixed n-gram window misses: a doc cycling 3 tokens in varying
+    * order has high 10-gram diversity but ~1.58 bits of entropy).
+    * H = log2(n) − Σ cnt·log2(cnt) / n, computed from the per-term
+    * count table. `kept` thresholds the ROUNDED entropy so an
+    * engine-ulp difference in log2 can never flip the boolean without
+    * also flipping the (already-matched) rounded value. Scale shape:
+    * two keyed aggregations with map-side partials, the heavy one on
+    * (doc, term); no corpus-wide state, no window. */
+  private[queries] def q143(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val h = round(log2(col("n")) - col("sl") / col("n"), 4)
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * log2(col("cnt"))).as("sl"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        h.as("entropy_bits"),
+        round(col("n_distinct").cast("double") / col("n"), 4).as("ttr"),
+        (h >= 3.0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q143Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tokens GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |         SUM(cnt * log2(cnt)) AS sl
+      |  FROM tc GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens, n_distinct,
+      |       round(log2(n) - sl / n, 4) AS entropy_bits,
+      |       round(CAST(n_distinct AS DOUBLE) / n, 4) AS ttr,
+      |       round(log2(n) - sl / n, 4) >= 3.0 AS kept
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q145
+  /** Weighted corpus sampling via PRIORITY SAMPLING (Duffield–Lund–
+    * Thorup, JACM 2007) — the principled way to draw a fixed-size
+    * weighted subsample per source whose subset-sum estimates are
+    * unbiased: priority = w/u with u a (0,1] uniform, keep the top-k
+    * priorities, estimate each kept item's weight as max(w, τ) where τ
+    * is the (k+1)-th priority. Two properties make it the 100 TB
+    * choice over Efraimidis–Spirakis keys: the priority needs NO
+    * transcendentals (u comes from md5 bits, so one multiply + one
+    * divide — bit-identical across engines, which is why the SAMPLE
+    * ITSELF is oracle-matched, not just its size), and τ is the only
+    * cross-item state (one scalar per source). Weight = n_chars (the
+    * token-budget proxy). Scale shape: per-source top-(k+1) — the
+    * window spelling here; at fleet scale the same selection runs as a
+    * bounded per-partition heap + merge (q12's top-k discussion) since
+    * only k+1 rows per source ever matter. */
+  private[queries] def q145(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val h48 = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    // u = (h48+1)/2^48 in (0,1]; priority = w/u, spelled so both
+    // engines run the identical IEEE op sequence.
+    val priority = (col("n_chars").cast("double") *
+      lit(281474976710656.0)) / (h48 + lit(1L))
+    val scored = Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        priority.as("priority"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val ranked = scored.withColumn("rk", row_number().over(win))
+    val tau = ranked.where(col("rk") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.where(col("rk") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("priority"), 4).as("priority"),
+        round(greatest(col("n_chars").cast("double"),
+          coalesce(col("tau"), lit(0.0))), 4).as("est_weight"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  private[queries] val q145Sql =
+    """WITH pr AS (
+      |  SELECT source, doc_id, n_chars,
+      |         (CAST(n_chars AS DOUBLE) * 281474976710656.0) /
+      |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+      |           AS priority
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, n_chars, priority,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY priority DESC, doc_id) AS rk
+      |  FROM pr),
+      |tau AS (SELECT source, priority AS tau FROM ranked WHERE rk = 21)
+      |SELECT r.source, r.doc_id, r.n_chars,
+      |       round(r.priority, 4) AS priority,
+      |       round(greatest(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0)), 4)
+      |         AS est_weight
+      |FROM ranked r LEFT JOIN tau t USING (source)
+      |WHERE r.rk <= 20
+      |ORDER BY r.source, r.doc_id""".stripMargin
 }

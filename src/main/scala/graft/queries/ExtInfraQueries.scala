@@ -1466,4 +1466,354 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 4) % 251 AS INT) AS q3,
       |       CAST(1 + ((doc_id + 3) * (frame_idx + 1) * 5) % 251 AS INT) AS q4
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ----------------------------------------------------------------- q140
+  /** MPEG transport-stream demux under the oracle — the FOURTH container
+    * of the media family (AVI q110/q113, MP4 q115/q117, Y4M q137) and
+    * the first MULTIPLEXED one: every HLS segment on the public web is
+    * a `.ts` whose 188-byte packets interleave elementary streams, so
+    * ingesting one is a demux, not a seek. Each document is rendered a
+    * genuine single-program TS ([[graft.multimodal.TsCodec.encode]] —
+    * PAT + PMT with CRC32/MPEG checksums, per-PID continuity counters,
+    * an adaptation field with PCR on the first video packet) whose
+    * program number, PIDs and packet counts derive from table columns.
+    * The production consumer is
+    * [[graft.multimodal.Multimodal.tsDemuxStatsBatched]]: one pass over
+    * the packet layer (sync/PID/PUSI/AFC/CC arithmetic), CRC-validated
+    * PAT→PMT section parse for the per-PID `stream_type`, per-PID
+    * payload-byte accounting. The oracle recomputes every stat
+    * closed-form — the hash only matches if the adaptation-length
+    * arithmetic, the PSI walk AND the continuity check all land on the
+    * true bytes. ES payloads (H.264/AAC) are counted, never decoded:
+    * the documented inter-frame codec seam. Scale shape: one narrow
+    * mapPartitions stage; blobs never cross a shuffle, only per-PID
+    * stat rows reach the output sort. */
+  private[queries] def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, TsCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val vpid = (256 + docId % 16).toInt
+        Multimodal.MediaRecord(docId,
+          TsCodec.encode(
+            programNumber = (1 + docId % 7).toInt,
+            pmtPid = (32 + docId % 8).toInt,
+            pcrPid = vpid,
+            streams = Seq(
+              TsCodec.EsSpec(vpid, 0x1b, (3 + docId % 5).toInt,
+                firstAdaptLen = 7), // PCR rides the first video packet
+              TsCodec.EsSpec((512 + docId % 16).toInt, 0x0f,
+                (2 + docId % 3).toInt, firstAdaptLen = 0))),
+          "video/mp2t")
+      }).toDF()
+    Multimodal.tsDemuxStatsBatched(spark, media).toDF()
+      .select(col("doc_id"), col("pid"),
+        when(col("stream_type") === 0x1b, "h264")
+          .when(col("stream_type") === 0x0f, "aac")
+          .otherwise("other").as("stream_kind"),
+        col("n_packets"), col("payload_bytes"), col("n_pusi"), col("cc_ok"),
+        col("program_number"), col("pmt_pid"), col("pcr_pid"))
+      .orderBy(col("doc_id"), col("pid"))
+  }
+  private[queries] val q140Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         CAST(256 + doc_id % 16 AS INT) AS pid,
+      |         'h264' AS stream_kind,
+      |         CAST(3 + doc_id % 5 AS INT) AS n_packets,
+      |         CAST(176 + (2 + doc_id % 5) * 184 AS BIGINT) AS payload_bytes
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CAST(512 + doc_id % 16 AS INT),
+      |         'aac',
+      |         CAST(2 + doc_id % 3 AS INT),
+      |         CAST((2 + doc_id % 3) * 184 AS BIGINT)
+      |  FROM documents)
+      |SELECT doc_id, pid, stream_kind, n_packets, payload_bytes,
+      |       CAST(1 AS INT) AS n_pusi, TRUE AS cc_ok,
+      |       CAST(1 + doc_id % 7 AS INT) AS program_number,
+      |       CAST(32 + doc_id % 8 AS INT) AS pmt_pid,
+      |       CAST(256 + doc_id % 16 AS INT) AS pcr_pid
+      |FROM s ORDER BY doc_id, pid""".stripMargin
+
+  // ----------------------------------------------------------------- q144
+  /** FLAC metadata walk under the oracle — the lossless-audio member of
+    * the container family (WAV/AIFF/AU headers parse via javax.sound in
+    * q95; FLAC's STREAMINFO is packed bitfields javax.sound cannot
+    * read, so [[graft.multimodal.FlacCodec]] walks it directly, RFC
+    * 9639). Each document is rendered a genuine `.flac` metadata chain
+    * — STREAMINFO with a 20-bit sample rate, 3-bit channel count and a
+    * 36-bit total-sample count straddling byte boundaries, a PADDING
+    * block, a data-dependent SEEKTABLE, then undecodable frame filler —
+    * and [[graft.multimodal.Multimodal.flacMetaBatched]] recovers every
+    * field. These are precisely the facts an audio-curation pass
+    * filters on (sample-rate floor, duration cap, channel layout)
+    * BEFORE spending decode budget; the Rice/LPC frame region is
+    * counted, never decoded (the documented codec seam). The oracle
+    * recomputes all fields closed-form — the hash only matches if the
+    * bitfield extraction and the block walk land on the true bits.
+    * Scale shape: one narrow mapPartitions stage, scalar rows out. */
+  private[queries] def q144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{FlacCodec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val extras = Seq(1 -> new Array[Byte]((docId % 64).toInt)) ++
+          (if (docId % 3 > 0)
+            Seq(3 -> new Array[Byte](18 * (docId % 3).toInt))
+          else Nil)
+        Multimodal.MediaRecord(docId,
+          FlacCodec.encode(
+            sampleRate = 8000 * (1 + (docId % 6).toInt),
+            channels = 1 + (docId % 2).toInt,
+            bitsPerSample = 16,
+            totalSamples = 1000L + (docId % 9) * 500L + nChars,
+            extraBlocks = extras,
+            frameBytes = (64 + nChars % 128).toInt), "audio/flac")
+      }).toDF()
+    Multimodal.flacMetaBatched(spark, media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("total_samples"),
+        expr("total_samples * 1000 DIV sample_rate").as("duration_ms"),
+        col("n_blocks"), col("block_types"), col("frame_bytes"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q144Sql =
+    """SELECT doc_id,
+      |       CAST(8000 * (1 + doc_id % 6) AS INT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS INT) AS channels,
+      |       CAST(16 AS INT) AS bits,
+      |       CAST(1000 + (doc_id % 9) * 500 + n_chars AS BIGINT) AS total_samples,
+      |       CAST((1000 + (doc_id % 9) * 500 + n_chars) * 1000
+      |            // (8000 * (1 + doc_id % 6)) AS BIGINT) AS duration_ms,
+      |       CAST(CASE WHEN doc_id % 3 > 0 THEN 3 ELSE 2 END AS INT) AS n_blocks,
+      |       CASE WHEN doc_id % 3 > 0 THEN '0,1,3' ELSE '0,1' END AS block_types,
+      |       CAST(64 + n_chars % 128 AS BIGINT) AS frame_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q146
+  /** WARC crawl ingest under the oracle — the container LLM corpora are
+    * actually mined from (ISO 28500; Common Crawl ships `.warc.gz` in
+    * the member-per-record gzip layout). Each document is rendered a
+    * genuine two-record WARC file — a `response` record whose content
+    * is a full HTTP message (status line, headers, body = the document
+    * text) and a `metadata` record — with EVEN doc_ids written as
+    * member-gzipped archives ([[graft.multimodal.WarcCodec.encodeGzip]]:
+    * one gzip member per record, CRC32+ISIZE trailers verified on read)
+    * and odd ones plain, so both decode paths run in one query.
+    * [[graft.multimodal.Multimodal.warcRecordsBatched]] inflates the
+    * members, walks the Content-Length framing and splits the HTTP
+    * layer; the oracle recomputes every framing fact closed-form and
+    * pins `payload_md5 = md5(text)` — the hash only matches if the
+    * member split, the framing walk AND the header/body split land on
+    * the exact document bytes. Gzip member SIZES are deflate-
+    * implementation-dependent and deliberately excluded from the
+    * output. Scale shape: one narrow mapPartitions stage; archive
+    * blobs never cross a shuffle — the payload reduces to its md5
+    * before the output sort. */
+  private[queries] def q146(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WarcCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions(_.map { case (docId, source, text, nChars) =>
+        val uri = s"https://example.org/$source/doc$docId"
+        val date = f"2026-08-${docId % 28 + 1}%02dT00:00:00Z"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          s"Content-Length: $nChars\r\n\r\n$text"
+        val meta = s"fetchDurationMs: ${docId % 900 + 100}\r\n"
+        val recs = Seq(
+          WarcCodec.WarcRecord("response", uri, date,
+            "application/http;msgtype=response", http.getBytes("US-ASCII")),
+          WarcCodec.WarcRecord("metadata", uri, date,
+            "application/warc-fields", meta.getBytes("US-ASCII")))
+        if (docId % 2 == 0)
+          Multimodal.MediaRecord(docId, WarcCodec.encodeGzip(recs),
+            "application/warc+gzip")
+        else
+          Multimodal.MediaRecord(docId, WarcCodec.encode(recs),
+            "application/warc")
+      }).toDF()
+    Multimodal.warcRecordsBatched(spark, media).toDF()
+      .select(col("doc_id"), col("record_idx"), col("warc_type"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("http_status"), col("http_header_bytes"),
+        length(col("payload")).as("payload_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"), col("record_idx"))
+  }
+  private[queries] val q146Sql =
+    """WITH r AS (
+      |  SELECT doc_id, 0 AS record_idx, 'response' AS warc_type,
+      |         'https://example.org/' || source || '/doc' || doc_id AS target_uri,
+      |         '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |           || 'T00:00:00Z' AS warc_date,
+      |         CAST(63 + length(CAST(n_chars AS VARCHAR)) + n_chars AS INT)
+      |           AS content_length,
+      |         200 AS http_status,
+      |         CAST(63 + length(CAST(n_chars AS VARCHAR)) AS INT)
+      |           AS http_header_bytes,
+      |         CAST(n_chars AS INT) AS payload_bytes,
+      |         md5(text) AS payload_md5
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'metadata',
+      |         'https://example.org/' || source || '/doc' || doc_id,
+      |         '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |           || 'T00:00:00Z',
+      |         22, -1, 0, 22,
+      |         md5('fetchDurationMs: ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+      |             || chr(13) || chr(10))
+      |  FROM documents)
+      |SELECT doc_id, record_idx, warc_type, target_uri, warc_date,
+      |       content_length, http_status, http_header_bytes,
+      |       payload_bytes, payload_md5
+      |FROM r ORDER BY doc_id, record_idx""".stripMargin
+
+  // ----------------------------------------------------------------- q147
+  /** CDC changelog merge under the oracle — the lakehouse upsert
+    * (Delta/Iceberg/Hudi `MERGE`, Debezium materialization) as ONE
+    * window over base ∪ changelog ([[graft.ops.ChangelogMerge]]): base
+    * rows enter at seq 0, per key the highest-seq row wins, a winning
+    * tombstone drops the key. The fixture changelog exercises every
+    * interaction: generation-1 updates and tombstones (disjoint key
+    * sets so every (key, seq) is unique — the determinism contract),
+    * generation-2 RE-updates of a subset (seq 2 must beat seq 1) plus
+    * inserts of brand-new keys, and generation-3 revivals of
+    * tombstoned keys (an upsert AFTER a delete brings the key back —
+    * the ordering case a join-based merge gets wrong first). The
+    * output groups the merged snapshot per lang with a winner-seq
+    * breakdown, so the hash pins which generation owns every surviving
+    * row, not just the row count. Scale shape: the snapshot crosses
+    * the wire exactly once (one hash shuffle on the key, window state
+    * = one row) — no join, no second pass; re-merging the output with
+    * the next changelog window is the same call (self-compacting, the
+    * GenTable convergence argument). */
+  private[queries] def q147(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChangelogMerge
+    val base = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    def gen(cond: Column, seq: Int, op: String, key: Column, lang: Column,
+        source: Column, chars: Column): DataFrame =
+      base.where(cond).select(key.as("doc_id"), lang.as("lang"),
+        source.as("source"), chars.as("n_chars"),
+        lit(seq.toLong).as(ChangelogMerge.SeqCol),
+        lit(op).as(ChangelogMerge.OpCol))
+    val id = col("doc_id")
+    val changelog = gen(pmod(id, lit(3)) === 1, 1, "u",
+        id, col("lang"), col("source"), col("n_chars") + 1000L)
+      .unionByName(gen(pmod(id, lit(3)) =!= 1 && pmod(id, lit(11)) === 0,
+        1, "d", id, col("lang"), col("source"), col("n_chars")))
+      .unionByName(gen(pmod(id, lit(6)) === 1, 2, "u",
+        id, col("lang"), col("source"), col("n_chars") + 2000L))
+      .unionByName(gen(pmod(id, lit(13)) === 0, 2, "u",
+        id + 10000000L, lit("xx"), lit("srcNew"), pmod(id, lit(500)) + 1L))
+      .unionByName(gen(pmod(id, lit(22)) === 0, 3, "u",
+        id, col("lang"), col("source"), col("n_chars") + 3000L))
+    val merged = ChangelogMerge.merge(base, changelog, Seq("doc_id"))
+    def seqN(n: Int) = sum(when(col(ChangelogMerge.SeqCol) === n, 1L)
+      .otherwise(0L))
+    merged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_live"), sum(col("n_chars")).as("sum_chars"),
+        seqN(0).as("n_untouched"), seqN(1).as("n_g1"),
+        seqN(2).as("n_g2"), seqN(3).as("n_g3"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q147Sql =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         CAST(0 AS BIGINT) AS cl_seq, 'u' AS cl_op FROM documents),
+      |cl AS (
+      |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+      |         CAST(1 AS BIGINT) AS cl_seq, 'u' AS cl_op
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 1, 'd'
+      |  FROM documents WHERE doc_id % 3 <> 1 AND doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars + 2000, 2, 'u'
+      |  FROM documents WHERE doc_id % 6 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'xx', 'srcNew', doc_id % 500 + 1, 2, 'u'
+      |  FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars + 3000, 3, 'u'
+      |  FROM documents WHERE doc_id % 22 = 0),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY cl_seq DESC, cl_op DESC) AS rk
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM cl))
+      |SELECT lang, count(*) AS n_live,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(CASE WHEN cl_seq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_untouched,
+      |       CAST(sum(CASE WHEN cl_seq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_g1,
+      |       CAST(sum(CASE WHEN cl_seq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_g2,
+      |       CAST(sum(CASE WHEN cl_seq = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_g3
+      |FROM r WHERE rk = 1 AND cl_op = 'u'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------- q149
+  /** MP3 metadata walk under the oracle — the most common audio file on
+    * the public web, completing the audio-metadata family (javax.sound
+    * WAV/AIFF/AU in q95, FLAC in q144). Each document is rendered a
+    * genuine ID3v2.3-tagged MPEG-1 Layer III file
+    * ([[graft.multimodal.Mp3Codec.encode]]: syncsafe tag size, TIT2 +
+    * TPE1 text frames, real bitrate/sample-rate table indexes, padding
+    * bit alternating so frame sizes genuinely vary) and
+    * [[graft.multimodal.Multimodal.mp3MetaBatched]] recovers the text
+    * facts AND the frame-walk facts — the oracle recomputes everything
+    * closed-form from the published tables (`144·bitrate/sampleRate +
+    * padding` per frame, 1152 samples per frame), so the hash only
+    * matches if the syncsafe arithmetic, the tag-frame walk and every
+    * frame-header stride land on the true bytes. Huffman audio
+    * payloads are counted, never decoded — the documented
+    * entropy-codec seam. Scale shape: one narrow mapPartitions stage;
+    * blobs never cross a shuffle. */
+  private[queries] def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Mp3Codec, Multimodal}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (docId, source) =>
+        Multimodal.MediaRecord(docId,
+          Mp3Codec.encode(
+            title = s"Doc $docId",
+            artist = source,
+            bitrateIdx = (1 + docId % 14).toInt,
+            sampleRateIdx = (docId % 3).toInt,
+            nFrames = (2 + docId % 7).toInt,
+            mono = docId % 2 == 0), "audio/mpeg")
+      }).toDF()
+    Multimodal.mp3MetaBatched(spark, media).toDF()
+      .select(col("doc_id"), col("title"), col("artist"), col("tag_bytes"),
+        col("n_frames"), col("bitrate_kbps"), col("sample_rate"),
+        col("channels"), col("audio_bytes"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q149Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         'Doc ' || doc_id AS title, source AS artist,
+      |         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+      |           [CAST(doc_id % 14 AS INT) + 1] AS br_kbps,
+      |         ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS sr,
+      |         CAST(2 + doc_id % 7 AS INT) AS n_frames,
+      |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels
+      |  FROM documents)
+      |SELECT doc_id, title, artist,
+      |       CAST(10 + (11 + length(title)) + (11 + length(artist)) AS INT)
+      |         AS tag_bytes,
+      |       n_frames,
+      |       CAST(br_kbps AS INT) AS bitrate_kbps,
+      |       CAST(sr AS INT) AS sample_rate,
+      |       CAST(channels AS INT) AS channels,
+      |       CAST(n_frames * ((144 * br_kbps * 1000) // sr)
+      |            + n_frames // 2 AS BIGINT) AS audio_bytes,
+      |       CAST(CAST(n_frames AS BIGINT) * 1152 * 1000 // sr AS BIGINT)
+      |         AS duration_ms
+      |FROM p ORDER BY doc_id""".stripMargin
 }

@@ -118,7 +118,16 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q136_token_spectrum", q136, Some(q136Sql)),
     Decl("q137_y4m_video_decode", q137, Some(q137Sql)),
     Decl("q138_stream_pq_ingest", q138, Some(q138Sql)),
-    Decl("q139_bpe_trainer", q139, Some(q139Sql)))
+    Decl("q139_bpe_trainer", q139, Some(q139Sql)),
+    Decl("q140_mpegts_demux", q140, Some(q140Sql)),
+    Decl("q142_classifier_auc", q142, Some(q142Sql)),
+    Decl("q143_token_entropy", q143, Some(q143Sql)),
+    Decl("q144_flac_metadata", q144, Some(q144Sql)),
+    Decl("q145_priority_sample", q145, Some(q145Sql)),
+    Decl("q146_warc_ingest", q146, Some(q146Sql)),
+    Decl("q147_changelog_merge", q147, Some(q147Sql)),
+    Decl("q148_nn_descent", q148, Some(q148Sql)),
+    Decl("q149_mp3_metadata", q149, Some(q149Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -1,0 +1,88 @@
+package graft
+
+import graft.multimodal.{Multimodal, TsCodec}
+
+class TsCodecSpec extends SparkSpecBase {
+
+  private val specs = Seq(
+    TsCodec.EsSpec(pid = 256, streamType = 0x1b, nPackets = 4, firstAdaptLen = 7),
+    TsCodec.EsSpec(pid = 257, streamType = 0x0f, nPackets = 2, firstAdaptLen = 0))
+
+  test("roundtrip: PSI facts, per-PID stats, and payload arithmetic") {
+    val ts = TsCodec.encode(programNumber = 5, pmtPid = 32, pcrPid = 256, specs)
+    assert(ts.length == 188 * (2 + 4 + 2)) // PAT + PMT + ES packets
+    val d = TsCodec.parse(9L, ts)
+    assert(d.programNumber == 5 && d.pmtPid == 32 && d.pcrPid == 256)
+    assert(d.nPackets == 8 && d.streams.map(_.pid) == Seq(256, 257))
+    val v = d.streams.head
+    // first video packet: 4 hdr + 1 adapt-len + 7 adapt = 176 payload
+    assert(v.streamType == 0x1b && v.nPackets == 4 &&
+      v.payloadBytes == 176L + 3 * 184 && v.nPusi == 1 && v.ccErrors == 0)
+    val a = d.streams(1)
+    assert(a.streamType == 0x0f && a.nPackets == 2 &&
+      a.payloadBytes == 2L * 184 && a.nPusi == 1 && a.ccErrors == 0)
+  }
+
+  test("CRC32/MPEG matches the published check value") {
+    // Canonical CRC-32/MPEG-2 check: crc("123456789") = 0x0376E6E7.
+    val b = "123456789".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(TsCodec.crc32Mpeg(b, 0, b.length) == 0x0376e6e7)
+  }
+
+  test("continuity-counter gaps are detected per PID") {
+    val ts = TsCodec.encode(1, 32, 256, specs)
+    // Drop video packet #2 (packets: PAT, PMT, v0..v3, a0, a1) by
+    // splicing it out — the CC sequence 0,1,3 on PID 256 must count one
+    // discontinuity; PID 257 stays clean.
+    val cut = ts.take(188 * 4) ++ ts.drop(188 * 5)
+    val d = TsCodec.parse(4L, cut)
+    assert(d.streams.find(_.pid == 256).get.ccErrors == 1)
+    assert(d.streams.find(_.pid == 257).get.ccErrors == 0)
+  }
+
+  test("malformed packets throw with the doc id, never hang") {
+    val ok = TsCodec.encode(2, 32, 256, specs)
+    def boom(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](TsCodec.parse(42L, b)).getMessage
+    assert(boom(ok.dropRight(17)).contains("42")) // not a packet multiple
+    val badSync = ok.clone(); badSync(188 * 3) = 0x48.toByte
+    assert(boom(badSync).contains("sync"))
+    // Corrupt one PAT section byte: the CRC check must catch it.
+    val badPat = ok.clone(); badPat(9) = (badPat(9) ^ 0x01).toByte
+    assert(boom(badPat).contains("CRC"))
+    // An ES PID missing from the PMT is a demux error, not a guess:
+    // splice another stream's packets (PID 258) onto a TS whose PMT
+    // only declares 256.
+    val spliced = TsCodec.encode(2, 32, 256, specs.take(1)) ++
+      TsCodec.encode(2, 33, 257, Seq(TsCodec.EsSpec(258, 0x0f, 1, 0)))
+        .drop(188 * 2)
+    assert(boom(spliced).contains("not in the PMT"))
+    // Reserved AFC 00 throws.
+    val badAfc = ok.clone(); badAfc(188 * 2 + 3) = 0x00.toByte
+    assert(boom(badAfc).contains("AFC"))
+    // Adaptation length overrun throws.
+    val badAdapt = ok.clone(); badAdapt(188 * 2 + 4) = 0xff.toByte
+    assert(boom(badAdapt).contains("adaptation"))
+    // Encoder validates its own ranges.
+    intercept[IllegalArgumentException](TsCodec.encode(1, 5, 256, specs))
+    intercept[IllegalArgumentException](
+      TsCodec.encode(1, 32, 256, Seq(TsCodec.EsSpec(256, 0x1b, 0, 0))))
+  }
+
+  test("tsDemuxStatsBatched dispatches and emits one row per ES") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(3L, TsCodec.encode(6, 33, 300,
+        Seq(TsCodec.EsSpec(300, 0x1b, 3, 7),
+          TsCodec.EsSpec(301, 0x0f, 2, 0))), "video/mp2t")).toDF()
+    val rows = Multimodal.tsDemuxStatsBatched(spark, media)
+      .collect().sortBy(_.pid)
+    assert(rows.length == 2)
+    assert(rows(0).program_number == 6 && rows(0).pmt_pid == 33 &&
+      rows(0).pcr_pid == 300 && rows(0).pid == 300 &&
+      rows(0).stream_type == 0x1b && rows(0).n_packets == 3 &&
+      rows(0).payload_bytes == 176L + 2 * 184 && rows(0).cc_ok)
+    assert(rows(1).pid == 301 && rows(1).stream_type == 0x0f &&
+      rows(1).payload_bytes == 2L * 184 && rows(1).cc_ok)
+  }
+}
