@@ -1693,10 +1693,12 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     * = one row) — no join, no second pass; re-merging the output with
     * the next changelog window is the same call (self-compacting, the
     * GenTable convergence argument). */
-  private[queries] def q147(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q147/q150 changelog fixture: three seq generations of
+    * updates, tombstones, re-updates, inserts and revivals over the
+    * documents snapshot — every (key, seq) unique (the determinism
+    * contract). */
+  private def changelogFixture(base: DataFrame): DataFrame = {
     import graft.ops.ChangelogMerge
-    val base = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     def gen(cond: Column, seq: Int, op: String, key: Column, lang: Column,
         source: Column, chars: Column): DataFrame =
       base.where(cond).select(key.as("doc_id"), lang.as("lang"),
@@ -1704,7 +1706,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         lit(seq.toLong).as(ChangelogMerge.SeqCol),
         lit(op).as(ChangelogMerge.OpCol))
     val id = col("doc_id")
-    val changelog = gen(pmod(id, lit(3)) === 1, 1, "u",
+    gen(pmod(id, lit(3)) === 1, 1, "u",
         id, col("lang"), col("source"), col("n_chars") + 1000L)
       .unionByName(gen(pmod(id, lit(3)) =!= 1 && pmod(id, lit(11)) === 0,
         1, "d", id, col("lang"), col("source"), col("n_chars")))
@@ -1714,7 +1716,12 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         id + 10000000L, lit("xx"), lit("srcNew"), pmod(id, lit(500)) + 1L))
       .unionByName(gen(pmod(id, lit(22)) === 0, 3, "u",
         id, col("lang"), col("source"), col("n_chars") + 3000L))
-    val merged = ChangelogMerge.merge(base, changelog, Seq("doc_id"))
+  }
+
+  /** The shared q147/q150 report: merged snapshot per lang with the
+    * winner-seq breakdown — pins which generation owns every row. */
+  private def changelogReport(merged: DataFrame): DataFrame = {
+    import graft.ops.ChangelogMerge
     def seqN(n: Int) = sum(when(col(ChangelogMerge.SeqCol) === n, 1L)
       .otherwise(0L))
     merged.groupBy(col("lang"))
@@ -1722,6 +1729,14 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         seqN(0).as("n_untouched"), seqN(1).as("n_g1"),
         seqN(2).as("n_g2"), seqN(3).as("n_g3"))
       .orderBy(col("lang"))
+  }
+
+  private[queries] def q147(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChangelogMerge
+    val base = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    changelogReport(
+      ChangelogMerge.merge(base, changelogFixture(base), Seq("doc_id")))
   }
   private[queries] val q147Sql =
     """WITH base AS (
@@ -1816,4 +1831,59 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       CAST(CAST(n_frames AS BIGINT) * 1152 * 1000 // sr AS BIGINT)
       |         AS duration_ms
       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q150
+  /** STREAMING CDC changelog merge — q147's batch semantics through the
+    * PRODUCTION streaming operator
+    * ([[graft.streaming.StreamingPipeline.startChangelogIngest]]): the
+    * documents snapshot is written as the merge-on-read table's base,
+    * the SAME three-generation changelog fixture arrives as 3
+    * micro-batches in seq order (one generation per batch), each batch
+    * lands O(batch) as its own `delta/gen=batchId` (dynamic partition
+    * overwrite — exactly-once on storage), and `compactEvery = 2` fires
+    * the LAG-1 fold mid-stream after batch 1 — generation 0 folds into
+    * a base that KEEPS per-row winner seqs, batch 2's deltas then merge
+    * against the folded base. The declared output is q147's exact
+    * per-lang winner-seq report read through
+    * [[graft.ops.ChangelogMerge.readMerged]], and the oracle is q147's
+    * SQL verbatim — the hash only matches if gen-keyed appends,
+    * the mid-stream fold AND the merge-on-read view together reproduce
+    * the one-shot batch merge exactly (the invariant the design exists
+    * to provide, the q106/q62 relationship for the lakehouse family).
+    * Scale shape: per batch O(batch rows) written, snapshot never
+    * rewritten per trigger; the read is one window over base ∪ ≤ 2
+    * live generations; stream state store EMPTY — storage is the
+    * state. */
+  private[queries] def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.ChangelogMerge
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q150_")
+    try {
+      val base = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      ChangelogMerge.writeBase(base, tmp)
+      val cl = changelogFixture(base)
+      // one micro-batch per seq generation, in seq order (the CDC
+      // reader's delivery contract the compaction fold relies on)
+      val chunks = (1 to 3).map { s =>
+        fixtureSlice(cl.where(col(ChangelogMerge.SeqCol) === s)
+          .as[(Long, String, String, Long, Long, String)]).sortBy(_._1)
+      }
+      val mem = MemoryStream[(Long, String, String, Long, Long, String)]
+      val q = graft.streaming.StreamingPipeline.startChangelogIngest(
+        mem.toDF().toDF("doc_id", "lang", "source", "n_chars",
+          ChangelogMerge.SeqCol, ChangelogMerge.OpCol),
+        tablePath = tmp, checkpointDir = s"$tmp/ckpt", key = Seq("doc_id"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(2))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        changelogReport(ChangelogMerge.readMerged(spark, tmp, Seq("doc_id"))),
+        Seq("lang"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] def q150Sql: String = q147Sql
 }

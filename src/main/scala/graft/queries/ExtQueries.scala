@@ -127,7 +127,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q146_warc_ingest", q146, Some(q146Sql)),
     Decl("q147_changelog_merge", q147, Some(q147Sql)),
     Decl("q148_nn_descent", q148, Some(q148Sql)),
-    Decl("q149_mp3_metadata", q149, Some(q149Sql)))
+    Decl("q149_mp3_metadata", q149, Some(q149Sql)),
+    Decl("q150_stream_changelog_merge", q150, Some(q150Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
@@ -145,5 +146,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q105_stream_ivf_ingest", "q106_stream_lsh_autocompact",
     "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
     "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup",
-    "q135_format_interop", "q138_stream_pq_ingest")
+    "q135_format_interop", "q138_stream_pq_ingest",
+    "q150_stream_changelog_merge")
 }

@@ -357,6 +357,43 @@ object StreamingPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(annDir)
 
+  /** Continuously-ingesting CDC changelog merge — the streaming form of
+    * [[graft.ops.ChangelogMerge]] (the lakehouse merge-on-read shape):
+    * each micro-batch of changelog rows (key, payload…, cl_seq, cl_op)
+    * lands as its own delta GENERATION (`delta/gen=batchId`, dynamic
+    * partition overwrite — a retried batch replaces exactly its own
+    * generation, the same exactly-once-on-storage contract as the index
+    * ingests), so the micro-batch itself costs O(batch): the snapshot
+    * is never rewritten per trigger. Readers get the merged view via
+    * `ChangelogMerge.readMerged` (one window over base ∪ live deltas);
+    * `compactEvery` folds completed generations lag-1 (the own
+    * generation stays replayable), keeping the live-delta count — and
+    * the read amplification — bounded at ≤ n generations. The stream's
+    * state store is EMPTY: the table on storage is the state, which is
+    * what makes the merge restartable and horizontally scalable. */
+  def startChangelogIngest(changelog: DataFrame, tablePath: String,
+      checkpointDir: String, key: Seq[String],
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    changelog.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.ChangelogMerge.appendDelta(batch, tablePath, batchId)
+        // LAG-1 like the index ingests: fold generations strictly OLDER
+        // than this batch so a crash-retry of this batch still replaces
+        // exactly its own partitions. Evaluated outside the isEmpty
+        // guard (an empty batch on the firing slot must still compact —
+        // see startNearDupIngest).
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1) && batchId > 0)
+            graft.ops.ChangelogMerge.compact(
+              batch.sparkSession, tablePath, key, uptoGen = batchId - 1)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Partitioned streaming file sink with the reference's 60 s cadence
     * (run_toy_example.py:25). Time partitions derive from EVENT time; the
     * reference's processing-time partitioning (toy_lambda_function.py:9-19)

@@ -65,4 +65,85 @@ class ChangelogMergeSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  private def snapshot(tmp: String): Seq[(Long, String, Long)] =
+    ChangelogMerge.readMerged(spark, tmp, Seq("k"))
+      .orderBy("k").select("k", "v", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("merge-on-read table: gen appends are idempotent, folds keep " +
+    "winner seqs, straggler replays cannot revert a fold") {
+    val tmp = graft.ops.Scratch.tempDir("graft_clm_spec_")
+    try {
+      ChangelogMerge.writeBase(base, tmp)
+      ChangelogMerge.appendDelta(
+        log((1L, "a1", 11L, 1L, "u"), (2L, "b", 20L, 1L, "d")), tmp, gen = 0L)
+      // exactly-once: re-delivering gen 0 replaces it, never doubles it
+      ChangelogMerge.appendDelta(
+        log((1L, "a1", 11L, 1L, "u"), (2L, "b", 20L, 1L, "d")), tmp, gen = 0L)
+      ChangelogMerge.appendDelta(log((3L, "c2", 32L, 2L, "u")), tmp, gen = 1L)
+      val before = snapshot(tmp)
+      assert(before == Seq((1L, "a1", 11L), (3L, "c2", 32L), (4L, "d", 40L)))
+      // fold gen 0; the merged view must not change
+      ChangelogMerge.compact(spark, tmp, Seq("k"), uptoGen = 0L)
+      assert(snapshot(tmp) == before)
+      // the folded base keeps winner seqs: a REPLAYED gen-0 delta
+      // (seq 1) must lose to the folded seq-1/seq-0 rows, not revert
+      // anything — and a seq-0-beating update must still win
+      ChangelogMerge.appendDelta(
+        log((1L, "a1", 11L, 1L, "u"), (1L, "aX", 99L, 2L, "u")), tmp, gen = 2L)
+      assert(snapshot(tmp) ==
+        Seq((1L, "aX", 99L), (3L, "c2", 32L), (4L, "d", 40L)))
+      // fold everything: the delta dir empties, the view is unchanged
+      ChangelogMerge.compact(spark, tmp, Seq("k"), uptoGen = 2L)
+      assert(snapshot(tmp) ==
+        Seq((1L, "aX", 99L), (3L, "c2", 32L), (4L, "d", 40L)))
+      // a tombstoned key stays dead across the fold
+      assert(!snapshot(tmp).exists(_._1 == 2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("streaming ingest through startChangelogIngest converges to the " +
+    "batch merge with mid-stream compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_clm_stream_")
+    try {
+      ChangelogMerge.writeBase(base, tmp)
+      val mem = MemoryStream[(Long, String, Long, Long, String)]
+      val q = graft.streaming.StreamingPipeline.startChangelogIngest(
+        mem.toDF().toDF("k", "v", "n", ChangelogMerge.SeqCol,
+          ChangelogMerge.OpCol),
+        tablePath = tmp, checkpointDir = s"$tmp/ckpt", key = Seq("k"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(2))
+      try {
+        mem.addData(Seq((1L, "a1", 11L, 1L, "u"), (2L, "b", 20L, 1L, "d")))
+        q.processAllAvailable()
+        mem.addData(Seq((3L, "c2", 32L, 2L, "u"), (9L, "i", 90L, 2L, "u")))
+        q.processAllAvailable() // batchId 1: lag-1 fold of gen 0 fires
+        mem.addData(Seq((2L, "b3", 23L, 3L, "u"))) // revive after fold
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(snapshot(tmp) == Seq((1L, "a1", 11L), (2L, "b3", 23L),
+        (3L, "c2", 32L), (4L, "d", 40L), (9L, "i", 90L)))
+      // the fold really happened: gen 0 is gone from the delta dir
+      val gens = Option(new java.io.File(s"$tmp/delta").listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("gen="))
+      assert(!gens.contains("gen=0") && gens.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }
