@@ -337,6 +337,59 @@ object AggQueries {
       |FROM est e JOIN ex USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------------- q151
+  /** The repo's own mergeable quantile sketch under the oracle —
+    * [[graft.functions.KllQuantiles]], the KLL/MRL compactor stack as a
+    * `TypedImperativeAggregate` (the third custom aggregate, next to
+    * space_saving_topk and kmv_distinct): per-group percentiles with
+    * O(capacity·log(n/capacity)) memory per partial buffer, map-side
+    * partials, and a sketch-only shuffle — the operator that replaces
+    * q37's exact per-group sort when the group is 100 TB. Sketch
+    * ESTIMATES move within their rank-error bound under merge-order
+    * variation (deterministic alternating-parity compaction, no
+    * randomness — the variation comes only from shuffle fetch order),
+    * so the declared output carries q34's discipline: the exact group
+    * count plus BOOLEAN rank-bound assertions — for each of 5 quantiles
+    * the estimate's true rank interval [#{v<est}+1, #{v≤est}] must
+    * overlap [q·n − ε·n, q·n + ε·n] with ε = 8% (capacity 256 gives
+    * ~log₂(n/256)/256 ≈ 4% worst-case at sf0.1; 8% holds margin through
+    * the sf1 decade). The audit joins the 5-row estimate frame back
+    * broadcast — exact ranks are one map-side pass, no group sort. */
+  private def q151(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllQuantiles
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val eps = 0.08
+    val ev = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(KllQuantiles.quantiles(spark, col("value"), 256, qs).as("est"))
+    val aggCols = count(lit(1)).as("n") +:
+      qs.indices.flatMap { i =>
+        Seq(
+          sum(when(col("value") <= element_at(col("est"), i + 1), 1L)
+            .otherwise(0L)).as(s"nle_$i"),
+          sum(when(col("value") < element_at(col("est"), i + 1), 1L)
+            .otherwise(0L)).as(s"nlt_$i"))
+      }
+    val audit = ev.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    audit.select(col("event_type") +: col("n") +:
+      qs.zipWithIndex.map { case (q, i) =>
+        ((col(s"nle_$i").cast("double") >= lit(q) * col("n") - lit(eps) * col("n")) &&
+          (col(s"nlt_$i").cast("double") <= lit(q) * col("n") + lit(eps) * col("n")))
+          .as(s"q${(q * 100).toInt}_ok")
+      }: _*)
+      .orderBy(col("event_type"))
+  }
+  private val q151Sql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok,
+      |       TRUE AS q90_ok, TRUE AS q99_ok
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl("q34_approx_sketches", q34, Some(q34Sql)),
     Decl("q35_cube", q35, Some(q35Sql)),
@@ -345,5 +398,6 @@ object AggQueries {
     Decl("q42_salted_agg", q42, Some(q42Sql)),
     Decl("q43_kmv_sketch", q43, Some(q43Sql)),
     Decl("q60_heavy_hitters", q60, Some(q60Sql)),
-    Decl("q141_hll_shard_union", q141, Some(q141Sql)))
+    Decl("q141_hll_shard_union", q141, Some(q141Sql)),
+    Decl("q151_kll_quantiles", q151, Some(q151Sql)))
 }

@@ -1349,4 +1349,55 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |FROM e2 g LEFT JOIN truth t ON t.src = g.src AND t.dst = g.dst
       |WHERE g.src < 50
       |ORDER BY g.src, rn""".stripMargin
+
+  // ----------------------------------------------------------------- q152
+  /** Hard-negative mining for contrastive/embedding training — for each
+    * anchor, the most-similar vectors of a DIFFERENT label (the
+    * "hardest" negatives: high-cosine cross-class pairs are what a
+    * triplet/InfoNCE loss learns most from), with a near-dup ceiling
+    * (cos < 0.95) so mislabeled duplicates cannot poison the negative
+    * set — the standard two-guard recipe (e.g. SBERT/DPR hard-negative
+    * mining). 20 anchors broadcast against the corpus (q23's bounded
+    * ANN-scan shape: one map-side pass, per-anchor top-3 window);
+    * cosine rides the bit-pinned [[CosineSimilarity]] expression. At
+    * fleet scale the brute-force scan swaps for the IVF/PQ shortlist
+    * (q126's two-stage serve) with the same label-filter + ceiling
+    * semantics. */
+  private[queries] def q152(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val anchors = Tables.embeddings(spark, dir).where(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor"),
+        col("label").as("anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(anchors))
+      .where(col("label") =!= col("anchor_label"))
+      .withColumn("cos",
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("anchor")))
+      .where(col("cos") < 0.95)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("anchor_id"), col("anchor_label"), col("rn"),
+        col("vec_id").as("negative_id"), col("label").as("negative_label"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("anchor_id"), col("rn"))
+  }
+  private[queries] val q152Sql =
+    """WITH a AS (SELECT vec_id AS anchor_id,
+      |                  CAST(embedding AS DOUBLE[]) AS anchor,
+      |                  label AS anchor_label
+      |           FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+      |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                    a.anchor) AS cos
+      |      FROM embeddings e CROSS JOIN a
+      |      WHERE e.label <> a.anchor_label)
+      |SELECT anchor_id, anchor_label,
+      |       row_number() OVER (PARTITION BY anchor_id
+      |         ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS negative_id, label AS negative_label,
+      |       round(cos, 4) AS cos_sim
+      |FROM s WHERE cos < 0.95
+      |QUALIFY rn <= 3
+      |ORDER BY anchor_id, rn""".stripMargin
 }

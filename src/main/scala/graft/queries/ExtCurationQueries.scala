@@ -1821,4 +1821,75 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |FROM ranked r LEFT JOIN tau t USING (source)
       |WHERE r.rk <= 20
       |ORDER BY r.source, r.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q153
+  /** URL canonicalization + crawl-frontier dedup — the step a crawl
+    * pipeline runs BEFORE any fetch or text dedup: the same page
+    * arrives as `HTTPS://WWW.Host.COM:443/Docs/3/?utm_campaign=x#frag`
+    * and `https://host.com/Docs/3`, and canonicalizing (lowercase
+    * scheme+host, strip `www.`, strip the default port, drop the
+    * fragment, drop tracking params (utm_ prefix, ref) — keep real params,
+    * strip the trailing slash) collapses them. Each document renders a
+    * deliberately-messy raw URL from table formulas (mixed case, :443,
+    * trailing slash, utm/ref params, fragments — each on its own
+    * doc_id modulus so every rule fires on a known slice); the engine
+    * canonicalizes FROM THE RAW STRING with codegen'd regexp/array ops
+    * (no UDFs), while the oracle recomputes the canonical form
+    * CLOSED-FORM from the columns — the hash only matches if every
+    * rule fired exactly (the per-domain distinct count and canonical
+    * byte sum pin the exact strings). Scale shape: pure map-side
+    * string work + one per-domain aggregate; the frontier dedup at
+    * 100 TB is a groupBy on the canonical hash. */
+  private[queries] def q153(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      lit("WWW."), col("source"), lit(".Example.COM"),
+      when(id % 6 === 0, ":443").otherwise(""),
+      lit("/Docs/"), (id % 50).cast("string"),
+      when(id % 4 === 0, "/").otherwise(""),
+      when(id % 5 === 0, concat(lit("?utm_campaign=Spring&page="),
+        (id % 3).cast("string")))
+        .when(id % 5 === 1, concat(lit("?page="), (id % 3).cast("string"),
+          lit("&utm_source=feed")))
+        .otherwise(""),
+      when(id % 3 === 0, "#sec").otherwise(""))
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", ""),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(/[^?#]*)?", 1), "/$", "")
+    val params = filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))
+    val canonical = concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(""))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), canonical.as("canonical"))
+      .withColumn("domain", regexp_extract(col("canonical"), "^https://([^/]+)", 1))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical")).as("n_canonical"),
+        sum(length(col("canonical"))).as("canonical_bytes"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain"))
+  }
+  private[queries] val q153Sql =
+    """WITH c AS (
+      |  SELECT doc_id, source || '.example.com' AS domain,
+      |         'https://' || source || '.example.com/Docs/' ||
+      |         CAST(doc_id % 50 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 5 IN (0, 1)
+      |              THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+      |              ELSE '' END AS canonical
+      |  FROM documents)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+      |       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+      |       CAST(sum(length(canonical)) AS BIGINT) AS canonical_bytes,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM c GROUP BY domain ORDER BY domain""".stripMargin
 }

@@ -128,7 +128,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q147_changelog_merge", q147, Some(q147Sql)),
     Decl("q148_nn_descent", q148, Some(q148Sql)),
     Decl("q149_mp3_metadata", q149, Some(q149Sql)),
-    Decl("q150_stream_changelog_merge", q150, Some(q150Sql)))
+    Decl("q150_stream_changelog_merge", q150, Some(q150Sql)),
+    Decl("q152_hard_negative_mining", q152, Some(q152Sql)),
+    Decl("q153_url_canonicalize", q153, Some(q153Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
