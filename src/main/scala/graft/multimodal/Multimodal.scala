@@ -852,6 +852,61 @@ object Multimodal {
     }
   }
 
+  /** One WebVTT cue as a row ([[VttCodec]]). */
+  case class VttCueRow(doc_id: Long, cue_idx: Int, start_ms: Long,
+      end_ms: Long, cue_text: String)
+
+  /** Batched REAL WebVTT parse: every payload's cue blocks through
+    * [[VttCodec.parse]] — the caption side of video-text training
+    * pairs; one output row per cue. Same batched mapPartitions shape:
+    * subtitle blobs never cross a shuffle, downstream alignment joins
+    * on scalar (doc, time) columns. */
+  def vttCuesBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[VttCueRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(VttCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: vttCuesBatched expects a WebVTT mime, " +
+            s"got ${r.mime}")
+        VttCodec.parse(r.doc_id, new String(r.content, "UTF-8")).map { c =>
+          VttCueRow(r.doc_id, c.idx, c.startMs, c.endMs, c.text)
+        }
+      })
+    }
+  }
+
+  /** One tar member as a row ([[TarCodec]]): the WebDataset convention
+    * keys samples by the member name's dot-prefix (`00042.txt` →
+    * sample key `00042`, field `txt`), split here so pairing members
+    * into samples is a plain relational group-by downstream. */
+  case class TarMemberRow(doc_id: Long, sample_key: String, field: String,
+      size: Int, payload: Array[Byte])
+
+  /** Batched REAL WebDataset shard ingest: every tar payload's members
+    * through [[TarCodec.parse]] (header checksums verified), one row
+    * per member with the sample key / field split. Same batched
+    * mapPartitions shape: archive blobs never cross a shuffle — only
+    * member rows (or their hashes) reach a keyed op. */
+  def webdatasetMembersBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[TarMemberRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(TarCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: webdatasetMembersBatched expects a tar " +
+            s"mime, got ${r.mime}")
+        TarCodec.parse(r.doc_id, r.content).map { m =>
+          val dot = m.name.lastIndexOf('.')
+          val (key, field) =
+            if (dot > 0) (m.name.substring(0, dot), m.name.substring(dot + 1))
+            else (m.name, "")
+          TarMemberRow(r.doc_id, key, field, m.size, m.data)
+        }
+      })
+    }
+  }
+
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
       height: Int, grid: Array[Float])
 

@@ -58,11 +58,17 @@ object PqIndex {
       }
     }: _*)
 
-  /** PQ-encode: (id, c0..c{M-1}) map-side off the literal codebooks. */
+  /** PQ-encode: (id, c0..c{M-1}) map-side off the literal codebooks.
+    * With `cellCents` set, a coarse `cell` column rides along
+    * ([[IvfIndex.cellOf]] on the full vector) — the IVFPQ composition:
+    * the cell prunes the probe's scan, the codes rank the survivors. */
   def encode(vectors: DataFrame, base: Seq[Seq[Float]],
-      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+      id: String = "vec_id", vec: String = "embedding",
+      cellCents: Option[Seq[Seq[Float]]] = None): DataFrame =
     vectors.select(col(id).as("vec_id") +:
-      (0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")): _*)
+      ((0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")) ++
+        cellCents.map(c => IvfIndex.cellOf(
+          vectors.sparkSession, col(vec), c).as("cell")).toSeq): _*)
 
   private def writeGen(codes: DataFrame, path: String, files: Int,
       mode: String, gen: String): Unit = {
@@ -78,9 +84,11 @@ object PqIndex {
   /** Build the persisted code table (`gen=base`) under frozen codebooks
     * — the train+add half. One map-side encode, one narrow write. */
   def buildCodes(vectors: DataFrame, path: String, base: Seq[Seq[Float]],
-      files: Int = 4, id: String = "vec_id", vec: String = "embedding"): Unit =
+      files: Int = 4, id: String = "vec_id", vec: String = "embedding",
+      cellCents: Option[Seq[Seq[Float]]] = None): Unit =
     writeGen(graft.sources.Tables.spread(
-        encode(vectors, base, id, vec)), path, files, "overwrite", "base")
+        encode(vectors, base, id, vec, cellCents)), path, files,
+      "overwrite", "base")
 
   /** One ingest batch against the persisted code table: ADC-probe the
     * PRE-batch state for each batch vector's top-`k` neighbors (probe's
@@ -97,26 +105,50 @@ object PqIndex {
     * `batchId` delivery contract is [[IvfIndex.probeAndAppend]]'s
     * verbatim (replace-gen + own-generation exclusion = exactly-once on
     * storage). */
+  /** `prune = Some((cellCents, nprobe))` turns the flat ADC scan into
+    * the IVFPQ probe: the table must have been built/appended with the
+    * same `cellCents` (cells ride next to the codes), each probe scores
+    * only its `nprobe` nearest cells, and the scan prunes to those
+    * cells BEFORE any reconstruction — the composition that keeps the
+    * per-batch probe sublinear in the corpus (a flat ADC stream ingest
+    * is probes × corpus and measured 33×/decade at the sf1 sweep;
+    * pruning restores the ≤ nprobe/K fraction, and on a cell-
+    * partitioned table the parquet scan itself prunes). */
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       base: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       files: Int = 2, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = IndexLock.withWriter(path) {
+      vec: String = "embedding",
+      prune: Option[(Seq[Seq[Float]], Int)] = None): DataFrame = IndexLock.withWriter(path) {
     import org.apache.spark.sql.expressions.Window
     val gen = batchId.fold("adhoc")(b => s"b$b")
     // one evaluation of the batch plan + one K-centroid pass per
     // subspace, shared by the probe broadcast and the append
     val coded = batch
       .select(col(id).as("vec_id") +: col(vec).as("embedding") +:
-        (0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")): _*)
+        ((0 until M).map(m => codeOf(col(vec), base, m).as(s"c$m")) ++
+          prune.map { case (cents, _) =>
+            IvfIndex.cellOf(spark, col(vec), cents).as("cell")
+          }.toSeq): _*)
       .persist()
     try {
-      val probes = coded.select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe"))
-      val corpus = spark.read.parquet(path)
+      val probes = coded.select(col("vec_id").as("probe_id") +:
+        col("embedding").as("probe") +:
+        prune.map { case (cents, np) =>
+          IvfIndex.topCellsOf(spark, col("embedding"), cents, np).as("pcells")
+        }.toSeq: _*)
+      val corpusRaw = spark.read.parquet(path)
         .where(batchId.fold(lit(true))(b => col("gen") =!= s"b$b"))
+      prune.foreach { _ =>
+        require(corpusRaw.columns.contains("cell"),
+          s"$path: pruned probe needs a cell column — build the code " +
+            "table with the same cellCents")
+      }
+      val corpus = corpusRaw
         .withColumn("recon", reconOf(m => col(s"c$m"), base))
       val cand = corpus.crossJoin(broadcast(probes))
-        .where(col("vec_id") =!= col("probe_id"))
+        .where(col("vec_id") =!= col("probe_id") &&
+          prune.fold(lit(true))(_ =>
+            array_contains(col("pcells"), col("cell"))))
         .withColumn("adc", VectorOps.l2Sq(col("probe"), col("recon")))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("adc"), col("vec_id"))

@@ -1145,13 +1145,19 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * code ints per vector for the next batch to match against. The
     * oracle recomputes the WHOLE thing from scratch in SQL — codebook
     * slices, per-subspace argmin codes (same lower-code-id tie),
-    * reconstructions, ADC, and the b(atch)-visibility rule `r.b < p.b`:
-    * the hash only matches if in-stream encoding, the generation-keyed
-    * appends AND the pre-batch exclusion together produce exactly the
-    * from-scratch incremental ADC result. Scale shape: per batch the
-    * corpus side moves 4 ints/vector (never floats), reconstruction is
-    * a literal when-chain, probes broadcast; the stream's own state
-    * store is EMPTY — the code table on storage IS the state. */
+    * reconstructions, the IVF cell assignments and nprobe=2 probe
+    * short-list (the codebook vectors double as coarse centroids —
+    * q124's IVFPQ shape in the stream), ADC, and the b(atch)-visibility
+    * rule `r.b < p.b`: the hash only matches if in-stream encoding,
+    * the generation-keyed appends, the CELL PRUNING and the pre-batch
+    * exclusion together produce exactly the from-scratch incremental
+    * IVFADC result. Scale shape: per batch the corpus side moves 4
+    * code ints + 1 cell int/vector (never floats), each probe scans
+    * only its nprobe/K cell fraction (the flat-ADC spelling measured
+    * 33×/decade at the r13 sf1 sweep — the pruning is the fix),
+    * reconstruction is a literal when-chain, probes broadcast; the
+    * stream's own state store is EMPTY — the code table on storage IS
+    * the state. */
   private[queries] def q138(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1163,7 +1169,14 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       val baseCorpus = emb.where(!isStream)
       val base: Seq[Seq[Float]] = baseCorpus.orderBy(col("vec_id")).limit(16)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
-      graft.ops.PqIndex.buildCodes(baseCorpus, s"$tmp/codes", base)
+      // IVFPQ composition (q124's shape in the stream): the codebook
+      // vectors double as coarse centroids; cells ride next to the
+      // codes and each probe scans only its nprobe=2 cells — a flat
+      // ADC stream ingest is probes × corpus and measured 33×/decade
+      // at sf1, the pruned probe restores ≤ nprobe/K of that.
+      val prune = Some((base, 2))
+      graft.ops.PqIndex.buildCodes(baseCorpus, s"$tmp/codes", base,
+        cellCents = Some(base))
       val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray
@@ -1172,7 +1185,8 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         mem.toDF().toDF("vec_id", "embedding"),
         codesPath = s"$tmp/codes", annDir = s"$tmp/ann",
         checkpointDir = s"$tmp/ckpt", base = base,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        prune = prune)
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       localizeRows(
@@ -1209,10 +1223,23 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |                 flatten(list(cv ORDER BY codes.m)) AS r
       |          FROM codes JOIN c ON c.m = codes.m AND c.c_id = codes.code
       |          GROUP BY codes.vec_id),
+      |asg AS (SELECT u.vec_id,
+      |          (SELECT c_id FROM cb
+      |           ORDER BY list_cosine_similarity(u.v, cb.v) DESC, c_id DESC
+      |           LIMIT 1) AS cell
+      |        FROM univ u),
+      |pc AS (SELECT p.vec_id AS probe_id, cb.c_id,
+      |              row_number() OVER (PARTITION BY p.vec_id
+      |                ORDER BY list_cosine_similarity(p.v, cb.v) DESC,
+      |                         cb.c_id DESC) AS crn
+      |       FROM s p CROSS JOIN cb),
       |adc AS (SELECT p.vec_id AS probe_id, r.vec_id,
       |               list_sum(list_transform(range(64),
       |                 i -> (p.v[i + 1] - r.r[i + 1]) ^ 2)) AS adc
-      |        FROM s p JOIN recon r ON r.b < p.b)
+      |        FROM s p
+      |        JOIN pc ON pc.probe_id = p.vec_id AND pc.crn <= 2
+      |        JOIN asg a ON a.cell = pc.c_id
+      |        JOIN recon r ON r.vec_id = a.vec_id AND r.b < p.b)
       |SELECT probe_id,
       |       row_number() OVER (PARTITION BY probe_id
       |         ORDER BY adc ASC, vec_id) AS rn,

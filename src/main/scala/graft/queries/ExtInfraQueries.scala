@@ -1886,4 +1886,226 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     } finally rmRecursive(tmp)
   }
   private[queries] def q150Sql: String = q147Sql
+
+  // ----------------------------------------------------------------- q154
+  /** WebVTT subtitle parse + frame alignment — the query that turns one
+    * captioned video into supervised (frame, caption) training pairs:
+    * each document renders a genuine WebVTT file
+    * ([[graft.multimodal.VttCodec.encode]]; cue count, offsets and
+    * texts from table formulas), [[graft.multimodal.Multimodal
+    * .vttCuesBatched]] parses the timing lines for real, and sampled
+    * frame timestamps LEFT-join the cues on the containment range
+    * `start ≤ t < end` — an equi-join on doc_id with a range residual,
+    * NOT a cartesian (cues are per-video; the fixture's cue spacing
+    * makes them non-overlapping, so each frame matches ≤ 1 cue).
+    * Frames landing in inter-cue gaps keep cue_idx −1 — the honest
+    * uncaptioned case. The oracle recomputes the matching cue
+    * closed-form from the cue-grid formula, so the hash only matches
+    * if the timestamp parse AND the range join land exactly. Scale
+    * shape: cues and frames both keyed by doc — one shuffle each side;
+    * at fleet scale the same join runs as q33's as-of spelling (union
+    * + running window) when cue lists are long. */
+  private[queries] def q154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, VttCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (docId, source) =>
+        val off = (docId % 7) * 100
+        val cues = (1 to (2 + docId % 4).toInt).map { i =>
+          VttCodec.Cue(i, (i - 1) * 2000L + off, (i - 1) * 2000L + off + 1500L,
+            s"cue $i $source")
+        }
+        Multimodal.MediaRecord(docId,
+          VttCodec.encode(cues).getBytes("UTF-8"), "text/vtt")
+      }).toDF()
+    val cues = Multimodal.vttCuesBatched(spark, media).toDF()
+    val frames = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), lit(5))).as("frame_k"))
+      .withColumn("t_ms", col("frame_k").cast("long") * 1300L)
+    frames.join(cues,
+        frames("doc_id") === cues("doc_id") &&
+          col("t_ms") >= col("start_ms") && col("t_ms") < col("end_ms"),
+        "left")
+      .select(frames("doc_id"), col("frame_k"), col("t_ms"),
+        coalesce(col("cue_idx"), lit(-1)).as("cue_idx"),
+        coalesce(col("cue_text"), lit("")).as("cue_text"))
+      .orderBy(frames("doc_id"), col("frame_k"))
+  }
+  private[queries] val q154Sql =
+    """WITH f AS (
+      |  SELECT doc_id, source, CAST(k.k AS INT) AS frame_k,
+      |         CAST(k.k * 1300 AS BIGINT) AS t_ms,
+      |         (doc_id % 7) * 100 AS off,
+      |         2 + doc_id % 4 AS n_cues
+      |  FROM documents, (SELECT unnest(range(0, 6)) AS k) k),
+      |m AS (
+      |  SELECT doc_id, frame_k, t_ms,
+      |         CASE WHEN t_ms >= off AND (t_ms - off) % 2000 < 1500
+      |                   AND (t_ms - off) // 2000 + 1 <= n_cues
+      |              THEN CAST((t_ms - off) // 2000 + 1 AS INT)
+      |              ELSE -1 END AS cue_idx,
+      |         source
+      |  FROM f)
+      |SELECT doc_id, frame_k, t_ms, cue_idx,
+      |       CASE WHEN cue_idx > 0 THEN 'cue ' || cue_idx || ' ' || source
+      |            ELSE '' END AS cue_text
+      |FROM m ORDER BY doc_id, frame_k""".stripMargin
+
+  // ----------------------------------------------------------------- q155
+  /** WebDataset tar-shard ingest — the de-facto layout of image-text
+    * training corpora: one tar archive streams samples, each sample =
+    * consecutive members sharing a key prefix (`00042.txt` +
+    * `00042.cls` + `00042.json`). Each document renders a genuine
+    * ustar shard ([[graft.multimodal.TarCodec.encode]] — octal size
+    * fields, verified header checksums, block padding, two-zero-block
+    * end marker) holding 2–4 samples whose member payloads derive from
+    * table columns; [[graft.multimodal.Multimodal
+    * .webdatasetMembersBatched]] walks the archive and splits the
+    * WebDataset key/field convention, and the query pairs members into
+    * samples with a plain group-by. The oracle recomputes every field
+    * — including the text slice's md5 and the exact member byte sizes
+    * — closed-form, so the hash only matches if the octal arithmetic,
+    * the checksum walk and the padding strides all land. Scale shape:
+    * one narrow mapPartitions stage; shard blobs never cross a
+    * shuffle — the group-by carries sample keys, sizes and one md5 per
+    * sample. */
+  private[queries] def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, TarCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .mapPartitions(_.map { case (docId, lang, text) =>
+        val members = (1 to (2 + docId % 3).toInt).flatMap { s =>
+          val key = f"${docId * 10 + s}%08d"
+          Seq(
+            s"$key.txt" -> text.drop(s * 10).take(40).getBytes("US-ASCII"),
+            s"$key.cls" -> lang.getBytes("US-ASCII"),
+            s"$key.json" -> s"""{"doc":$docId,"s":$s}""".getBytes("US-ASCII"))
+        }
+        Multimodal.MediaRecord(docId, TarCodec.encode(members),
+          "application/x-tar")
+      }).toDF()
+    Multimodal.webdatasetMembersBatched(spark, media).toDF()
+      .groupBy(col("doc_id"), col("sample_key"))
+      .agg(count(lit(1)).as("n_fields"),
+        max(when(col("field") === "txt", length(col("payload"))))
+          .as("txt_bytes"),
+        max(when(col("field") === "txt", md5(col("payload"))))
+          .as("txt_md5"),
+        max(when(col("field") === "cls", col("payload").cast("string")))
+          .as("cls"),
+        sum(col("size")).as("total_bytes"))
+      .orderBy(col("doc_id"), col("sample_key"))
+  }
+  private[queries] val q155Sql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text, CAST(g.s AS INT) AS s
+      |  FROM documents, (SELECT unnest(range(1, 5)) AS s) g
+      |  WHERE g.s <= 2 + doc_id % 3),
+      |m AS (
+      |  SELECT doc_id,
+      |         lpad(CAST(doc_id * 10 + s AS VARCHAR), 8, '0') AS sample_key,
+      |         substr(text, 1 + s * 10, 40) AS slice,
+      |         lang,
+      |         '{"doc":' || doc_id || ',"s":' || s || '}' AS js
+      |  FROM s)
+      |SELECT doc_id, sample_key,
+      |       CAST(3 AS BIGINT) AS n_fields,
+      |       CAST(length(slice) AS INT) AS txt_bytes,
+      |       md5(slice) AS txt_md5,
+      |       lang AS cls,
+      |       CAST(length(slice) + length(lang) + length(js) AS BIGINT)
+      |         AS total_bytes
+      |FROM m ORDER BY doc_id, sample_key""".stripMargin
+
+  // ----------------------------------------------------------------- q156
+  /** Crawl-to-corpus, end-to-end: the first three stages a pretraining
+    * corpus actually runs, composed from production operators with the
+    * archive as the ONLY input — no side-channel join back to the
+    * documents table. Each document ships as a two-record WARC
+    * (response = HTTP message whose body is the text; metadata = a
+    * warc-fields block carrying lang/source — Common Crawl's layout),
+    * half the archives member-gzipped. The chain: (1) WARC ingest
+    * recovers text from the HTTP split and lang/source from the
+    * metadata fields (a per-doc equi-join of the two record types);
+    * (2) exact dedup on normalized text (CurationPipeline.exactDedup,
+    * first-wins); (3) the quality gate (min words + stopword ratio).
+    * The per-lang report carries each stage's count, the survivors'
+    * byte sum AND an md5 over the sorted survivor id list — the hash
+    * pins exactly WHICH docs survive, so a wrong HTTP split, a wrong
+    * metadata parse or a wrong gate all fail loudly. Scale shape:
+    * archive blobs die in the first mapPartitions; the record-type
+    * join and the dedup window are keyed on doc/hash; the report is a
+    * 5-row aggregate. */
+  private[queries] def q156(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WarcCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (docId, lang, source, text) =>
+        val uri = s"https://example.org/$source/doc$docId"
+        val date = "2026-08-15T00:00:00Z"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          s"Content-Length: ${text.length}\r\n\r\n$text"
+        val meta = s"lang: $lang\r\nsource: $source\r\n"
+        val recs = Seq(
+          WarcCodec.WarcRecord("response", uri, date,
+            "application/http;msgtype=response", http.getBytes("US-ASCII")),
+          WarcCodec.WarcRecord("metadata", uri, date,
+            "application/warc-fields", meta.getBytes("US-ASCII")))
+        if (docId % 2 == 0)
+          Multimodal.MediaRecord(docId, WarcCodec.encodeGzip(recs),
+            "application/warc+gzip")
+        else
+          Multimodal.MediaRecord(docId, WarcCodec.encode(recs),
+            "application/warc")
+      }).toDF()
+    val records = Multimodal.warcRecordsBatched(spark, media).toDF()
+    val texts = records.where(col("warc_type") === "response")
+      .select(col("doc_id"), col("payload").cast("string").as("text"))
+    val metas = records.where(col("warc_type") === "metadata")
+      .select(col("doc_id"),
+        regexp_extract(col("payload").cast("string"),
+          "lang: ([^\\r]+)", 1).as("lang"))
+    val crawled = texts.join(metas, "doc_id")
+    val exact = CurationPipeline.exactDedup(crawled)
+    val qual = CurationPipeline.qualityGate(exact, CurationPipeline.Config())
+    val c0 = crawled.groupBy(col("lang")).agg(count(lit(1)).as("n_crawled"))
+    val c1 = exact.groupBy(col("lang")).agg(count(lit(1)).as("n_after_exact"))
+    val c2 = qual.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_after_quality"),
+      sum(length(col("text"))).as("sum_chars"),
+      md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string"))).cast("binary")).as("kept_md5"))
+    c0.join(c1, "lang").join(c2, "lang")
+      .select(col("lang"), col("n_crawled"), col("n_after_exact"),
+        col("n_after_quality"), col("sum_chars"), col("kept_md5"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q156Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""WITH exact AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |c0 AS (SELECT lang, count(*) AS n_crawled FROM documents GROUP BY 1),
+       |c1 AS (SELECT lang, count(*) AS n_after_exact FROM exact GROUP BY 1),
+       |c2 AS (SELECT lang, count(*) AS n_after_quality,
+       |              CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+       |                ORDER BY doc_id)) AS kept_md5
+       |       FROM qual GROUP BY 1)
+       |SELECT lang, n_crawled, n_after_exact, n_after_quality,
+       |       sum_chars, kept_md5
+       |FROM c0 JOIN c1 USING (lang) JOIN c2 USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
 }

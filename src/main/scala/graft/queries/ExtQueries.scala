@@ -130,7 +130,10 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q149_mp3_metadata", q149, Some(q149Sql)),
     Decl("q150_stream_changelog_merge", q150, Some(q150Sql)),
     Decl("q152_hard_negative_mining", q152, Some(q152Sql)),
-    Decl("q153_url_canonicalize", q153, Some(q153Sql)))
+    Decl("q153_url_canonicalize", q153, Some(q153Sql)),
+    Decl("q154_vtt_frame_align", q154, Some(q154Sql)),
+    Decl("q155_webdataset_ingest", q155, Some(q155Sql)),
+    Decl("q156_crawl_to_corpus", q156, Some(q156Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

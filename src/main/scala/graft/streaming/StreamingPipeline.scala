@@ -328,11 +328,12 @@ object StreamingPipeline {
   def startPqIngest(vectors: DataFrame, codesPath: String, annDir: String,
       checkpointDir: String, base: Seq[Seq[Float]], k: Int = 3,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Option[Int] = None,
+      prune: Option[(Seq[Seq[Float]], Int)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          pqIngestBatch(batch, batchId, codesPath, annDir, base, k)
+          pqIngestBatch(batch, batchId, codesPath, annDir, base, k, prune)
         // evaluated outside the isEmpty guard (the startVectorIngest rule)
         compactEvery.foreach { n =>
           if (n > 0 && batchId % n == (n - 1))
@@ -348,10 +349,11 @@ object StreamingPipeline {
     * exposed (like [[vectorIngestBatch]]) for replay specs and batch
     * backfill drivers. */
   def pqIngestBatch(batch: DataFrame, batchId: Long, codesPath: String,
-      annDir: String, base: Seq[Seq[Float]], k: Int = 3): Unit =
+      annDir: String, base: Seq[Seq[Float]], k: Int = 3,
+      prune: Option[(Seq[Seq[Float]], Int)] = None): Unit =
     graft.ops.PqIndex.probeAndAppend(
         batch.sparkSession, codesPath, batch, base, batchId = Some(batchId),
-        k = k)
+        k = k, prune = prune)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")

@@ -69,4 +69,45 @@ class PqIndexSpec extends SparkSpecBase {
     val r1b = annOf(PqIndex.probeAndAppend(spark, path, b1, base16, Some(1L)))
     assert(r1 == r1b)
   }
+
+  test("pruned (IVFPQ) probe equals the flat scan restricted to the " +
+    "probe's cells, and refuses a cell-less table") {
+    import graft.ops.IvfIndex
+    val prune = Some((base16, 2))
+    val pathP = tmpDir("pq_cells") + "/codes"
+    val baseCorpus = emb.where(col("vec_id") % 4 =!= 0)
+    PqIndex.buildCodes(baseCorpus, pathP, base16, cellCents = Some(base16))
+    assert(spark.read.parquet(pathP).columns.contains("cell"))
+    val b0 = emb.where(col("vec_id") % 4 === 0 && col("vec_id") < 200)
+    val pruned = annOf(PqIndex.probeAndAppend(spark, pathP, b0, base16,
+      Some(0L), prune = prune))
+    // reference: flat ADC over ONLY the candidates in each probe's
+    // top-2 cells, recomputed independently from raw vectors
+    val cells = baseCorpus.select(col("vec_id"),
+      IvfIndex.cellOf(spark, col("embedding"), base16).as("cell"))
+    val probes = b0.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe"),
+      IvfIndex.topCellsOf(spark, col("embedding"), base16, 2).as("pcells"))
+    val expected = annOf(
+      PqIndex.encode(baseCorpus, base16)
+        .withColumn("recon", PqIndex.reconOf(m => col(s"c$m"), base16))
+        .join(cells, "vec_id")
+        .crossJoin(broadcast(probes))
+        .where(array_contains(col("pcells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+        .withColumn("adc", graft.functions.VectorOps.l2Sq(col("probe"), col("recon")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+            .orderBy(col("adc"), col("vec_id"))))
+        .where(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("adc"), 4).as("adc_dist")))
+    assert(pruned == expected && pruned.nonEmpty)
+    // a table built WITHOUT cells rejects the pruned probe loudly
+    val pathF = tmpDir("pq_nocell") + "/codes"
+    PqIndex.buildCodes(baseCorpus, pathF, base16)
+    val e = intercept[IllegalArgumentException](
+      PqIndex.probeAndAppend(spark, pathF, b0, base16, Some(0L), prune = prune))
+    assert(e.getMessage.contains("cell"))
+  }
 }
