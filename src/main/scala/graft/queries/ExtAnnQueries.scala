@@ -1290,6 +1290,17 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= k).drop("rn")
     }
+    // Each round's graph is consumed 3× (both sides of the local join
+    // + the union into the next top-k); without a barrier the lineage
+    // re-executes the whole prior round per consumer — measured 8 s at
+    // sf0.1 for n·k = 8k rows of actual state. The graph is n·k rows
+    // by construction (the distributed analogue is a per-round
+    // checkpoint/persist of the edge list — standard for NN-Descent's
+    // iterated self-join), so localize it between rounds.
+    def settle(edges: DataFrame): DataFrame =
+      graft.ops.Caches.localize(edges, maxRows = 1 << 22).getOrElse {
+        val p = edges.persist(); p.count(); p
+      }
     def descend(cur: DataFrame): DataFrame = {
       val u = cur.select(col("src"), col("dst")).unionByName(
         cur.select(col("dst").as("src"), col("src").as("dst")))
@@ -1299,9 +1310,9 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       val cand = withCos(pairs)
       val sym = cand.unionByName(cand.select(col("dst").as("src"),
         col("src").as("dst"), col("cos")))
-      topK(cur.unionByName(sym))
+      settle(topK(cur.unionByName(sym)))
     }
-    val e2 = descend(descend(topK(withCos(init))))
+    val e2 = descend(descend(settle(topK(withCos(init)))))
     val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 50)
       .select(col("vec_id").as("src"), col("embedding").as("probe"))
     val wTrue = Window.partitionBy(col("src"))
