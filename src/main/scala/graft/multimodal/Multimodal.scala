@@ -907,6 +907,32 @@ object Multimodal {
     }
   }
 
+  /** One Ogg stream's page-layer facts as a row ([[OggCodec]]). */
+  case class OggMetaRow(doc_id: Long, serial: Int, n_pages: Int,
+      n_packets: Int, payload_bytes: Long, last_granule: Long,
+      bos_ok: Boolean, eos_ok: Boolean)
+
+  /** Batched REAL Ogg page walk: every payload's page layer through
+    * [[OggCodec.parse]] (CRC-verified pages, lacing-framed packet
+    * counting, BOS/EOS accounting) — the Opus/Vorbis transport member
+    * of the audio-container family. Codec packets are counted, never
+    * decoded (the documented entropy-codec seam). Same batched
+    * mapPartitions shape: blobs never cross a shuffle. */
+  def oggMetaBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[OggMetaRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(OggCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: oggMetaBatched expects an Ogg mime, " +
+            s"got ${r.mime}")
+        val m = OggCodec.parse(r.doc_id, r.content)
+        OggMetaRow(r.doc_id, m.serial, m.nPages, m.nPackets,
+          m.payloadBytes, m.lastGranule, m.bosOk, m.eosOk)
+      })
+    }
+  }
+
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
       height: Int, grid: Array[Float])
 

@@ -2108,4 +2108,62 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
        |FROM c0 JOIN c1 USING (lang) JOIN c2 USING (lang)
        |ORDER BY lang""".stripMargin
   }
+
+  // ----------------------------------------------------------------- q157
+  /** Ogg page walk under the oracle — the Opus/Vorbis transport
+    * (RFC 3533), completing the web-audio container set (MP3 q149,
+    * FLAC q144, WAV/AIFF/AU q95). Each document renders a genuine
+    * single-serial logical stream ([[graft.multimodal.OggCodec
+    * .encode]]: BOS/EOS flags, little-endian granules, per-page CRC
+    * with the field zeroed, lacing-value segment tables) whose page
+    * count, packet layout and granules derive from table formulas;
+    * [[graft.multimodal.Multimodal.oggMetaBatched]] re-walks the page
+    * layer — the oracle recomputes every stat closed-form, so the hash
+    * only matches if the CRC verification, the lacing-framed packet
+    * count AND the granule decode all land on the true bytes. Opus/
+    * Vorbis packets are counted, never decoded — the documented
+    * entropy-codec seam. Scale shape: one narrow mapPartitions stage;
+    * blobs never cross a shuffle. */
+  private[queries] def q157(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, OggCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val nPages = (2 + docId % 4).toInt
+        var cumPackets = 0L
+        val pages = (0 until nPages).map { p =>
+          val nPk = (1 + (docId + p) % 3).toInt
+          cumPackets += nPk
+          OggCodec.PageSpec(
+            (0 until nPk).map(k => (50 + (docId + 7L * p + 3L * k) % 100).toInt),
+            granule = cumPackets * 960L)
+        }
+        Multimodal.MediaRecord(docId,
+          OggCodec.encode((1000 + docId % 100).toInt, pages), "audio/ogg")
+      }).toDF()
+    Multimodal.oggMetaBatched(spark, media).toDF()
+      .select(col("doc_id"), col("serial"), col("n_pages"), col("n_packets"),
+        col("payload_bytes"), col("last_granule"), col("bos_ok"),
+        col("eos_ok"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q157Sql =
+    """WITH pg AS (
+      |  SELECT doc_id, CAST(p.p AS BIGINT) AS p
+      |  FROM documents, (SELECT unnest(range(0, 6)) AS p) p
+      |  WHERE p.p < 2 + doc_id % 4),
+      |pk AS (
+      |  SELECT doc_id, p, CAST(k.k AS BIGINT) AS k
+      |  FROM pg, (SELECT unnest(range(0, 3)) AS k) k
+      |  WHERE k.k < 1 + (doc_id + p) % 3)
+      |SELECT doc_id,
+      |       CAST(1000 + doc_id % 100 AS INT) AS serial,
+      |       CAST(2 + doc_id % 4 AS INT) AS n_pages,
+      |       CAST(count(*) AS INT) AS n_packets,
+      |       CAST(sum(50 + (doc_id + 7 * p + 3 * k) % 100) AS BIGINT)
+      |         AS payload_bytes,
+      |       CAST(count(*) * 960 AS BIGINT) AS last_granule,
+      |       TRUE AS bos_ok, TRUE AS eos_ok
+      |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
