@@ -67,7 +67,16 @@ case class KllQuantiles(child: Expression, capacity: Int,
     if (v != null) {
       buf.n += 1
       buf.level(0) += v.asInstanceOf[Double]
-      if (buf.level(0).length >= capacity) buf.compact(0, capacity)
+      // cascade upward: compact(0) half-fills level 1, which eventually
+      // fills and must compact into level 2, and so on — without this,
+      // levels >= 1 grow O(n) per partial buffer and the documented
+      // O(capacity · log(n/capacity)) bound (and the "shuffle carries
+      // sketches, never rows" contract) is violated.
+      var lv = 0
+      while (lv < buf.levels.length) {
+        while (buf.levels(lv).length >= capacity) buf.compact(lv, capacity)
+        lv += 1
+      }
     }
     buf
   }

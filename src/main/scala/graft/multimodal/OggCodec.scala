@@ -74,6 +74,12 @@ object OggCodec {
     pages.zipWithIndex.foreach { case (p, seq) =>
       require(p.packetSizes.nonEmpty && p.packetSizes.forall(s => s > 0 && s < 255),
         s"page $seq: packet sizes must be in (0, 255)")
+      // a page's segment table holds at most 255 lacing values; without
+      // this, nSeg.toByte below silently truncates and the writer emits
+      // a page whose segment table disagrees with its body length
+      require(p.packetSizes.length <= 255,
+        s"page $seq: ${p.packetSizes.length} packets exceed the 255-" +
+          "segment page limit — split across pages")
       val payload = p.packetSizes.map { s =>
         val b = new Array[Byte](s)
         var i = 0

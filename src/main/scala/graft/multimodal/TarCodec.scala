@@ -43,12 +43,16 @@ object TarCodec {
       require(name.getBytes("US-ASCII").length <= 100,
         s"member name '$name' exceeds the 100-byte ustar name field")
       val h = new Array[Byte](BlockSize)
-      def put(s: String, off: Int, len: Int): Unit = {
+      // `full = true` for the name field only: ustar allows a
+      // non-NUL-terminated name filling all 100 bytes (parse()'s cstr
+      // stops at the field limit); every other field needs its NUL.
+      def put(s: String, off: Int, len: Int, full: Boolean = false): Unit = {
         val b = s.getBytes("US-ASCII")
-        require(b.length < len, s"field '$s' overflows $len bytes")
+        require(if (full) b.length <= len else b.length < len,
+          s"field '$s' overflows $len bytes")
         System.arraycopy(b, 0, h, off, b.length)
       }
-      put(name, 0, 100)
+      put(name, 0, 100, full = true)
       put("0000644", 100, 8) // mode
       put("0000000", 108, 8) // uid
       put("0000000", 116, 8) // gid

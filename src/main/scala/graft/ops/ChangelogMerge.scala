@@ -103,6 +103,9 @@ object ChangelogMerge {
     * This IS the read path — O(base + deltas), one shuffle. */
   def readMerged(spark: SparkSession, tablePath: String,
       key: Seq[String]): DataFrame = {
+    // self-heal a crash-interrupted compact (base/ renamed aside but
+    // base_next/ not yet in place) so reads never see a missing base
+    Layout.healSwap(spark, s"$tablePath/base_next", s"$tablePath/base")
     val base = spark.read.parquet(s"$tablePath/base")
     val deltaSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(f => f.name == SeqCol || f.name == OpCol))
@@ -117,6 +120,7 @@ object ChangelogMerge {
     * converges (max-seq is a lattice join). */
   def compact(spark: SparkSession, tablePath: String, key: Seq[String],
       uptoGen: Long): Unit = {
+    Layout.healSwap(spark, s"$tablePath/base_next", s"$tablePath/base")
     val base = spark.read.parquet(s"$tablePath/base")
     val deltaSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(f => f.name == SeqCol || f.name == OpCol))
@@ -128,16 +132,18 @@ object ChangelogMerge {
       .parquet(p.toString)
     val folded = merge(base, live.where(col("gen") <= uptoGen).drop("gen"),
       key)
-    // Stage-then-swap: materialize to base_next, swap via rename, then
-    // drop the folded generations. The swap window is not atomic for
-    // concurrent readers — single-writer tables (foreachBatch is the
-    // only writer here) are safe; a multi-writer deployment puts the
-    // same IndexLock writer fence around this that the index families
-    // use for their compactions.
+    // Stage-then-swap via the shared rename-ASIDE commit (Layout
+    // .swapInto after a healSwap at entry, same as PqIndex/IvfIndex
+    // compactions): base → base.old, base_next → base, drop .old. Every
+    // crash point leaves base/ or base.old/ present, and re-running
+    // compact heals and retries — unlike a delete-then-rename, which
+    // has a window with NO base at all. The swap window is still not
+    // atomic for concurrent readers — single-writer tables
+    // (foreachBatch is the only writer here) are safe; a multi-writer
+    // deployment puts the same IndexLock writer fence around this that
+    // the index families use for their compactions.
     folded.write.mode("overwrite").parquet(s"$tablePath/base_next")
-    val basePath = new org.apache.hadoop.fs.Path(s"$tablePath/base")
-    fs.delete(basePath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$tablePath/base_next"), basePath)
+    Layout.swapInto(spark, s"$tablePath/base_next", s"$tablePath/base")
     val st = fs.listStatus(p)
     st.filter { s =>
       val n = s.getPath.getName

@@ -113,7 +113,14 @@ object PqIndex {
     * per-batch probe sublinear in the corpus (a flat ADC stream ingest
     * is probes × corpus and measured 33×/decade at the sf1 sweep;
     * pruning restores the ≤ nprobe/K fraction, and on a cell-
-    * partitioned table the parquet scan itself prunes). */
+    * partitioned table the parquet scan itself prunes). Residual cost
+    * note: the broadcast-nested-loop still ENUMERATES probes × corpus
+    * pairs — pruning skips the reconstruction/ADC arithmetic and the
+    * window input for non-matching pairs, but the pair predicate
+    * itself is O(probes × corpus) per batch. With the code table
+    * cell-partitioned (writeGen partitioned by cell) the parquet scan
+    * prunes files first and the enumeration drops to probes ×
+    * (touched-cell rows); that layout is the 100 TB form. */
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       base: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       files: Int = 2, id: String = "vec_id",
@@ -142,6 +149,15 @@ object PqIndex {
         require(corpusRaw.columns.contains("cell"),
           s"$path: pruned probe needs a cell column — build the code " +
             "table with the same cellCents")
+        // generations appended BEFORE pruning was enabled carry null
+        // cells; array_contains(pcells, null) is null → silently
+        // filtered, a quiet recall hole on every probe. Fail loudly
+        // instead: the fix is a one-time re-code (compact with cells).
+        val nullCells = corpusRaw.where(col("cell").isNull).limit(1).count()
+        require(nullCells == 0L,
+          s"$path: pruned probe found generations with null cell — " +
+            "re-code the table with cellCents before pruned probes " +
+            "(null cells would be silently dropped from every probe)")
       }
       val corpus = corpusRaw
         .withColumn("recon", reconOf(m => col(s"c$m"), base))

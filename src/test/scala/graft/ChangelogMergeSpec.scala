@@ -109,6 +109,44 @@ class ChangelogMergeSpec extends SparkSpecBase {
     }
   }
 
+  test("compact commit is crash-recoverable: a swap interrupted between " +
+    "renames self-heals on the next read and the next compact") {
+    // regression (round-14 ADVICE medium): compact used to commit via
+    // delete(base) + rename(base_next, base) — a crash between the two
+    // left the table with NO base and nothing self-healed. Now it
+    // commits via Layout.healSwap + swapInto (rename-aside).
+    val tmp = graft.ops.Scratch.tempDir("graft_clm_crash_")
+    try {
+      ChangelogMerge.writeBase(base, tmp)
+      ChangelogMerge.appendDelta(log((1L, "a1", 11L, 1L, "u")), tmp, gen = 0L)
+      val expect = Seq((1L, "a1", 11L), (2L, "b", 20L),
+        (3L, "c", 30L), (4L, "d", 40L))
+      assert(snapshot(tmp) == expect)
+      // simulate the crash point INSIDE swapInto: base moved aside to
+      // base.old, replacement not yet renamed in — base/ is missing
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/base"),
+        new org.apache.hadoop.fs.Path(s"$tmp/base.old")))
+      // reads self-heal (restore base from base.old) instead of failing
+      assert(snapshot(tmp) == expect)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/base")))
+      // crash again, this time recover via the compaction path itself
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/base"),
+        new org.apache.hadoop.fs.Path(s"$tmp/base.old")))
+      ChangelogMerge.compact(spark, tmp, Seq("k"), uptoGen = 0L)
+      assert(snapshot(tmp) == expect)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/base.old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/base_next")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("streaming ingest through startChangelogIngest converges to the " +
     "batch merge with mid-stream compaction") {
     import spark.implicits._

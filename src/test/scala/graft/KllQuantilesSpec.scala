@@ -76,6 +76,43 @@ class KllQuantilesSpec extends SparkSpecBase {
     assert(agg.eval(back) != null)
   }
 
+  test("update() keeps every level under capacity — the " +
+    "O(capacity*log(n/capacity)) partial-buffer bound") {
+    // regression (round-14 ADVICE high): update() used to compact only
+    // level 0, so level 1 grew to ~n/2 items per partition — an O(n)
+    // partial buffer and shuffle payload. The cascade must hold the
+    // bound for a single buffer fed n rows with NO merge() involved.
+    val cap = 32
+    val agg = KllQuantiles(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      capacity = cap, quantiles = Seq(0.5))
+    val buf = agg.createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    val n = 100000
+    (0 until n).foreach { i =>
+      row.update(0, ((i * 48271L) % 100003L).toDouble)
+      agg.update(buf, row)
+    }
+    buf.levels.zipWithIndex.foreach { case (lv, i) =>
+      assert(lv.length < cap, s"level $i holds ${lv.length} >= $cap items")
+    }
+    val totalItems = buf.levels.map(_.length).sum
+    val bound = cap * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong / cap) + 2)
+    assert(totalItems <= bound, s"$totalItems items exceeds bound $bound")
+    assert(buf.levels.length <= 64 - java.lang.Long.numberOfLeadingZeros(n.toLong / cap) + 2)
+    // serialized partial stays small — the shuffle-carries-sketches contract
+    assert(agg.serialize(buf).length < 64 * 1024,
+      s"serialized partial is ${agg.serialize(buf).length} bytes")
+    // and the estimate is still within the rank error bound
+    val est = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()(0)
+    val sortedV = (0 until n).map(i => ((i * 48271L) % 100003L).toDouble).sorted
+    val nle = sortedV.count(_ <= est)
+    assert(math.abs(nle - 0.5 * n) <= 0.12 * n, s"median est $est nle=$nle")
+  }
+
   test("partial aggregation really happens map-side (two KLL stages)") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 5, i.toDouble)).toDF("g", "v")

@@ -37,6 +37,15 @@ class OggCodecSpec extends SparkSpecBase {
     // encoder validates its own ranges
     intercept[IllegalArgumentException](
       OggCodec.encode(1, Seq(OggCodec.PageSpec(Seq(300), 0L))))
+    // ... including the 255-segment page limit (nSeg.toByte would
+    // otherwise silently truncate into a self-inconsistent page)
+    val over = intercept[IllegalArgumentException](
+      OggCodec.encode(1, Seq(OggCodec.PageSpec(Seq.fill(256)(10), 0L))))
+    assert(over.getMessage.contains("255"))
+    // 255 segments exactly is legal and roundtrips
+    val full = OggCodec.parse(9L,
+      OggCodec.encode(3, Seq(OggCodec.PageSpec(Seq.fill(255)(7), 0L))))
+    assert(full.nPackets == 255 && full.payloadBytes == 255 * 7)
   }
 
   test("oggMetaBatched dispatches and rejects foreign mimes loudly") {

@@ -109,5 +109,16 @@ class PqIndexSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       PqIndex.probeAndAppend(spark, pathF, b0, base16, Some(0L), prune = prune))
     assert(e.getMessage.contains("cell"))
+    // a generation appended BEFORE pruning was enabled (cell column
+    // present in the merged schema but null on those rows) must also be
+    // rejected, not silently dropped from every probe's candidate set
+    PqIndex.encode(emb.where(col("vec_id") % 4 === 0 && col("vec_id") < 40),
+        base16)
+      .withColumn("cell", lit(null).cast("int"))
+      .withColumn("gen", lit("pre"))
+      .write.partitionBy("gen").mode("append").parquet(pathP)
+    val eNull = intercept[IllegalArgumentException](
+      PqIndex.probeAndAppend(spark, pathP, b0, base16, Some(1L), prune = prune))
+    assert(eNull.getMessage.contains("null cell"))
   }
 }

@@ -18,6 +18,17 @@ class TarVttCodecSpec extends SparkSpecBase {
     assert(new String(parsed.head.data, "US-ASCII") == "hello webdataset")
   }
 
+  test("tar accepts an exactly-100-byte name (non-NUL-terminated ustar " +
+    "field) and rejects 101") {
+    val name100 = "d/" * 48 + "f.gz" // 100 ASCII bytes
+    assert(name100.getBytes("US-ASCII").length == 100)
+    val parsed = TarCodec.parse(7L,
+      TarCodec.encode(Seq(name100 -> "x".getBytes("US-ASCII"))))
+    assert(parsed.map(_.name) == Seq(name100))
+    intercept[IllegalArgumentException](
+      TarCodec.encode(Seq((name100 + "z") -> Array[Byte](1))))
+  }
+
   test("tar malformed bytes throw with the doc id, never hang") {
     val tar = TarCodec.encode(members)
     def boom(b: Array[Byte]): String =
