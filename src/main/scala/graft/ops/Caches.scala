@@ -13,15 +13,42 @@ import org.apache.spark.sql.DataFrame
   * The multi-job / 100 TB form writes the intermediate to storage
   * instead (see TextOps scaladoc) — localization is bounded by
   * `maxRows` so it can never silently swallow an at-scale result.
-  */
+  *
+  * SCALE NOTE (the deployment contract for the call-site caps —
+  * IvfIndex / LshIndex / PqIndex probe results, NN-Descent round edges):
+  * every caller treats `None` as "too big to localize" and falls back
+  * to `persist()`/`localCheckpoint`, so correctness NEVER depends on
+  * localization succeeding — the cap only trades driver heap for
+  * avoiding a cluster-side materialization. On a real cluster the
+  * default caps (typically `1 << 22` rows ≈ 4 M) assume driver heap in
+  * the tens of GiB for wide rows; a deployment sizes the cap to its
+  * driver via [[MaxRowsConf]] (one setting governs every call site)
+  * rather than editing call sites. A workload whose probe batches
+  * overflow the cap on EVERY batch should set the cap to 0 — taking the
+  * cluster-side fallback deliberately instead of paying a doomed
+  * `limit(cap+1).collect()` probe per batch. */
 object Caches {
 
+  /** Session conf that overrides every call site's `maxRows` default:
+    * `spark.conf.set(MaxRowsConf, n)`. `0` disables localization
+    * (always the cluster-side fallback); unset keeps call-site
+    * defaults. */
+  val MaxRowsConf = "spark.graft.localize.maxRows"
+
+  /** The effective cap: the [[MaxRowsConf]] session override when set,
+    * else the call site's `default`. */
+  def effectiveMaxRows(df: DataFrame, default: Int): Int =
+    df.sparkSession.conf.getOption(MaxRowsConf).map(_.toInt).getOrElse(default)
+
   /** Collect `df` into a LocalRelation-backed DataFrame iff it has at
-    * most `maxRows` rows; None when it is too large to localize. Row
-    * order is preserved (single local partition). */
+    * most `maxRows` rows (as overridden by [[MaxRowsConf]]); None when
+    * it is too large to localize — callers fall back to persist /
+    * localCheckpoint. Row order is preserved (single local partition). */
   def localize(df: DataFrame, maxRows: Int): Option[DataFrame] = {
-    val rows = df.limit(maxRows + 1).collect()
-    if (rows.length > maxRows) None
+    val cap = effectiveMaxRows(df, maxRows)
+    if (cap <= 0) return None
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) None
     else Some(df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema))
   }
 }

@@ -297,6 +297,41 @@ object TextOps {
         .otherwise(acc.getField("out")))
   }
 
+  /** Apply a SET of token-disjoint BPE merges in ONE in-row pass —
+    * the batched-trainer companion of [[bpeApplyMerge]] (which applies
+    * exactly one). Same greedy left-to-right non-overlapping fold; the
+    * pending/current pair fuses when it matches ANY merge in the set.
+    * Caller contract: the merges are TOKEN-DISJOINT (no token appears
+    * in two merges, on either side) — then no two distinct patterns can
+    * ever compete for one token and the single-pass result equals
+    * applying the merges in any sequential order, which is what lets a
+    * trainer learn m merges per corpus pass instead of one (q159; a
+    * production 32k-merge run becomes 32k/m heavy passes). An empty
+    * set is the identity. */
+  def bpeApplyMergeSet(tokens: Column, merges: Seq[(String, String)]): Column = {
+    if (merges.isEmpty) return tokens
+    val none = lit(null).cast("string")
+    def st(out: Column, pending: Column) =
+      struct(out.as("out"), pending.as("pending"))
+    def isMerge(pend: Column, t: Column): Column =
+      merges.map { case (a, b) => pend === lit(a) && t === lit(b) }
+        .reduce(_ || _)
+    aggregate(
+      tokens,
+      st(array().cast("array<string>"), none),
+      (acc, t) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pending")
+        when(pend.isNotNull && isMerge(pend, t),
+          st(array_append(out, concat_ws("_", pend, t)), none))
+          .when(pend.isNotNull, st(array_append(out, pend), t))
+          .otherwise(st(out, t))
+      },
+      acc => when(acc.getField("pending").isNotNull,
+        array_append(acc.getField("out"), acc.getField("pending")))
+        .otherwise(acc.getField("out")))
+  }
+
   /** Token count under a BPE-ish regex (letter runs / digit runs / single
     * other non-space chars). `expr` because the Scala functions API has no
     * regexp_extract_all binding; the SQL function is the same codegen'd

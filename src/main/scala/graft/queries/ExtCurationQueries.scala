@@ -976,6 +976,139 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   }
 
 
+  // ----------------------------------------------------------------- q159
+  /** BATCHED BPE trainer — q139's production form (the round-13
+    * verdict's watch item: one driver round-trip per merge is 32k
+    * Spark jobs at the production 32k-merge scale). Each ROUND learns
+    * the top-`q159M` MUTUALLY TOKEN-DISJOINT merges from ONE corpus
+    * pair-count (greedy by count desc / pair asc, skipping any pair
+    * sharing a token with an earlier pick — disjointness is what makes
+    * simultaneous application order-independent, see
+    * [[TextOps.bpeApplyMergeSet]]), then applies all of them in ONE
+    * in-row rewrite pass. 32k merges thus cost 32k/m corpus passes.
+    * The per-pick selection jobs run against the PERSISTED pair-count
+    * table (a vocab²-bounded relation, not the corpus), so the heavy
+    * per-round work — corpus explode + count + rewrite — happens once
+    * per round regardless of m. Output: the learned vocab table
+    * (round, slot, mt1, mt2, pair_count); the oracle unrolls both the
+    * per-round greedy selection chain and the multi-pattern
+    * gaps-and-islands apply, so any drift in selection order,
+    * exclusion, or simultaneous application hash-mismatches. */
+  private[queries] val q159Rounds = 2
+  private[queries] val q159M = 4
+  private[queries] def q159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")).persist()
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, String, String, Long)]()
+    try {
+      for (r <- 0 until q159Rounds) {
+        val counts = docs
+          .select(explode(TextOps.wordShingles(col("text"), 2)).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+          .select(substring_index(col("sh"), " ", 1).as("t1"),
+            substring_index(col("sh"), " ", -1).as("t2"),
+            col("sh"), col("c"))
+          .persist()
+        try {
+          val used = scala.collection.mutable.LinkedHashSet[String]()
+          var slot = 0
+          var exhausted = false
+          while (slot < q159M && !exhausted) {
+            // tiny job: filter + top-1 on the cached vocab²-bounded table
+            val pick = counts
+              .where(if (used.isEmpty) lit(true)
+                else !col("t1").isInCollection(used.toSeq) &&
+                  !col("t2").isInCollection(used.toSeq))
+              .orderBy(col("c").desc, col("sh"))
+              .limit(1)
+              .select(col("t1"), col("t2"), col("c"))
+              .as[(String, String, Long)].collect()
+            if (pick.isEmpty) exhausted = true
+            else {
+              val (a, b, c) = pick.head
+              learned += ((r, slot, a, b, c))
+              used += a; used += b
+              slot += 1
+            }
+          }
+        } finally counts.unpersist()
+        if (r < q159Rounds - 1) {
+          val merges = learned.filter(_._1 == r).map(x => (x._3, x._4)).toSeq
+          val next = docs.select(col("doc_id"),
+            concat_ws(" ", TextOps.bpeApplyMergeSet(
+              TextOps.words(col("text")), merges)).as("text"))
+            .persist()
+          next.count() // materialize before releasing the parent cache
+          docs.unpersist()
+          docs = next
+        }
+      }
+    } finally docs.unpersist()
+    learned.toSeq.toDF("round", "slot", "mt1", "mt2", "pair_count")
+      .orderBy(col("round"), col("slot"))
+  }
+  /** Unrolled mirror: per round, a greedy selection chain (each pick
+    * excludes every token of the earlier picks) + one multi-pattern
+    * gaps-and-islands apply. Generated like q139Sql so the round and
+    * slot machinery cannot drift. */
+  private[queries] lazy val q159Sql = {
+    def selChain(r: Int): String = {
+      val picks = (0 until q159M).map { j =>
+        val excl = if (j == 0) "" else {
+          val toks = (0 until j).flatMap(i => Seq(
+            s"SELECT t1 AS t FROM s_${r}_$i",
+            s"SELECT t2 AS t FROM s_${r}_$i")).mkString(" UNION ")
+          s"\n      WHERE t1 NOT IN (SELECT t FROM ($toks))" +
+            s" AND t2 NOT IN (SELECT t FROM ($toks))"
+        }
+        s"s_${r}_$j AS MATERIALIZED (SELECT t1, t2, c FROM pc_$r$excl\n" +
+          s"      ORDER BY c DESC, t1 || ' ' || t2 LIMIT 1)"
+      }
+      val union = (0 until q159M).map(j =>
+        s"SELECT $j AS slot, t1 AS mt1, t2 AS mt2, c FROM s_${r}_$j")
+        .mkString(" UNION ALL ")
+      (Seq(
+        s"pp_$r AS (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w$r)",
+        s"pr_$r AS (SELECT doc_id, pos, w[pos] AS t1, w[pos + 1] AS t2 FROM pp_$r)",
+        s"pc_$r AS MATERIALIZED (SELECT t1, t2, count(*) AS c FROM pr_$r GROUP BY 1, 2)") ++
+        picks :+ s"sel_$r AS MATERIALIZED ($union)").mkString(",\n")
+    }
+    def apply(r: Int): String = {
+      val nw = s"w${r + 1}"
+      s"tok_$r AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM w$r),\n" +
+      s"tt_$r AS (SELECT doc_id, pos, w[pos] AS t,\n" +
+      s"              CASE WHEN pos < len(w) THEN w[pos + 1] END AS nt FROM tok_$r),\n" +
+      s"p_$r AS (SELECT tt.doc_id, tt.pos, tt.t, tt.nt,\n" +
+      s"              s.mt1 IS NOT NULL AS isp\n" +
+      s"      FROM tt_$r tt LEFT JOIN sel_$r s ON s.mt1 = tt.t AND s.mt2 = tt.nt),\n" +
+      s"r_$r AS (SELECT *, CASE WHEN isp\n" +
+      s"        THEN pos - ROW_NUMBER() OVER (PARTITION BY doc_id, isp ORDER BY pos)\n" +
+      s"      END AS grp FROM p_$r),\n" +
+      s"ma_$r AS MATERIALIZED (SELECT *, isp AND\n" +
+      s"         (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS merge_at\n" +
+      s"       FROM r_$r),\n" +
+      s"cons_$r AS (SELECT doc_id, pos + 1 AS pos FROM ma_$r WHERE merge_at),\n" +
+      s"$nw AS MATERIALIZED (SELECT ma.doc_id,\n" +
+      s"          list(CASE WHEN ma.merge_at THEN ma.t || '_' || ma.nt ELSE ma.t END\n" +
+      s"               ORDER BY ma.pos) AS w\n" +
+      s"        FROM ma_$r ma LEFT JOIN cons_$r cons\n" +
+      s"          ON cons.doc_id = ma.doc_id AND cons.pos = ma.pos\n" +
+      s"        WHERE cons.pos IS NULL GROUP BY ma.doc_id)"
+    }
+    val body = (0 until q159Rounds).map { r =>
+      if (r < q159Rounds - 1) selChain(r) + ",\n" + apply(r)
+      else selChain(r)
+    }.mkString(",\n")
+    val sel = (0 until q159Rounds).map(r =>
+      s"SELECT $r AS round, slot, mt1, mt2, CAST(c AS BIGINT) AS pair_count FROM sel_$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
+      s"$body\n$sel\nORDER BY round, slot"
+  }
+
+
   // ------------------------------------------------------------------ q86
   /** Per-source cap (CurationPipeline.sourceCap, the C4/CCNet-style
     * domain cap): keep at most 10 docs per source, longest first, ties

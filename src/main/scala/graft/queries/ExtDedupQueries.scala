@@ -1195,4 +1195,94 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |       round(cont, 4) AS containment
        |FROM c WHERE cont >= 0.8
        |ORDER BY doc_sub, doc_sup""".stripMargin
+
+
+  // ----------------------------------------------------------------- q158
+  /** DEGREE-CAPPED PageRank — q133's scale-safe form (the round-13
+    * verdict's watch item): the dup graph's edge count grows with dup
+    * DENSITY, not just corpus size, and one boilerplate family of f
+    * copies contributes f² edges, so q133's per-iteration shuffle is
+    * super-linear on skewed corpora (measured 9.04×/decade at sf1). The
+    * standard large-graph mitigation caps per-vertex fan-OUT: each
+    * vertex keeps its `cap` pseudo-randomly chosen out-edges (ordered
+    * by md5(src|dst) — deterministic, engine-portable, unbiased w.r.t.
+    * edge structure), so the iteration shuffle is O(V·cap) REGARDLESS
+    * of dup density and a 10^6-copy hub costs the same as a 16-copy
+    * one. Rank mass still flows both ways on capped hubs because the
+    * cap is applied per DIRECTION of the undirected edge list — a
+    * dropped (a→b) does not drop (b→a) unless b is also over-cap. Every
+    * vertex keeps min(deg, cap) ≥ 1 out-edges, so the capped graph has
+    * no dangling mass and the same 3-iteration/0.85-damping machinery
+    * as q133 applies with the CAPPED out-degree as the divisor. Output
+    * keeps both degrees so curation can see how much each hub was
+    * subsampled. */
+  private[queries] val q158Cap = 8
+  private[queries] def q158(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count() // vertex count — bounded scalar, one driver long
+    val w = Window.partitionBy(col("src"))
+      .orderBy(md5(concat(col("src").cast("string"), lit("|"),
+        col("dst").cast("string"))), col("dst"))
+    val capped = edges.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= q158Cap).drop("rn")
+    val cdeg = capped.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+    val edgesDeg = capped.join(cdeg, "src")
+    // unlike q133's symmetric graph, capping can leave a vertex with
+    // ZERO in-edges (every neighbor subsampled it away) — iterate over
+    // the full vertex set with a left join so such a vertex keeps its
+    // teleport-only rank instead of silently dropping out
+    val verts = deg.select(col("src").as("doc_id"))
+    var ranks = verts.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to 3) {
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("doc_id"))
+        .select(col("dst"), (col("pr") / col("cdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = verts.join(contrib, verts("doc_id") === contrib("dst"), "left")
+        .select(verts("doc_id"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    ranks.join(deg, ranks("doc_id") === deg("src"))
+      .join(cdeg, ranks("doc_id") === cdeg("src"))
+      .select(col("doc_id"), col("deg").as("degree"),
+        col("cdeg").as("capped_degree"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q158Sql =
+    s"""WITH $pairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nv AS (SELECT count(*) AS n FROM deg),
+       |ce AS (SELECT src, dst FROM (
+       |         SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY md5(CAST(src AS VARCHAR) || '|' ||
+       |                        CAST(dst AS VARCHAR)), dst) AS rn
+       |         FROM edges) WHERE rn <= $q158Cap),
+       |cdeg AS (SELECT src, count(*) AS cdeg FROM ce GROUP BY src),
+       |ec AS (SELECT ce.*, cdeg.cdeg FROM ce JOIN cdeg USING (src)),
+       |r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nv) AS pr FROM deg),
+       |c1 AS (SELECT e.dst AS doc_id, sum(r.pr / e.cdeg) AS s
+       |       FROM ec e JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
+       |it1 AS (SELECT d.src AS doc_id, 0.15 / (SELECT n FROM nv) +
+       |          0.85 * coalesce(c1.s, 0) AS pr
+       |        FROM deg d LEFT JOIN c1 ON c1.doc_id = d.src),
+       |c2 AS (SELECT e.dst AS doc_id, sum(r.pr / e.cdeg) AS s
+       |       FROM ec e JOIN it1 r ON r.doc_id = e.src GROUP BY e.dst),
+       |it2 AS (SELECT d.src AS doc_id, 0.15 / (SELECT n FROM nv) +
+       |          0.85 * coalesce(c2.s, 0) AS pr
+       |        FROM deg d LEFT JOIN c2 ON c2.doc_id = d.src),
+       |c3 AS (SELECT e.dst AS doc_id, sum(r.pr / e.cdeg) AS s
+       |       FROM ec e JOIN it2 r ON r.doc_id = e.src GROUP BY e.dst),
+       |it3 AS (SELECT d.src AS doc_id, 0.15 / (SELECT n FROM nv) +
+       |          0.85 * coalesce(c3.s, 0) AS pr
+       |        FROM deg d LEFT JOIN c3 ON c3.doc_id = d.src)
+       |SELECT r.doc_id, d.deg AS degree, c.cdeg AS capped_degree,
+       |       round(r.pr, 6) AS pagerank
+       |FROM it3 r JOIN deg d ON d.src = r.doc_id
+       |           JOIN cdeg c ON c.src = r.doc_id
+       |ORDER BY doc_id""".stripMargin
 }

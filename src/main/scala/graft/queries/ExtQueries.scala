@@ -134,7 +134,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q154_vtt_frame_align", q154, Some(q154Sql)),
     Decl("q155_webdataset_ingest", q155, Some(q155Sql)),
     Decl("q156_crawl_to_corpus", q156, Some(q156Sql)),
-    Decl("q157_ogg_page_walk", q157, Some(q157Sql)))
+    Decl("q157_ogg_page_walk", q157, Some(q157Sql)),
+    Decl("q158_pagerank_capped", q158, Some(q158Sql)),
+    Decl("q159_bpe_batched", q159, Some(q159Sql)))
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles

@@ -89,6 +89,33 @@ class TextOpsSpec extends SparkSpecBase {
     assert(apply1("b a b a", "a", "b") === Seq("b", "a_b", "a"))
   }
 
+  test("bpeApplyMergeSet: one pass applies token-disjoint merges like " +
+    "any sequential order; empty set is identity") {
+    def applyN(text: String, merges: (String, String)*): Seq[String] =
+      Seq(text).toDF("text")
+        .select(graft.ops.TextOps.bpeApplyMergeSet(
+          split($"text", " "), merges).as("m"))
+        .as[Seq[String]].head()
+    // two disjoint merges fire independently in one pass
+    assert(applyN("a b x c d", ("a", "b"), ("c", "d")) ===
+      Seq("a_b", "x", "c_d"))
+    // equals sequential application in either order
+    def seq2(text: String, m1: (String, String), m2: (String, String)) =
+      Seq(text).toDF("text")
+        .select(graft.ops.TextOps.bpeApplyMerge(
+          graft.ops.TextOps.bpeApplyMerge(split($"text", " "),
+            lit(m1._1), lit(m1._2)), lit(m2._1), lit(m2._2)).as("m"))
+        .as[Seq[String]].head()
+    val t = "c d a b a b c d"
+    assert(applyN(t, ("a", "b"), ("c", "d")) === seq2(t, ("a", "b"), ("c", "d")))
+    assert(applyN(t, ("a", "b"), ("c", "d")) === seq2(t, ("c", "d"), ("a", "b")))
+    // self-pair run keeps the greedy left-to-right contract
+    assert(applyN("a a a x y", ("a", "a"), ("x", "y")) ===
+      Seq("a_a", "a", "x_y"))
+    // empty set is the identity
+    assert(applyN("p q", Seq.empty[(String, String)]: _*) === Seq("p", "q"))
+  }
+
   test("hot-bucket cap drops oversized buckets") {
     // 5 docs all sharing one band key via identical text
     val df = (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
