@@ -70,10 +70,22 @@ object PqIndex {
         cellCents.map(c => IvfIndex.cellOf(
           vectors.sparkSession, col(vec), c).as("cell")).toSeq): _*)
 
+  /** Generation writer. Code tables carrying a `cell` column are
+    * cell-CLUSTERED within the generation (range-partition + sort on
+    * `cell`, the IvfIndex.writeGen layout) so per-file min/max stats on
+    * `cell` let a pruned probe's `cell IN (touched)` filter skip whole
+    * files — the scan-prunes-at-file-level property the IVFPQ probe
+    * relies on. Cell-less tables keep the plain hash spread (flat ADC
+    * scans read everything anyway). */
   private def writeGen(codes: DataFrame, path: String, files: Int,
       mode: String, gen: String): Unit = {
-    val w = codes.withColumn("gen", lit(gen))
-      .repartition(files).write.partitionBy("gen")
+    val clustered =
+      if (codes.columns.contains("cell"))
+        codes.repartitionByRange(files, col("cell"))
+          .sortWithinPartitions(col("cell"))
+      else codes.repartition(files)
+    val w = clustered.withColumn("gen", lit(gen))
+      .write.partitionBy("gen")
     mode match {
       case "replace-gen" =>
         w.option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(path)
@@ -112,15 +124,14 @@ object PqIndex {
     * cells BEFORE any reconstruction — the composition that keeps the
     * per-batch probe sublinear in the corpus (a flat ADC stream ingest
     * is probes × corpus and measured 33×/decade at the sf1 sweep;
-    * pruning restores the ≤ nprobe/K fraction, and on a cell-
-    * partitioned table the parquet scan itself prunes). Residual cost
-    * note: the broadcast-nested-loop still ENUMERATES probes × corpus
-    * pairs — pruning skips the reconstruction/ADC arithmetic and the
-    * window input for non-matching pairs, but the pair predicate
-    * itself is O(probes × corpus) per batch. With the code table
-    * cell-partitioned (writeGen partitioned by cell) the parquet scan
-    * prunes files first and the enumeration drops to probes ×
-    * (touched-cell rows); that layout is the 100 TB form. */
+    * pruning restores the ≤ nprobe/K fraction). The scan prunes at two
+    * levels: the batch's DISTINCT probed cells (a bounded ≤ K-int
+    * collect, IvfIndex's pattern) push into the parquet scan as
+    * `cell IN (touched)` — file-level pruning against writeGen's
+    * cell-clustered layout — and each surviving (probe, candidate)
+    * pair still checks `array_contains(pcells, cell)`, so the pair
+    * enumeration is probes × touched-cell rows, never probes ×
+    * corpus. */
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       base: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       files: Int = 2, id: String = "vec_id",
@@ -159,7 +170,17 @@ object PqIndex {
             "re-code the table with cellCents before pruned probes " +
             "(null cells would be silently dropped from every probe)")
       }
-      val corpus = corpusRaw
+      // bounded collect (≤ K cell ids): the batch's distinct probed
+      // cells, pushed into the parquet scan as `cell IN (touched)` —
+      // with writeGen's cell-clustered layout this prunes at FILE
+      // level, so the pair enumeration below runs over probes ×
+      // (touched-cell rows), not probes × corpus (IvfIndex's shape)
+      val corpusScan = prune.fold(corpusRaw) { _ =>
+        val touched = probes.select(explode(col("pcells")).as("c"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        corpusRaw.where(col("cell").isin(touched: _*))
+      }
+      val corpus = corpusScan
         .withColumn("recon", reconOf(m => col(s"c$m"), base))
       val cand = corpus.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("probe_id") &&
