@@ -1438,4 +1438,78 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |FROM s WHERE cos < 0.95
       |QUALIFY rn <= 3
       |ORDER BY anchor_id, rn""".stripMargin
+
+
+  // ----------------------------------------------------------------- q161
+  /** FILTERED vector search — ANN under a metadata predicate (here:
+    * same `label` as the probe, the in-class retrieval every RAG /
+    * dataset-curation stack runs as "top-k among docs matching X").
+    * This is the PRE-FILTER composition: the predicate applies to the
+    * candidate frame BEFORE the top-k window, so every returned
+    * neighbor satisfies it and a probe whose nprobe cells hold fewer
+    * than k matching rows honestly returns fewer rows — the
+    * post-filter alternative (top-k first, filter after) silently
+    * under-returns even when matches exist elsewhere in the cell,
+    * which is the classic filtered-ANN bug. Scale shape is q54's
+    * unchanged: centroids ship as one literal (cell assignment stays
+    * map-side), 20 probes broadcast, the corpus side carries
+    * ~nprobe/K of the table, and the label equi-predicate fuses into
+    * the same codegen'd candidate filter — a predicate column that
+    * rides next to the cells costs nothing extra at 100 TB. */
+  private[queries] def q161(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16; val NPROBE = 2
+    val cents: Seq[Seq[Float]] = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("cell",
+        graft.ops.IvfIndex.cellOf(spark, col("embedding"), cents))
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= K && col("vec_id") < K + 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        col("label").as("probe_label"),
+        graft.ops.IvfIndex.topCellsOf(spark, col("embedding"), cents, NPROBE)
+          .as("pcells"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .where(array_contains(col("pcells"), col("cell")) &&
+        col("vec_id") =!= col("probe_id") &&
+        col("label") === col("probe_label")) // the pre-filter predicate
+      .withColumn("cos",
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("probe_id"), col("probe_label").as("label"), col("rn"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q161Sql =
+    """WITH e AS (SELECT vec_id, label,
+      |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv FROM e
+      |      WHERE vec_id >= 16 AND vec_id < 36),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.probe_id, p.probe_label, e.vec_id,
+      |         list_cosine_similarity(p.pv, e.v) AS cos
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id AND e.label = p.probe_label)
+      |SELECT probe_id, probe_label AS label,
+      |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn,
+      |       vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM cand
+      |QUALIFY rn <= 3
+      |ORDER BY probe_id, rn""".stripMargin
 }

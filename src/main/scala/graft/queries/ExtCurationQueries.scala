@@ -996,7 +996,17 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     * exclusion, or simultaneous application hash-mismatches. */
   private[queries] val q159Rounds = 2
   private[queries] val q159M = 4
-  private[queries] def q159(spark: SparkSession, dir: String): DataFrame = {
+
+  /** The batched trainer shared by q159 (emits the learned vocab table)
+    * and q160 (ships the tokenizer: applies the learned merges and
+    * emits the encoded corpus). Returns the learned merges and the
+    * rewritten corpus — PERSISTED; the caller unpersists. With
+    * `applyLast = false` the last round's merges are learned but not
+    * applied (q159 needs only the vocab); `true` applies every round so
+    * the returned frame IS the fully-encoded corpus. */
+  private[queries] def bpeBatchedTrain(spark: SparkSession, dir: String,
+      applyLast: Boolean):
+      (Seq[(Int, Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     var docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text")).persist()
@@ -1034,7 +1044,7 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
             }
           }
         } finally counts.unpersist()
-        if (r < q159Rounds - 1) {
+        if (r < q159Rounds - 1 || applyLast) {
           val merges = learned.filter(_._1 == r).map(x => (x._3, x._4)).toSeq
           val next = docs.select(col("doc_id"),
             concat_ws(" ", TextOps.bpeApplyMergeSet(
@@ -1045,16 +1055,24 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
           docs = next
         }
       }
-    } finally docs.unpersist()
-    learned.toSeq.toDF("round", "slot", "mt1", "mt2", "pair_count")
+      (learned.toSeq, docs)
+    } catch {
+      case t: Throwable => docs.unpersist(); throw t
+    }
+  }
+
+  private[queries] def q159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (learned, docs) = bpeBatchedTrain(spark, dir, applyLast = false)
+    docs.unpersist() // q159 emits only the vocab table
+    learned.toDF("round", "slot", "mt1", "mt2", "pair_count")
       .orderBy(col("round"), col("slot"))
   }
   /** Unrolled mirror: per round, a greedy selection chain (each pick
     * excludes every token of the earlier picks) + one multi-pattern
     * gaps-and-islands apply. Generated like q139Sql so the round and
     * slot machinery cannot drift. */
-  private[queries] lazy val q159Sql = {
-    def selChain(r: Int): String = {
+  private def q159SelChain(r: Int): String = {
       val picks = (0 until q159M).map { j =>
         val excl = if (j == 0) "" else {
           val toks = (0 until j).flatMap(i => Seq(
@@ -1074,8 +1092,9 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
         s"pr_$r AS (SELECT doc_id, pos, w[pos] AS t1, w[pos + 1] AS t2 FROM pp_$r)",
         s"pc_$r AS MATERIALIZED (SELECT t1, t2, count(*) AS c FROM pr_$r GROUP BY 1, 2)") ++
         picks :+ s"sel_$r AS MATERIALIZED ($union)").mkString(",\n")
-    }
-    def apply(r: Int): String = {
+  }
+
+  private def q159ApplyCte(r: Int): String = {
       val nw = s"w${r + 1}"
       s"tok_$r AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM w$r),\n" +
       s"tt_$r AS (SELECT doc_id, pos, w[pos] AS t,\n" +
@@ -1096,16 +1115,64 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       s"        FROM ma_$r ma LEFT JOIN cons_$r cons\n" +
       s"          ON cons.doc_id = ma.doc_id AND cons.pos = ma.pos\n" +
       s"        WHERE cons.pos IS NULL GROUP BY ma.doc_id)"
-    }
+  }
+
+  private val q159W0 =
+    "WITH w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n"
+
+  private[queries] lazy val q159Sql = {
     val body = (0 until q159Rounds).map { r =>
-      if (r < q159Rounds - 1) selChain(r) + ",\n" + apply(r)
-      else selChain(r)
+      if (r < q159Rounds - 1) q159SelChain(r) + ",\n" + q159ApplyCte(r)
+      else q159SelChain(r)
     }.mkString(",\n")
     val sel = (0 until q159Rounds).map(r =>
       s"SELECT $r AS round, slot, mt1, mt2, CAST(c AS BIGINT) AS pair_count FROM sel_$r")
       .mkString("\nUNION ALL\n")
-    s"WITH w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
-      s"$body\n$sel\nORDER BY round, slot"
+    s"$q159W0$body\n$sel\nORDER BY round, slot"
+  }
+
+
+  // ----------------------------------------------------------------- q160
+  /** Tokenizer SHIP + ENCODE — the apply-side close of the trainer
+    * story: run q159's batched learning, then emit the ENCODED corpus
+    * fingerprint (per-doc token counts before/after + md5 of the
+    * encoded text) — exactly the artifact check a tokenizer rollout
+    * gates on (did every shard encode identically to the reference
+    * implementation?). Because each round's merges are token-disjoint,
+    * the one-pass set-apply equals sequential rank-order application
+    * (TextOpsSpec), so this IS the canonical greedy BPE encode for the
+    * learned table. One map-side set-apply per round — the corpus text
+    * never shuffles; the only exchanges are the n_tok_before join
+    * (corpus-keyed, one shuffle) and the output sort. The oracle
+    * replays learning AND encoding end-to-end, so a drift anywhere in
+    * the chain — selection, exclusion, application order, even one
+    * byte of one doc — hash-mismatches. */
+  private[queries] def q160(spark: SparkSession, dir: String): DataFrame = {
+    val (_, encoded) = bpeBatchedTrain(spark, dir, applyLast = true)
+    val before = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.words(col("text"))).as("n_tok_before"))
+    val out = encoded
+      .select(col("doc_id"), size(TextOps.words(col("text"))).as("n_tok_after"),
+        md5(col("text").cast("binary")).as("enc_md5"))
+      .join(before, "doc_id")
+      .select(col("doc_id"), col("n_tok_before"), col("n_tok_after"),
+        col("enc_md5"))
+      .orderBy(col("doc_id"))
+    // materialize before releasing the encoded-corpus cache the plan
+    // reads (the nearDupPairs rule); per-doc 4 narrow columns
+    val res = out.persist()
+    res.count()
+    encoded.unpersist()
+    res
+  }
+  private[queries] lazy val q160Sql = {
+    val body = (0 until q159Rounds).map(r =>
+      q159SelChain(r) + ",\n" + q159ApplyCte(r)).mkString(",\n")
+    s"$q159W0$body\n" +
+      s"SELECT w0.doc_id, len(w0.w) AS n_tok_before, len(we.w) AS n_tok_after,\n" +
+      s"       md5(array_to_string(we.w, ' ')) AS enc_md5\n" +
+      s"FROM w0 JOIN w$q159Rounds we ON we.doc_id = w0.doc_id\n" +
+      s"ORDER BY w0.doc_id"
   }
 
 

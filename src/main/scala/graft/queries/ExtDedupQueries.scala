@@ -1108,23 +1108,46 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     * rounding grain. */
   private[queries] def q133(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // nearDupPairs localizes its (small) pair list — a LocalRelation
+    // whose scan is ONE partition. Left as-is, every iteration's joins
+    // and aggregates inherit that single partition and the whole graph
+    // pipeline runs serially (measured: ~2/3 of this query's sf1 time).
+    // One explicit src-hash repartition + persist distributes the edge
+    // list once; groupBy(src)/join(src) downstream then reuse the
+    // partitioning without further exchanges.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .repartition(col("src"))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count() // vertex count of the dup graph — bounded scalar
     val edgesDeg = edges.join(deg, "src")
     var ranks = deg.select(col("src").as("doc_id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to 3) {
-      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("doc_id"))
+      val next = edgesDeg.join(ranks, edgesDeg("src") === ranks("doc_id"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("doc_id"),
           (lit(0.15 / n) + lit(0.85) * col("s")).as("pr"))
+      // SETTLE each round (q148's rule): without the plan cut, every
+      // iteration re-analyzes the whole accumulated lineage — measured
+      // as per-iteration cost GROWING 3→5 s at sf1 on a 48k-vertex
+      // graph. Vertex-sized ranks localize to a LocalRelation (free
+      // broadcast fodder for the next join); past the cap they settle
+      // cluster-side via localCheckpoint.
+      ranks = Caches.localize(next, maxRows = 1 << 20)
+        .getOrElse(next.localCheckpoint())
     }
-    ranks.join(deg, ranks("doc_id") === deg("src"))
+    val out = ranks.join(deg, ranks("doc_id") === deg("src"))
       .select(col("doc_id"), col("deg").as("degree"),
         round(col("pr"), 6).as("pagerank"))
       .orderBy(col("doc_id"))
+    // vertex-sized output; materialize, then release the edge cache
+    val res = Caches.localize(out, maxRows = 1 << 20).getOrElse {
+      val p = out.persist(); p.count(); p
+    }
+    edges.unpersist(); deg.unpersist()
+    res
   }
   private[queries] val q133Sql =
     s"""WITH $pairCtes,
@@ -1220,15 +1243,43 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
   private[queries] def q158(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // distribute the localized pair list once (q133's rule: a
+    // LocalRelation scan is one partition — left alone, the whole
+    // pipeline below runs serially)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .repartition(col("src"))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count() // vertex count — bounded scalar, one driver long
-    val w = Window.partitionBy(col("src"))
-      .orderBy(md5(concat(col("src").cast("string"), lit("|"),
-        col("dst").cast("string"))), col("dst"))
-    val capped = edges.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= q158Cap).drop("rn")
+    // TWO-PHASE deterministic cap. The one-window spelling
+    // (row_number over partitionBy(src)) funnels a hub's ENTIRE f²
+    // edge set into one task's sort — the exact skew this operator
+    // exists to remove (measured 16×/decade at the sf1 sweep). Phase 1
+    // caps per (src, salt) where salt = hash(dst) % 64: a hub's edges
+    // spread across 64 salt groups (deterministic — no dependence on
+    // physical partitioning), so no task sorts more than deg/64, and
+    // ≤ cap × 64 survivors remain per src. Phase 2 runs the same
+    // (mk, dst) order globally over the survivors. Top-k is a monotone
+    // selection — the global top-cap is contained in the union of the
+    // salt-local top-caps for ANY salting — so the winners are
+    // IDENTICAL to the one-window spelling (and to the oracle, which
+    // keeps that spelling at its own scale). At a scale where deg/64
+    // still skews, the salt width widens; cap and salt are the two
+    // knobs, both free of the hub hotspot.
+    val mk = md5(concat(col("src").cast("string"), lit("|"),
+      col("dst").cast("string")))
+    val wLocal = Window.partitionBy(col("src"), col("salt"))
+      .orderBy(col("mk"), col("dst"))
+    val wGlobal = Window.partitionBy(col("src")).orderBy(col("mk"), col("dst"))
+    val capped = edges.withColumn("mk", mk)
+      .withColumn("salt", pmod(xxhash64(col("dst")), lit(64L)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .where(col("lrn") <= q158Cap)
+      .withColumn("rn", row_number().over(wGlobal))
+      .where(col("rn") <= q158Cap)
+      .select(col("src"), col("dst"))
+      .persist() // reused by every iteration + cdeg — never recompute
     val cdeg = capped.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
     val edgesDeg = capped.join(cdeg, "src")
     // unlike q133's symmetric graph, capping can leave a vertex with
@@ -1241,15 +1292,29 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("doc_id"))
         .select(col("dst"), (col("pr") / col("cdeg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = verts.join(contrib, verts("doc_id") === contrib("dst"), "left")
+      val next = verts.join(contrib, verts("doc_id") === contrib("dst"), "left")
         .select(verts("doc_id"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+      // settle each round — q133's rule (plan-tree bloat otherwise)
+      ranks = Caches.localize(next, maxRows = 1 << 20)
+        .getOrElse(next.localCheckpoint())
     }
-    ranks.join(deg, ranks("doc_id") === deg("src"))
-      .join(cdeg, ranks("doc_id") === cdeg("src"))
+    // rename before the double join: deg and cdeg share lineage (both
+    // derive from edges) AND a column name — unaliased, the second
+    // join's cdeg("src") is ambiguous against deg's src
+    val cdegR = cdeg.select(col("src").as("csrc"), col("cdeg"))
+    val out = ranks.join(deg, ranks("doc_id") === deg("src"))
+      .join(cdegR, ranks("doc_id") === cdegR("csrc"))
       .select(col("doc_id"), col("deg").as("degree"),
         col("cdeg").as("capped_degree"), round(col("pr"), 6).as("pagerank"))
       .orderBy(col("doc_id"))
+    // vertex-sized output; materialize so the edge caches can be
+    // released before returning (the nearDupPairs rule)
+    val res = Caches.localize(out, maxRows = 1 << 20).getOrElse {
+      val p = out.persist(); p.count(); p
+    }
+    capped.unpersist(); edges.unpersist(); deg.unpersist()
+    res
   }
   private[queries] val q158Sql =
     s"""WITH $pairCtes,

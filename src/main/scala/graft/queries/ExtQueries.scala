@@ -136,7 +136,14 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q156_crawl_to_corpus", q156, Some(q156Sql)),
     Decl("q157_ogg_page_walk", q157, Some(q157Sql)),
     Decl("q158_pagerank_capped", q158, Some(q158Sql)),
-    Decl("q159_bpe_batched", q159, Some(q159Sql)))
+    Decl("q159_bpe_batched", q159, Some(q159Sql)),
+    Decl("q160_bpe_encode", q160, Some(q160Sql)),
+    Decl("q161_filtered_ivf_ann", q161, Some(q161Sql)))
+
+  /** tools.StageProfile's window into the shared pair operator —
+    * profiling-only, not part of any gate. */
+  def profileNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = nearDupPairs(spark, dir)
 
   /** Queries that stage on-disk scratch (index builds, streaming
     * checkpoints) during evaluation. Bench runs these LAST and settles
