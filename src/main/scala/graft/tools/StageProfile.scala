@@ -29,8 +29,40 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
     try what match {
       case "q158" => profileQ158(spark, dir)
+      case "pairs" => profilePairs(spark, dir)
       case other => sys.error(s"unknown profile target $other")
     } finally spark.stop()
+  }
+
+  /** nearDupPairs' phases (the shared floor under q20/q59/q133/q158):
+    * signature build, banding, candidate generation, jaccard verify. */
+  private def profilePairs(spark: SparkSession, dir: String): Unit = {
+    import graft.ops.TextOps
+    import graft.functions.MinHashSignature
+    val K = 8; val R = 2
+    val sigArr = MinHashSignature.minhashSig(spark, col("sh"), K)
+    val sig = graft.sources.Tables.spread(
+        graft.sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.shingleSet(col("text"), 2).as("sh")))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until K).map(i => element_at(sigArr, i + 1).as(s"m$i")): _*)
+      .persist()
+    time("sig build (shingles + 8 minhash)")(sig.count())
+    val bands = TextOps.lshBands(sig, "doc_id", K, R)
+    time("bands")(bands.count())
+    val cand = TextOps.lshCandidatePairs(bands, "doc_id",
+      maxBucket = Some(TextOps.DefaultMaxBucket)).persist()
+    time("candidate pairs")(println(s"[profile]   cand = ${cand.count()}"))
+    val withSets = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .join(broadcast(cand), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+    val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
+    val pairs = withSets.where(j >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    time("jaccard verify + sort")(println(s"[profile]   pairs = ${pairs.count()}"))
+    time("localize")(graft.ops.Caches.localize(pairs, 1 << 20).map(_ => ()))
+    sig.unpersist(); cand.unpersist(); ()
   }
 
   /** q158's phases, run stepwise with materialization between. */
