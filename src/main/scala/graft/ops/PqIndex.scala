@@ -72,10 +72,14 @@ object PqIndex {
 
   /** Generation writer. Code tables carrying a `cell` column are
     * cell-CLUSTERED within the generation (range-partition + sort on
-    * `cell`, the IvfIndex.writeGen layout) so per-file min/max stats on
-    * `cell` let a pruned probe's `cell IN (touched)` filter skip whole
-    * files — the scan-prunes-at-file-level property the IVFPQ probe
-    * relies on. Cell-less tables keep the plain hash spread (flat ADC
+    * `cell`, the IvfIndex.writeGen layout) so parquet min/max stats on
+    * `cell` are tight per row group and per file: a pruned probe's
+    * pushed `cell IN (touched)` filter skips every non-matching row
+    * group, reducing an untouched file to a footer read — the
+    * data-bytes-scale-with-touched-cells property the IVFPQ probe
+    * relies on. (Spark's file LISTING is pruned only by hive-partition
+    * columns — `gen` here; within a generation the stats do the
+    * skipping.) Cell-less tables keep the plain hash spread (flat ADC
     * scans read everything anyway). */
   private def writeGen(codes: DataFrame, path: String, files: Int,
       mode: String, gen: String): Unit = {
@@ -127,7 +131,7 @@ object PqIndex {
     * pruning restores the ≤ nprobe/K fraction). The scan prunes at two
     * levels: the batch's DISTINCT probed cells (a bounded ≤ K-int
     * collect, IvfIndex's pattern) push into the parquet scan as
-    * `cell IN (touched)` — file-level pruning against writeGen's
+    * `cell IN (touched)` — row-group pruning against writeGen's
     * cell-clustered layout — and each surviving (probe, candidate)
     * pair still checks `array_contains(pcells, cell)`, so the pair
     * enumeration is probes × touched-cell rows, never probes ×
@@ -172,7 +176,7 @@ object PqIndex {
       }
       // bounded collect (≤ K cell ids): the batch's distinct probed
       // cells, pushed into the parquet scan as `cell IN (touched)` —
-      // with writeGen's cell-clustered layout this prunes at FILE
+      // with writeGen's cell-clustered layout this prunes at row-group
       // level, so the pair enumeration below runs over probes ×
       // (touched-cell rows), not probes × corpus (IvfIndex's shape)
       val corpusScan = prune.fold(corpusRaw) { _ =>
