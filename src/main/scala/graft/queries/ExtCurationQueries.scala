@@ -1159,9 +1159,11 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
         col("enc_md5"))
       .orderBy(col("doc_id"))
     // materialize before releasing the encoded-corpus cache the plan
-    // reads (the nearDupPairs rule); per-doc 4 narrow columns
-    val res = out.persist()
-    res.count()
+    // reads (the nearDupPairs rule): per-doc 4 narrow columns localize
+    // within the cap; past it the fallback keeps the cluster-side cache
+    val res = Caches.localize(out, maxRows = 1 << 22).getOrElse {
+      val p = out.persist(); p.count(); p
+    }
     encoded.unpersist()
     res
   }
