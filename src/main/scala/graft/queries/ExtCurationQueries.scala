@@ -1178,6 +1178,66 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   }
 
 
+  // ----------------------------------------------------------------- q162
+  /** LEAKAGE-SAFE train/val/test split — the assignment step every
+    * training pipeline runs AFTER dedup, done so near-duplicates can
+    * never straddle a split boundary (the classic eval-contamination
+    * bug: a 90/5/5 split by doc hash puts one copy of a duplicated
+    * document in train and another in test, and the eval silently
+    * measures memorization). Every member of a verified near-dup
+    * cluster (q59's connected components over q20's pairs) is assigned
+    * by its CLUSTER CANONICAL's hash, not its own — whole clusters move
+    * together; un-clustered docs anchor to themselves. Buckets come
+    * from the first 4 hex digits of md5(anchor): < 90 train, < 95 val,
+    * else test — deterministic, engine-portable, and stable under
+    * corpus growth (a doc's split never changes when unrelated docs
+    * arrive, the property incremental dataset builds need). Scale
+    * shape: components is the bounded dup-graph op (O(log n)
+    * large-star/small-star rounds on the pair list); the corpus-sized
+    * side takes ONE broadcast left join (the dup-graph vertex set is a
+    * small fraction of the corpus) and a map-side bucket expression —
+    * the full corpus never shuffles except the output sort. */
+  private[queries] def q162(spark: SparkSession, dir: String): DataFrame = {
+    val edges = nearDupPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = GraphOps.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val docs = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"))
+    val anchored = docs.join(broadcast(comp), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("anchor_id"))
+    val bucket = pmod(
+      conv(substring(md5(col("anchor_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    anchored
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+  private[queries] val q162Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM bi
+       |  UNION
+       |  SELECT bi.u, reach.v FROM bi JOIN reach ON bi.v = reach.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS cluster_id
+       |         FROM reach GROUP BY u),
+       |anchored AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS anchor_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |b AS (SELECT doc_id, anchor_id,
+       |        ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 4))::BIGINT
+       |          % 100 AS bucket
+       |      FROM anchored)
+       |SELECT doc_id, anchor_id,
+       |       CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
+
   // ------------------------------------------------------------------ q86
   /** Per-source cap (CurationPipeline.sourceCap, the C4/CCNet-style
     * domain cap): keep at most 10 docs per source, longest first, ties

@@ -138,7 +138,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q158_pagerank_capped", q158, Some(q158Sql)),
     Decl("q159_bpe_batched", q159, Some(q159Sql)),
     Decl("q160_bpe_encode", q160, Some(q160Sql)),
-    Decl("q161_filtered_ivf_ann", q161, Some(q161Sql)))
+    Decl("q161_filtered_ivf_ann", q161, Some(q161Sql)),
+    Decl("q162_leakage_safe_split", q162, Some(q162Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

@@ -25,4 +25,24 @@ class QueriesSpec extends SparkSpecBase {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q162 leakage guarantee: no verified near-dup pair straddles a " +
+    "split, and buckets land ~90/5/5 by anchor") {
+    import spark.implicits._
+    val split = Queries.all.find(_.name == "q162_leakage_safe_split").get
+      .fn(spark, sf0001)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Queries.all.find(_.name == "q20_minhash_lsh_neardup").get
+      .fn(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) straddles splits ${split(a)}/${split(b)}")
+    }
+    // all three splits exist and train dominates (90/5/5 by md5 bucket)
+    val byCat = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCat.keySet == Set("train", "val", "test"), byCat.toString)
+    assert(byCat("train") > byCat("val") + byCat("test"), byCat.toString)
+  }
 }
