@@ -36,9 +36,24 @@ object Caches {
   val MaxRowsConf = "spark.graft.localize.maxRows"
 
   /** The effective cap: the [[MaxRowsConf]] session override when set,
-    * else the call site's `default`. */
+    * else the call site's `default`. Rejects malformed/negative
+    * overrides with an error NAMING the conf key (a bare toInt deep
+    * inside a query's plan was undiagnosable — r14 advice); values
+    * above Int.MaxValue clamp (a cap that large never localizes in
+    * practice anyway). */
   def effectiveMaxRows(df: DataFrame, default: Int): Int =
-    df.sparkSession.conf.getOption(MaxRowsConf).map(_.toInt).getOrElse(default)
+    df.sparkSession.conf.getOption(MaxRowsConf).map { s =>
+      val v =
+        try s.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$MaxRowsConf must be a non-negative integer row cap " +
+              s"(0 disables localization), got '$s'")
+        }
+      require(v >= 0,
+        s"$MaxRowsConf must be >= 0 (0 disables localization), got $s")
+      math.min(v, Int.MaxValue.toLong).toInt
+    }.getOrElse(default)
 
   /** Collect `df` into a LocalRelation-backed DataFrame iff it has at
     * most `maxRows` rows (as overridden by [[MaxRowsConf]]); None when

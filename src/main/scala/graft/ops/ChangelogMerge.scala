@@ -104,8 +104,12 @@ object ChangelogMerge {
   def readMerged(spark: SparkSession, tablePath: String,
       key: Seq[String]): DataFrame = {
     // self-heal a crash-interrupted compact (base/ renamed aside but
-    // base_next/ not yet in place) so reads never see a missing base
-    Layout.healSwap(spark, s"$tablePath/base_next", s"$tablePath/base")
+    // base_next/ not yet in place) so reads never see a missing base.
+    // RESTORE-only (healRestore, not healSwap): the read path must not
+    // delete a racing writer's freshly staged base_next — stale-dir
+    // cleanup belongs to compact(), which runs the full healSwap under
+    // the single-writer serialization (r14 advice).
+    Layout.healRestore(spark, s"$tablePath/base")
     val base = spark.read.parquet(s"$tablePath/base")
     val deltaSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(f => f.name == SeqCol || f.name == OpCol))

@@ -84,6 +84,29 @@ object Layout {
     fs.delete(old, true); ()
   }
 
+  /** READ-side repair of a half-committed [[swapInto]]: restore the
+    * target from `target.old` when the crash happened between the two
+    * renames — and do NOTHING else. Unlike [[healSwap]] this never
+    * deletes staged or stale directories, so it is safe on a READ path
+    * that may race an in-flight writer-side compaction (outside the
+    * documented single-writer serialization): a reader running the full
+    * healSwap could delete the writer's freshly staged directory and
+    * fail its swapInto spuriously (r14 advice). Writers keep calling
+    * [[healSwap]] at compaction entry, where the single-writer fence
+    * makes the stale-dir cleanup safe. */
+  def healRestore(spark: org.apache.spark.sql.SparkSession,
+      target: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(target)
+    val old = new org.apache.hadoop.fs.Path(s"$target.old")
+    val fs = cur.getFileSystem(conf)
+    if (!fs.exists(cur) && fs.exists(old)) {
+      if (!fs.rename(old, cur))
+        throw new IllegalStateException(
+          s"healRestore: cannot restore $target from $target.old")
+    }
+  }
+
   /** Repair a half-committed [[swapInto]] before compacting again:
     *  - `target` missing but `target.old` present (crash between the two
     *    renames): restore the original — the compaction simply re-runs;

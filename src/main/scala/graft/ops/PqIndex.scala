@@ -34,6 +34,26 @@ object PqIndex {
   val DSUB = 16
   val K = 16
 
+  /** Null-cell precondition cache: table path → the GENERATION LISTING
+    * under which the check last passed. The pruned probe's guard is a
+    * corpus-column scan job; its answer only changes when the table's
+    * generations change, so a probe re-pays the scan only when the
+    * listing differs from the validated one (one FS metadata listStatus
+    * per batch instead of a data pass — r14 advice), and the writer
+    * pre-marks its own cell-carrying appends valid. An out-of-band
+    * append (e.g. a cell-less or null-cell generation written by
+    * another tool) changes the listing and forces a fresh check. */
+  private val cellValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** The table's current generation directory names — the cache key for
+    * [[cellValidated]]. */
+  private def genListing(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("gen=")).toSet
+  }
+
   /** Centroid `k`'s sub-vector for subspace `m`, as a plan literal. */
   def centLit(base: Seq[Seq[Float]], m: Int, k: Int): Column =
     array(base(k).slice(m * DSUB, (m + 1) * DSUB).map(lit): _*)
@@ -70,21 +90,34 @@ object PqIndex {
         cellCents.map(c => IvfIndex.cellOf(
           vectors.sparkSession, col(vec), c).as("cell")).toSeq): _*)
 
-  /** Generation writer. Code tables carrying a `cell` column are
-    * cell-CLUSTERED within the generation (range-partition + sort on
-    * `cell`, the IvfIndex.writeGen layout) so parquet min/max stats on
-    * `cell` are tight per row group and per file: a pruned probe's
-    * pushed `cell IN (touched)` filter skips every non-matching row
-    * group, reducing an untouched file to a footer read — the
-    * data-bytes-scale-with-touched-cells property the IVFPQ probe
-    * relies on. (Spark's file LISTING is pruned only by hive-partition
-    * columns — `gen` here; within a generation the stats do the
-    * skipping.) Cell-less tables keep the plain hash spread (flat ADC
-    * scans read everything anyway). */
+  /** Generation writer. With `cluster = true`, code tables carrying a
+    * `cell` column are cell-CLUSTERED within the generation
+    * (range-partition + sort on `cell`, the IvfIndex.writeGen layout)
+    * so parquet min/max stats on `cell` are tight per row group and per
+    * file: a pruned probe's pushed `cell IN (touched)` filter skips
+    * every non-matching row group, reducing an untouched file to a
+    * footer read — the data-bytes-scale-with-touched-cells property the
+    * IVFPQ probe relies on. (Spark's file LISTING is pruned only by
+    * hive-partition columns — `gen` here; within a generation the stats
+    * do the skipping.)
+    *
+    * WHO clusters is the LSM split (the r14 q138 lesson): the base
+    * build and the COMPACTION cluster (`cluster = true` — they are the
+    * offline, amortized rewrites), but a per-batch streaming APPEND
+    * does NOT (`cluster = false`) — the range shuffle's sampling pass +
+    * sort per micro-batch made the ingest pay at write time, on every
+    * batch, what probes save at read time (q138 sf1 regressed
+    * 34.6 → 44.7 s from exactly that). Probes row-group-prune the
+    * compacted generations and scan the small uncompacted batch tail
+    * flat — `cell IN (touched)` still row-filters the tail, it just
+    * reads its few small files whole, which is O(batches-since-
+    * compaction), bounded by the compactEvery cadence. Cell-less
+    * tables keep the plain hash spread (flat ADC scans read
+    * everything anyway). */
   private def writeGen(codes: DataFrame, path: String, files: Int,
-      mode: String, gen: String): Unit = {
+      mode: String, gen: String, cluster: Boolean): Unit = {
     val clustered =
-      if (codes.columns.contains("cell"))
+      if (cluster && codes.columns.contains("cell"))
         codes.repartitionByRange(files, col("cell"))
           .sortWithinPartitions(col("cell"))
       else codes.repartition(files)
@@ -104,7 +137,7 @@ object PqIndex {
       cellCents: Option[Seq[Seq[Float]]] = None): Unit =
     writeGen(graft.sources.Tables.spread(
         encode(vectors, base, id, vec, cellCents)), path, files,
-      "overwrite", "base")
+      "overwrite", "base", cluster = true)
 
   /** One ingest batch against the persisted code table: ADC-probe the
     * PRE-batch state for each batch vector's top-`k` neighbors (probe's
@@ -168,11 +201,20 @@ object PqIndex {
         // cells; array_contains(pcells, null) is null → silently
         // filtered, a quiet recall hole on every probe. Fail loudly
         // instead: the fix is a one-time re-code (compact with cells).
-        val nullCells = corpusRaw.where(col("cell").isNull).limit(1).count()
-        require(nullCells == 0L,
-          s"$path: pruned probe found generations with null cell — " +
-            "re-code the table with cellCents before pruned probes " +
-            "(null cells would be silently dropped from every probe)")
+        // Validated once per GENERATION LISTING, not per probe batch
+        // (r14 advice): the scan job re-runs only when the table's
+        // generations changed since the last clean check — the writer's
+        // own appends below re-mark the new listing valid for free, so
+        // a streaming ingest pays the scan once, not per micro-batch.
+        val gens = genListing(spark, path)
+        if (!Option(cellValidated.get(path)).contains(gens)) {
+          val nullCells = corpusRaw.where(col("cell").isNull).limit(1).count()
+          require(nullCells == 0L,
+            s"$path: pruned probe found generations with null cell — " +
+              "re-code the table with cellCents before pruned probes " +
+              "(null cells would be silently dropped from every probe)")
+          cellValidated.put(path, gens); ()
+        }
       }
       // bounded collect (≤ K cell ids): the batch's distinct probed
       // cells, pushed into the parquet scan as `cell IN (touched)` —
@@ -199,8 +241,15 @@ object PqIndex {
       // k rows per batch vector — bounded; materialize before the append
       val result = Caches.localize(ann, maxRows = 1 << 22)
         .getOrElse(ann.localCheckpoint())
+      // UNCLUSTERED append (LSM write path): the per-batch delta skips
+      // the range-shuffle + sort — compact() restores the clustered
+      // layout for the accumulated generations (see writeGen).
       writeGen(coded.drop("embedding"), path, files,
-        if (batchId.isDefined) "replace-gen" else "append", gen)
+        if (batchId.isDefined) "replace-gen" else "append", gen,
+        cluster = false)
+      // this append carries cells whenever pruning is configured — mark
+      // the post-append listing valid so the next batch skips the scan
+      prune.foreach(_ => cellValidated.put(path, genListing(spark, path)))
       result
     } finally coded.unpersist()
   }
@@ -220,11 +269,16 @@ object PqIndex {
     val keepGen = keepBatch.map(b => s"b$b")
     val all = spark.read.parquet(path)
     val dataCols = all.columns.filter(_ != "gen").map(col)
+    // the compaction is WHERE clustering happens (the LSM pattern):
+    // folded base gets the tight cell-clustered layout probes prune on;
+    // the kept in-flight generation is rewritten verbatim-unclustered
+    // (it is one batch — the flat tail probes scan whole anyway)
     writeGen(keepGen.fold(all)(g => all.where(col("gen") =!= g))
-      .select(dataCols: _*), staged, files, "overwrite", "base")
+      .select(dataCols: _*), staged, files, "overwrite", "base",
+      cluster = true)
     keepGen.foreach { g =>
       writeGen(all.where(col("gen") === g).select(dataCols: _*),
-        staged, files, "append", g)
+        staged, files, "append", g, cluster = false)
     }
     Layout.swapInto(spark, staged, path)
   }
