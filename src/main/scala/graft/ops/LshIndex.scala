@@ -1,5 +1,6 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,7 +225,7 @@ object LshIndex {
       excludeGen: Option[String] = None): (Probe, DataFrame, Config) = {
     val cfg = adoptMeta(spark, path, rawCfg)
     val caches = scala.collection.mutable.Buffer[DataFrame](extraCaches: _*)
-    val newBands = bandsOf(sig, cfg, id)
+    val newBandsPlan = bandsOf(sig, cfg, id)
     // A retried batch must probe the identical PRE-batch state even though
     // its own earlier append is already on disk — excluding its generation
     // (a partition filter, file-pruned like pk) restores it exactly,
@@ -237,9 +238,36 @@ object LshIndex {
     // only touched directories; the broadcast semi join then keeps, row
     // level, every member of a touched bucket (so the hot-bucket count
     // below is the bucket's FULL size). The index side never shuffles.
-    val touchedKeys = newBands.select(col("band"), col("key")).distinct()
-    val touchedPk = touchedKeys.select(bandPk(cfg).as("pk")).distinct()
-      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    //
+    // ONE bounded job instead of two (the r15 streaming-floor work: the
+    // per-micro-batch cost is a stack of tiny jobs, so each removed job
+    // is a direct cut): the batch's band rows — |batch| × k/r rows,
+    // batch-sized by construction — localize WITH their pk, and the
+    // touched-key broadcast list, the pk partition predicate AND the
+    // union/append side all derive from the same driver-local rows. The
+    // over-cap fallback keeps the original two-job spelling.
+    val (newBands, touchedKeys, touchedPk) =
+      Caches.localize(newBandsPlan.withColumn("pk", bandPk(cfg)),
+        maxRows = 1 << 20) match {
+        case Some(local) =>
+          val rows = local.collect() // LocalRelation: driver-side, no job
+          val schema = local.schema
+          val (bi, ki, pi) = (schema.fieldIndex("band"),
+            schema.fieldIndex("key"), schema.fieldIndex("pk"))
+          val keyRows = rows.map(r =>
+            org.apache.spark.sql.Row(r.get(bi), r.get(ki))).distinct.toSeq
+          val tk = spark.createDataFrame(
+            new java.util.ArrayList(keyRows.asJava),
+            org.apache.spark.sql.types.StructType(
+              Seq(schema("band"), schema("key"))))
+          val pk = rows.map(_.getInt(pi)).distinct.map(Int.box).toSeq
+          (local.drop("pk"), tk, pk)
+        case None =>
+          val tk = newBandsPlan.select(col("band"), col("key")).distinct()
+          val pk = tk.select(bandPk(cfg).as("pk")).distinct()
+            .collect().map(r => Int.box(r.getInt(0))).toSeq
+          (newBandsPlan, tk, pk)
+      }
     val indexBands = dropOwnGen(spark.read.parquet(bandsPath(path))
         .where(col("pk").isin(touchedPk: _*)))
       .select(col("band"), col("key"), col("doc_id"))
@@ -361,6 +389,42 @@ object LshIndex {
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id",
       text: String = "text", batchId: Option[Long] = None): DataFrame =
+    probeAppendCore(spark, path, newDocs, cfg, id, text, batchId,
+      pairs => Caches.localize(pairs, maxRows = 1 << 20)
+        .getOrElse(pairs.localCheckpoint()))
+
+  /** [[probeAndAppend]] with the verified pairs materialized DIRECTLY
+    * into a `batch_id`-hive-partitioned pair-log parquet (dynamic
+    * partition overwrite — the exactly-once log contract: a retried
+    * batch REPLACES its own log partition) instead of a driver-side
+    * localize followed by a second write job. The log write IS the
+    * pre-append materialization, so the probe still observes the
+    * pre-batch index and the append still lands after the pairs are on
+    * storage — one job where the streaming ingest previously paid two
+    * per micro-batch (the r15 streaming-floor cut; the per-batch cost
+    * is a stack of tiny fixed-overhead jobs). */
+  def probeAndAppendToLog(spark: SparkSession, path: String,
+      newDocs: DataFrame, pairsDir: String, cfg: Config = Config(),
+      id: String = "doc_id", text: String = "text",
+      batchId: Long = 0L): Unit = {
+    probeAppendCore(spark, path, newDocs, cfg, id, text, Some(batchId),
+      { pairs =>
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(pairsDir)
+        spark.emptyDataFrame
+      })
+    ()
+  }
+
+  /** Shared probe/append body: `materialize` runs the one action that
+    * freezes the verified pairs BEFORE the index appends (localize for
+    * the returning API, a direct log write for the streaming form). */
+  private def probeAppendCore(spark: SparkSession, path: String,
+      newDocs: DataFrame, cfg: Config, id: String, text: String,
+      batchId: Option[Long],
+      materialize: DataFrame => DataFrame): DataFrame =
       IndexLock.withWriter(path) {
     val sig = signatures(newDocs, cfg, id, text).persist()
     var probeCaches: Seq[DataFrame] = Seq(sig)
@@ -368,10 +432,9 @@ object LshIndex {
       val (probe, newBands, layout) = probePairs(spark, path, sig, cfg, id,
         extraCaches = Seq(sig), excludeGen = batchId.map(b => genOf(Some(b))))
       probeCaches = probe.caches
-      val result = Caches.localize(probe.pairs, maxRows = 1 << 20)
-        .getOrElse(probe.pairs.localCheckpoint())
+      val result = materialize(probe.pairs)
       // Append AFTER the probe is materialized: the probe must see the
-      // pre-batch index, and the localized result no longer reads it.
+      // pre-batch index, and the materialized result no longer reads it.
       // Appends reuse the PERSISTED hash-bucket layout, so the files
       // land in (and future probes prune to) the right directories.
       val mode = if (batchId.isDefined) "replace-gen" else "append"

@@ -114,18 +114,71 @@ object SimHashIndex {
   def probeAndAppend(spark: SparkSession, path: String, newDocs: DataFrame,
       cfg: Config = Config(), id: String = "doc_id", text: String = "text",
       batchId: Option[Long] = None,
-      hashCol: Option[String] = None): DataFrame = IndexLock.withWriter(path) {
+      hashCol: Option[String] = None): DataFrame =
+    probeAppendCore(spark, path, newDocs, cfg, id, text, batchId, hashCol,
+      pairs => Caches.localize(pairs, maxRows = 1 << 20)
+        .getOrElse(pairs.localCheckpoint()))
+
+  /** [[probeAndAppend]] with the verified pairs materialized DIRECTLY
+    * into a `batch_id`-partitioned pair-log parquet (dynamic partition
+    * overwrite — a retried batch replaces its own log partition)
+    * instead of a driver localize + second write job — the
+    * LshIndex.probeAndAppendToLog contract for the Hamming family (r15
+    * streaming-floor cut: one job per micro-batch instead of two). */
+  def probeAndAppendToLog(spark: SparkSession, path: String,
+      newDocs: DataFrame, pairsDir: String, cfg: Config = Config(),
+      id: String = "doc_id", text: String = "text", batchId: Long = 0L,
+      hashCol: Option[String] = None): Unit = {
+    probeAppendCore(spark, path, newDocs, cfg, id, text, Some(batchId),
+      hashCol, { pairs =>
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(pairsDir)
+        spark.emptyDataFrame
+      })
+    ()
+  }
+
+  /** Shared probe/append body (`materialize` = the one action freezing
+    * the pairs before the append — LshIndex.probeAppendCore's rule). */
+  private def probeAppendCore(spark: SparkSession, path: String,
+      newDocs: DataFrame, cfg: Config, id: String, text: String,
+      batchId: Option[Long], hashCol: Option[String],
+      materialize: DataFrame => DataFrame): DataFrame = IndexLock.withWriter(path) {
     val layout = adoptMeta(spark, path, cfg)
-    val newBands = bandRows(newDocs, layout, id, text, hashCol).persist()
+    val bandsPlan = bandRows(newDocs, layout, id, text, hashCol)
+    // One bounded job instead of two (LshIndex.probePairs' r15 rule):
+    // the batch's band rows localize WITH their pk, so the touched-key
+    // broadcast, the pk partition predicate and the union/append side
+    // all come from the same driver-local rows; over the cap, the
+    // original persist + collect spelling.
+    val (newBands, touchedKeys, touchedPk, cache) =
+      Caches.localize(bandsPlan.withColumn("pk", bandPk(layout)),
+        maxRows = 1 << 20) match {
+        case Some(local) =>
+          val rows = local.collect() // LocalRelation: driver-side, no job
+          val schema = local.schema
+          val (bi, ki, pi) = (schema.fieldIndex("band"),
+            schema.fieldIndex("key"), schema.fieldIndex("pk"))
+          val keyRows = rows.map(r =>
+            org.apache.spark.sql.Row(r.get(bi), r.get(ki))).distinct.toSeq
+          val tk = spark.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(keyRows).asJava),
+            org.apache.spark.sql.types.StructType(
+              Seq(schema("band"), schema("key"))))
+          val pk = rows.map(_.getInt(pi)).distinct.map(Int.box).toSeq
+          (local.drop("pk"), tk, pk, None)
+        case None =>
+          val nb = bandsPlan.persist()
+          val tk = nb.select(col("band"), col("key")).distinct()
+          val pk = tk.select(bandPk(layout).as("pk")).distinct()
+            .collect().map(r => Int.box(r.getInt(0))).toSeq
+          (nb, tk, pk, Some(nb))
+      }
     try {
       val gen = batchId.map(b => s"b$b")
-      // file-level pruning: the batch's distinct pk values (≤
-      // indexPartitions ints) become the partition predicate; the
-      // broadcast semi join keeps, row-level, every member of a touched
-      // bucket so the cap below counts the bucket's FULL size
-      val touchedKeys = newBands.select(col("band"), col("key")).distinct()
-      val touchedPk = touchedKeys.select(bandPk(layout).as("pk")).distinct()
-        .collect().map(r => Int.box(r.getInt(0))).toSeq
       val indexBands = gen.fold(spark.read.parquet(bandsPath(path)))(g =>
           spark.read.parquet(bandsPath(path)).where(col("gen") =!= g))
         .where(col("pk").isin(touchedPk: _*))
@@ -158,15 +211,14 @@ object SimHashIndex {
         .where(col("hamming") <= layout.maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming")))
         .orderBy(col("doc_a"), col("doc_b"))
-      val result = Caches.localize(pairs, maxRows = 1 << 20)
-        .getOrElse(pairs.localCheckpoint())
+      val result = materialize(pairs)
       GenTable.writePartitioned(
         newBands.withColumn("__part", bandPk(layout)),
         bandsPath(path), layout.bandFiles,
         if (batchId.isDefined) "replace-gen" else "append",
         gen.getOrElse("adhoc"), col("band"), col("key"))
       result
-    } finally newBands.unpersist()
+    } finally cache.foreach(_.unpersist())
   }
 
   /** Tombstone `docIds` — LshIndex.markDeleted's contract for this

@@ -166,12 +166,10 @@ object StreamingPipeline {
     * and assert convergence. */
   def nearDupIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
       pairsDir: String, cfg: graft.ops.LshIndex.Config = graft.ops.LshIndex.Config()): Unit =
-    graft.ops.LshIndex.probeAndAppend(
-        batch.sparkSession, indexPath, batch, cfg, batchId = Some(batchId))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(pairsDir)
+    // sink form: the pair-log write IS the pre-append materialization —
+    // one job per batch instead of localize + rewrite (r15 floor cut)
+    graft.ops.LshIndex.probeAndAppendToLog(
+      batch.sparkSession, indexPath, batch, pairsDir, cfg, batchId = batchId)
 
   /** Continuously-ingesting SimHash near-dup detection — the
     * HAMMING-DISTANCE twin of [[startNearDupIngest]] (ops/SimHashIndex):
@@ -206,12 +204,9 @@ object StreamingPipeline {
   def simHashIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
       pairsDir: String,
       cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config()): Unit =
-    graft.ops.SimHashIndex.probeAndAppend(
-        batch.sparkSession, indexPath, batch, cfg, batchId = Some(batchId))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(pairsDir)
+    // sink form, like nearDupIngestBatch (one job instead of two)
+    graft.ops.SimHashIndex.probeAndAppendToLog(
+      batch.sparkSession, indexPath, batch, pairsDir, cfg, batchId = batchId)
 
   /** Continuously-ingesting PERCEPTUAL near-dup detection — the
     * MULTIMODAL generalization of [[startSimHashIngest]]: each
@@ -248,13 +243,10 @@ object StreamingPipeline {
   def fingerprintIngestBatch(hashes: DataFrame, batchId: Long,
       indexPath: String, pairsDir: String,
       cfg: graft.ops.SimHashIndex.Config = graft.ops.SimHashIndex.Config()): Unit =
-    graft.ops.SimHashIndex.probeAndAppend(
-        hashes.sparkSession, indexPath, hashes, cfg, batchId = Some(batchId),
-        hashCol = Some("sh"))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(pairsDir)
+    // sink form, like simHashIngestBatch (one job instead of two)
+    graft.ops.SimHashIndex.probeAndAppendToLog(
+      hashes.sparkSession, indexPath, hashes, pairsDir, cfg,
+      batchId = batchId, hashCol = Some("sh"))
 
   /** Continuously-ingesting IVF vector search — the VECTOR twin of
     * [[startNearDupIngest]], completing the streaming story for the ANN

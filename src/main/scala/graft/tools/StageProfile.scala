@@ -21,17 +21,111 @@ object StageProfile {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val what = if (args.length > 1) args(1) else "q158"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-profile").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .getOrCreate()
+    // hypothesis knobs: GRAFT_PROFILE_CONF="k=v,k=v" folds extra confs
+    // into the session so AQE/codegen/partition sizing can be A/B-ed
+    // without editing the tool per experiment
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try what match {
       case "q158" => profileQ158(spark, dir)
       case "pairs" => profilePairs(spark, dir)
+      case "q92" => profileQ92(spark, dir)
       case other => sys.error(s"unknown profile target $other")
     } finally spark.stop()
+  }
+
+  /** q92's phases — the streaming-LSH lifecycle floor (r14 verdict #1):
+    * index build, then each micro-batch delivered BOTH through the bare
+    * batch body (`nearDupIngestBatch`, no streaming machinery) in one
+    * scratch index and through the full `startNearDupIngest` stream in
+    * another, so the per-batch probe/append cost and the Structured-
+    * Streaming fixed overhead (trigger, checkpoint commit, isEmpty
+    * probe) attribute separately. A per-job listener prints the job
+    * count per phase — the floor hypothesis is "many tiny jobs". */
+  private def profileQ92(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val verbose = sys.env.contains("GRAFT_PROFILE_JOBS")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          starts.put(s.jobId, System.nanoTime())
+          if (verbose) {
+            val site = Option(s.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?")
+            println(s"[profile]     job ${s.jobId} start: $site (${s.stageInfos.size} stages)")
+          }
+          ()
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (verbose) Option(starts.remove(e.jobId)).foreach { t0 =>
+            println(f"[profile]     job ${e.jobId} end ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+          }
+          ()
+        }
+      })
+    def phase[A](label: String)(f: => A): A = {
+      val j0 = jobs.get()
+      val r = time(label)(f)
+      println(s"[profile]   jobs = ${jobs.get() - j0}")
+      r
+    }
+    val tmp = graft.ops.Scratch.tempDir("graft_prof92_")
+    try {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      phase("buildSized (bare)")(
+        graft.ops.LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx"))
+      phase("buildSized (stream copy)")(
+        graft.ops.LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx2"))
+      val rows = docs.where(isStream).as[(Long, String)].collect().sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        phase(s"bare batch $i (probe+append+log)")(
+          graft.streaming.StreamingPipeline.nearDupIngestBatch(
+            c.toSeq.toDF("doc_id", "text"), i.toLong, s"$tmp/idx",
+            s"$tmp/pairs"))
+      }
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingPipeline.startNearDupIngest(
+        mem.toDF().toDF("doc_id", "text"),
+        indexPath = s"$tmp/idx2", pairsDir = s"$tmp/pairs2",
+        checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try chunks.zipWithIndex.foreach { case (c, i) =>
+        phase(s"stream batch $i (full machinery)") {
+          mem.addData(c.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      phase("read pair log + localize")(
+        println("[profile]   pairs = " + spark.read
+          .schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, batch_id BIGINT")
+          .parquet(s"$tmp/pairs").count()))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
   }
 
   /** nearDupPairs' phases (the shared floor under q20/q59/q133/q158):
