@@ -1268,7 +1268,11 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * round by construction. The audit's crossJoin is
     * `crossJoin(broadcast(50 probes))`, the standard bounded ANN
     * scan. */
-  private[queries] def q148(spark: SparkSession, dir: String): DataFrame = {
+  /** q148's two-round NN-Descent k-NN graph (k = 4), shared by the
+    * build query (q148, which audits it edge-by-edge) and the beam
+    * search that traverses it (q163). Returns the settled
+    * (src, dst, cos) edge list — bounded at n·k rows by construction. */
+  private def nnDescentGraph(spark: SparkSession, dir: String): DataFrame = {
     val k = 4
     val emb = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"))
@@ -1312,7 +1316,14 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         col("src").as("dst"), col("cos")))
       settle(topK(cur.unionByName(sym)))
     }
-    val e2 = descend(descend(settle(topK(withCos(init)))))
+    descend(descend(settle(topK(withCos(init)))))
+  }
+
+  private[queries] def q148(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val e2 = nnDescentGraph(spark, dir)
     val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 50)
       .select(col("vec_id").as("src"), col("embedding").as("probe"))
     val wTrue = Window.partitionBy(col("src"))
@@ -1331,8 +1342,11 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         coalesce(col("is_true"), lit(false)).as("is_true"))
       .orderBy(col("src"), col("rn"))
   }
-  private[queries] lazy val q148Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** The CTE chain producing the NN-Descent graph `e2` over the
+    * embedding relation `e` — the shared oracle prefix of q148Sql
+    * (audit) and q163Sql (beam search). */
+  private lazy val nnGraphCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nn AS (SELECT count(*) AS n FROM e),
       |init AS (
       |  SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst
@@ -1370,7 +1384,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |        SELECT src, dst, cos, row_number() OVER (PARTITION BY src
       |          ORDER BY cos DESC, dst) AS rn
       |        FROM (SELECT src, dst, max(cos) AS cos FROM m2 GROUP BY 1, 2))
-      |       WHERE rn <= 4),
+      |       WHERE rn <= 4)""".stripMargin
+
+  private[queries] lazy val q148Sql =
+    s"""WITH $nnGraphCtes,
       |truth AS (SELECT src, dst FROM (
       |        SELECT p.vec_id AS src, c.vec_id AS dst,
       |               row_number() OVER (PARTITION BY p.vec_id
@@ -1512,4 +1529,121 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |FROM cand
       |QUALIFY rn <= 3
       |ORDER BY probe_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------- q163
+  /** GRAPH-ANN BEAM SEARCH over q148's NN-Descent k-NN graph — the
+    * SEARCH half of the graph-index family (the carried r13/r14 ask:
+    * q148 builds the graph, nothing traversed it). 30 probes each start
+    * at a FIXED deterministic entry vertex (the minimum vec_id — the
+    * stand-in for HNSW/Vamana's medoid entry) and run 3 unrolled
+    * best-first hops: every beam member's undirected neighbors join the
+    * candidate set, candidates score against the probe (the bit-pinned
+    * [[CosineSimilarity]] q23/q148 share with the oracle), and the
+    * top-8 beam survives (cos desc, vertex asc — a total order). The
+    * final per-probe top-4 excludes the probe's own vertex and carries
+    * q148's honest `is_true` audit column: recall vs the exact
+    * brute-force top-4 is measured in the output, not promised.
+    *
+    * Scale shape — the reason graph ANN exists: the graph is O(n·k)
+    * edges keyed by src, each hop is ONE keyed join (frontier ⋈
+    * adjacency; the frontier is probes × beam rows, bounded by
+    * construction) plus one bounded top-k window, so per-probe search
+    * cost is O(hops · beam · k) — independent of corpus size, no
+    * brute scan anywhere except the audit's own reference answer.
+    * Beams settle between hops via the bounded localize (q148's rule:
+    * each beam feeds the next hop's join twice, and a settled frontier
+    * keeps the per-hop plan tree flat). */
+  private[queries] def q163(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4; val beamW = 8; val hops = 3; val nProbes = 30
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    def settle(df: DataFrame): DataFrame =
+      graft.ops.Caches.localize(df, maxRows = 1 << 22).getOrElse {
+        val p = df.persist(); p.count(); p
+      }
+    val graph = nnDescentGraph(spark, dir)
+    val adj = settle(graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val probes = Tables.embeddings(spark, dir).where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val entry = emb.agg(min(col("vec_id")).as("v"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("embedding").as("ve")), "v")
+      .join(probes, "probe_id")
+      .select(col("probe_id"), col("v"),
+        CosineSimilarity.cosineSim(spark, col("ve"), col("probe")).as("cos"))
+    val wBeam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("v"))
+    var beam = settle(scored(
+      probes.select(col("probe_id")).crossJoin(broadcast(entry))))
+    for (_ <- 1 to hops) {
+      val expand = beam.select(col("probe_id"), col("v").as("src"))
+        .join(adj, "src")
+        .select(col("probe_id"), col("dst").as("v"))
+      val cand = beam.select(col("probe_id"), col("v"))
+        .unionByName(expand).distinct()
+      beam = settle(scored(cand)
+        .withColumn("rn", row_number().over(wBeam))
+        .where(col("rn") <= beamW).drop("rn"))
+    }
+    val truth = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("v"),
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(wBeam.orderBy(col("cos").desc, col("v"))))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("v"), lit(true).as("is_true"))
+    beam.where(col("v") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(wBeam)).where(col("rn") <= k)
+      .join(truth, Seq("probe_id", "v"), "left")
+      .select(col("probe_id"), col("rn"), col("v").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  /** Oracle: the shared graph CTEs + the unrolled 3-hop beam chain +
+    * the exact-top-4 audit, replayed end-to-end — selection order,
+    * entry vertex, beam ties and the recall bits all hash-checked. */
+  private[queries] lazy val q163Sql = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"b${r - 1}"
+      s"""bc$r AS (SELECT DISTINCT probe_id, v FROM (
+         |        SELECT probe_id, v FROM $prev
+         |        UNION ALL
+         |        SELECT $prev.probe_id, a.dst AS v
+         |        FROM $prev JOIN adj a ON a.src = $prev.v)),
+         |bs$r AS (SELECT bc$r.probe_id, bc$r.v,
+         |              list_cosine_similarity(ev.emb, p.pv) AS cos
+         |       FROM bc$r JOIN e ev ON ev.vec_id = bc$r.v
+         |            JOIN p ON p.probe_id = bc$r.probe_id),
+         |b$r AS (SELECT probe_id, v, cos FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, v) AS rn FROM bs$r) WHERE rn <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nnGraphCtes,
+       |adj AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+       |ent AS (SELECT min(vec_id) AS v FROM e),
+       |p AS (SELECT vec_id AS probe_id, emb AS pv FROM e WHERE vec_id < 30),
+       |b0 AS (SELECT p.probe_id, ent.v,
+       |              list_cosine_similarity(ev.emb, p.pv) AS cos
+       |       FROM p CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.v),
+       |$rounds,
+       |tr AS (SELECT probe_id, v FROM (
+       |        SELECT p.probe_id, c.vec_id AS v,
+       |               row_number() OVER (PARTITION BY p.probe_id
+       |                 ORDER BY list_cosine_similarity(c.emb, p.pv) DESC,
+       |                          c.vec_id) AS rn
+       |        FROM e c JOIN p ON c.vec_id <> p.probe_id)
+       |       WHERE rn <= 4)
+       |SELECT g.probe_id,
+       |       row_number() OVER (PARTITION BY g.probe_id
+       |         ORDER BY g.cos DESC, g.v) AS rn,
+       |       g.v AS neighbor_id, round(g.cos, 4) AS cos_sim,
+       |       t.v IS NOT NULL AS is_true
+       |FROM b3 g LEFT JOIN tr t ON t.probe_id = g.probe_id AND t.v = g.v
+       |WHERE g.v <> g.probe_id
+       |QUALIFY rn <= 4
+       |ORDER BY g.probe_id, rn""".stripMargin
+  }
 }

@@ -994,8 +994,14 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     * per-round greedy selection chain and the multi-pattern
     * gaps-and-islands apply, so any drift in selection order,
     * exclusion, or simultaneous application hash-mismatches. */
-  private[queries] val q159Rounds = 2
-  private[queries] val q159M = 4
+  /** r15: widened from m=4/rounds=2 (which proved the mechanism) to
+    * m=8/rounds=3 — closer-to-production batch shape, and the wider
+    * per-round greedy chain exercises the token-disjointness exclusion
+    * at 8 picks (the r14 verdict's ask). The oracle SQL is GENERATED
+    * from these constants, so the unrolled selection chain and the
+    * apply CTEs regenerate in lockstep. */
+  private[queries] val q159Rounds = 3
+  private[queries] val q159M = 8
 
   /** The batched trainer shared by q159 (emits the learned vocab table)
     * and q160 (ships the tokenizer: applies the learned merges and

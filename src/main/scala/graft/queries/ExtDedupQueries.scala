@@ -1350,4 +1350,115 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
        |FROM it3 r JOIN deg d ON d.src = r.doc_id
        |           JOIN cdeg c ON c.src = r.doc_id
        |ORDER BY doc_id""".stripMargin
+
+
+  // ----------------------------------------------------------------- q164
+  /** Exact substring-dedup REMOVAL — the operator q73 was missing half
+    * of (the carried r13/r14 ask): q73 DETECTS docs sharing verbatim
+    * spans; this emits the CLEANED corpus with every cross-doc
+    * duplicated span cut out of every occurrence — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022) ExactSubstr rule, with the 50-token threshold scaled to
+    * this corpus's 8-word gram width (q73's k). Same corpus as q73
+    * (documents ∪ the fabricated verbatim re-publications, so real
+    * shared spans exist at every sf).
+    *
+    * Mechanics: every 8-word gram hashes WITH its position (density 1 —
+    * winnowing-style 1-in-4 selection detects but cannot delimit, so
+    * removal hashes every gram); a gram is duplicated iff it occurs in
+    * ≥ 2 DISTINCT docs — one window (min(doc_id) ≠ max(doc_id) over the
+    * hash partition), no pair join, so unlike q73 no df-cap is needed:
+    * cost is linear in grams regardless of how common a span is.
+    * Duplicated gram starts become covered intervals [pos, pos+7],
+    * gaps-and-islands-merged per doc (one window chain), and the
+    * bounded island list joins back to the corpus where an IN-ROW
+    * filter rebuilds the text from the uncovered positions — the
+    * corpus text itself never shuffles. A doc that is one big copied
+    * span (the fabricated excerpts) cleans to the empty string.
+    *
+    * Scale shape: the gram relation is O(corpus tokens) rows of
+    * (16-byte hash, doc, pos) and shuffles ONCE (the dup window) —
+    * the honest ExactSubstr cost (Lee et al. pay a corpus-order
+    * suffix array); islands are O(duplicated grams) and the final
+    * join is keyed on doc_id with the island side ≪ corpus by the
+    * dedup premise (AQE broadcasts it when small). */
+  private[queries] def q164(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w0 = TextOps.words(col("text"))
+    val excerpts = docs
+      .where(pmod(col("doc_id"), lit(7)) === 0 && size(w0) >= 27)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(w0, 3, 25)).as("text"))
+    val corpus = Tables.spread(docs.unionByName(excerpts))
+    val w = TextOps.words(col("text"))
+    val grams = corpus.where(size(w) >= 8)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 7),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // cross-doc duplicated gram: distinct-doc count ≥ 2, spelled as ONE
+    // window (min ≠ max over the hash partition) — no join, no cap
+    val wDup = Window.partitionBy(col("h"))
+    val starts = grams
+      .withColumn("xdoc",
+        min(col("doc_id")).over(wDup) =!= max(col("doc_id")).over(wDup))
+      .where(col("xdoc"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
+    // gaps-and-islands: merge overlapping/adjacent covered intervals
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val islands = starts
+      .withColumn("pmax", max(col("e")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("iid", sum(col("ni")).over(wDoc))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("isl"))
+    val isl = coalesce(col("isl"),
+      array().cast("array<struct<s:int,e:int>>"))
+    // in-row rebuild: keep exactly the positions no island covers
+    val keptWords = filter(
+      transform(sequence(lit(1), size(w)),
+        p => struct(p.as("p"), element_at(w, p).as("t"))),
+      x => !exists(isl,
+        i => x("p") >= i("s") && x("p") <= i("e")))
+    corpus.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(w).as("n_tok"),
+        (size(w) - size(keptWords)).as("n_removed"),
+        concat_ws(" ", transform(keptWords, x => x("t"))).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+  /** Oracle: the same dup rule + removal replayed over exploded token
+    * positions (equivalent to the islands spelling by construction —
+    * the islands are exactly the union of the covered position sets). */
+  private[queries] val q164Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, array_to_string(string_split(text, ' ')[3:27], ' ')
+      |  FROM documents
+      |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 27),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |g AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+      |      FROM w, unnest(range(1, len(w) - 6)) AS t(i)),
+      |x AS (SELECT doc_id, pos FROM g
+      |      QUALIFY min(doc_id) OVER (PARTITION BY h)
+      |           <> max(doc_id) OVER (PARTITION BY h)),
+      |cov AS (SELECT DISTINCT doc_id, pos + d AS p
+      |        FROM x, unnest(range(8)) AS t(d)),
+      |tok AS (SELECT doc_id, i AS p, w[i] AS word
+      |        FROM w, unnest(range(1, len(w) + 1)) AS t(i)),
+      |kept AS (SELECT tok.doc_id, tok.p, tok.word FROM tok
+      |         ANTI JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |               string_agg(word, ' ' ORDER BY p) AS ct
+      |        FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.w) AS n_tok,
+      |       len(w.w) - coalesce(agg.n_kept, 0) AS n_removed,
+      |       coalesce(agg.ct, '') AS cleaned_text
+      |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
 }

@@ -139,7 +139,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q159_bpe_batched", q159, Some(q159Sql)),
     Decl("q160_bpe_encode", q160, Some(q160Sql)),
     Decl("q161_filtered_ivf_ann", q161, Some(q161Sql)),
-    Decl("q162_leakage_safe_split", q162, Some(q162Sql)))
+    Decl("q162_leakage_safe_split", q162, Some(q162Sql)),
+    Decl("q163_graph_ann_beam", q163, Some(q163Sql)),
+    Decl("q164_substring_dedup_removal", q164, Some(q164Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

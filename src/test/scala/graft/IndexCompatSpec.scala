@@ -67,4 +67,26 @@ class IndexCompatSpec extends SparkSpecBase {
       spark, p, IndexFixtureData.batchVecs(spark), IndexFixtureData.base16,
       batchId = Some(0L)))
   }
+
+  test("BPE vocab written by an earlier generation encodes byte-identically") {
+    // the tokenizer-drift tripwire (r14 verdict #8): a vocab learned and
+    // shipped by generation N must make generation N+1 encode the same
+    // corpus to the same bytes — any change to the merge-set apply, the
+    // round chaining or the vocab table schema fails here loudly
+    val tmp = tmpDir("compat_bpe")
+    copyDir(s"$fixture/bpe_vocab", s"$tmp/vocab")
+    val learned = graft.ops.BpeVocab.read(spark, s"$tmp/vocab")
+    assert(learned.map(_._1).distinct.size > 1,
+      "fixture vocab must span multiple rounds to exercise the chain")
+    val got = rowsOf(graft.ops.BpeVocab.encodeWith(
+      IndexFixtureData.batchDocs(spark), learned))
+    val want = rowsOf(spark.read.parquet(s"$fixture/expected_bpe"))
+    assert(want.nonEmpty, "bpe fixture recorded no encoded rows")
+    assert(got == want,
+      "bpe: current code encoding under the committed vocab diverged " +
+        "from the recorded encode")
+    // and the chain is real: round-1 merges fused round-0 products
+    assert(want.exists(_.contains("group0_alpha0_beta0_gamma0")),
+      "fixture encode should contain a round-chained merged token")
+  }
 }

@@ -43,4 +43,17 @@ object IndexFixtureData {
 
   /** The frozen quantizer/codebooks: the first 16 base vectors. */
   def base16: Seq[Seq[Float]] = (0L until 16L).map(vecOf)
+
+  /** The committed BPE merge table (q159's row shape): round 0 merges
+    * raw fixture tokens, round 1 merges round-0 PRODUCTS — so the
+    * cross-generation replay must chain rounds in order to reproduce
+    * the recorded encodes. Merges are token-disjoint within each round
+    * (the bpeApplyMergeSet contract). */
+  def bpeVocab: Seq[(Int, Int, String, String, Long)] = Seq(
+    (0, 0, "group0", "alpha0", 3L),
+    (0, 1, "beta0", "gamma0", 3L),
+    (0, 2, "group1", "alpha1", 3L),
+    (0, 3, "delta1", "epsilon1", 3L),
+    (1, 0, "group0_alpha0", "beta0_gamma0", 3L),
+    (1, 1, "zeta1", "eta1", 3L))
 }

@@ -14,12 +14,20 @@ import org.apache.spark.sql.functions._
   * documented layout migration.
   *
   *   sbt "Test/runMain graft.IndexFixtureGen"
-  */
+  *
+  * A second argument GENERATES ONE FAMILY ONLY (`lsh`, `simhash`,
+  * `ivf`, `pq`, `bpe`) — how a NEW family is added to an existing
+  * fixture without rewriting the other families' committed directories
+  * with current code (which would silently destroy their
+  * earlier-era-layout property; r15 added `bpe` this way). */
 object IndexFixtureGen {
   def main(args: Array[String]): Unit = {
     val out = new java.io.File(
       if (args.nonEmpty) args(0) else "src/test/resources/index_fixture")
       .getAbsolutePath
+    val onlyFamily = if (args.length > 1) Some(args(1)) else None
+    def family(name: String)(gen: => Unit): Unit =
+      if (onlyFamily.forall(_ == name)) gen
     val spark = SparkSession.builder()
       .master("local[4]").appName("graft-fixture-gen")
       .config("spark.sql.shuffle.partitions", "4")
@@ -33,23 +41,43 @@ object IndexFixtureGen {
     val vecs = IndexFixtureData.baseVecs(spark)
     val b16 = IndexFixtureData.base16
 
-    graft.ops.LshIndex.buildSized(docs, s"$out/lsh")
-    save(graft.ops.LshIndex.probeAndAppend(spark, s"$out/lsh",
-      IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_lsh")
+    family("lsh") {
+      graft.ops.LshIndex.buildSized(docs, s"$out/lsh")
+      save(graft.ops.LshIndex.probeAndAppend(spark, s"$out/lsh",
+        IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_lsh")
+    }
 
-    graft.ops.SimHashIndex.build(docs, s"$out/simhash")
-    save(graft.ops.SimHashIndex.probeAndAppend(spark, s"$out/simhash",
-      IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_simhash")
+    family("simhash") {
+      graft.ops.SimHashIndex.build(docs, s"$out/simhash")
+      save(graft.ops.SimHashIndex.probeAndAppend(spark, s"$out/simhash",
+        IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_simhash")
+    }
 
-    graft.ops.IvfIndex.buildCorpus(vecs, s"$out/ivf", b16, files = 2)
-    save(graft.ops.IvfIndex.probeAndAppend(spark, s"$out/ivf",
-      IndexFixtureData.batchVecs(spark), b16, batchId = Some(0L)), "expected_ivf")
+    family("ivf") {
+      graft.ops.IvfIndex.buildCorpus(vecs, s"$out/ivf", b16, files = 2)
+      save(graft.ops.IvfIndex.probeAndAppend(spark, s"$out/ivf",
+        IndexFixtureData.batchVecs(spark), b16, batchId = Some(0L)), "expected_ivf")
+    }
 
-    graft.ops.PqIndex.buildCodes(vecs, s"$out/pq", b16, files = 2)
-    save(graft.ops.PqIndex.probeAndAppend(spark, s"$out/pq",
-      IndexFixtureData.batchVecs(spark), b16, batchId = Some(0L)), "expected_pq")
+    family("pq") {
+      graft.ops.PqIndex.buildCodes(vecs, s"$out/pq", b16, files = 2)
+      save(graft.ops.PqIndex.probeAndAppend(spark, s"$out/pq",
+        IndexFixtureData.batchVecs(spark), b16, batchId = Some(0L)), "expected_pq")
+    }
 
-    println(s"[fixture] written to $out")
+    family("bpe") {
+      // a vocab whose round-1 merges consume round-0 PRODUCTS, so the
+      // committed artifact exercises the round-chained replay, not just
+      // one set-apply; counts are the fixture group sizes (3 base docs
+      // per group) — informational, the encode never reads them
+      graft.ops.BpeVocab.write(spark, IndexFixtureData.bpeVocab, s"$out/bpe_vocab")
+      save(graft.ops.BpeVocab.encodeWith(
+        IndexFixtureData.batchDocs(spark),
+        graft.ops.BpeVocab.read(spark, s"$out/bpe_vocab")), "expected_bpe")
+    }
+
+    println(s"[fixture] written to $out" +
+      onlyFamily.fold("")(f => s" (family $f only)"))
     spark.stop()
   }
 }

@@ -73,9 +73,12 @@ class PlanHealthSpec extends SparkSpecBase {
     // count, q74's 1-row (n_tot, w_tot) mixture totals, q93's 1-row
     // learned merge pair, q122's 1-row LM normalization constants,
     // q130's 1-row (N, avgdl) BM25 corpus stats, q148's 1-row corpus
-    // count (init-ring modulus) + 50-probe exact-truth audit
+    // count (init-ring modulus) + 50-probe exact-truth audit, q163's
+    // 1-row entry vertex + 30-probe exact-truth audit (the same two
+    // bounded broadcasts as q148, reused through nnDescentGraph)
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
-      "q148_nn_descent", "q151_kll_quantiles", "q152_hard_negative_mining",
+      "q148_nn_descent", "q163_graph_ann_beam",
+      "q151_kll_quantiles", "q152_hard_negative_mining",
       "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk",
       "q74_mixture_sampling", "q93_bpe_apply_merge",
       "q97_ann_ivf_incremental", "q98_temperature_upsampling",
