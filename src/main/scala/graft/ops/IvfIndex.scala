@@ -183,7 +183,37 @@ object IvfIndex {
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       cents: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       nprobe: Int = 2, files: Int = 2, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = IndexLock.withWriter(path) {
+      vec: String = "embedding"): DataFrame =
+    probeAppendCore(spark, path, batch, cents, batchId, k, nprobe, files,
+      id, vec, ann => Caches.localize(ann, maxRows = 1 << 22)
+        .getOrElse(ann.localCheckpoint()))
+
+  /** [[probeAndAppend]] with the ANN rows materialized DIRECTLY into a
+    * `batch_id`-partitioned log parquet (dynamic partition overwrite —
+    * a retried batch replaces its own log partition) instead of a
+    * driver localize + second write job — LshIndex.probeAndAppendToLog's
+    * contract for the vector family (r15 streaming-floor cut). */
+  def probeAndAppendToLog(spark: SparkSession, path: String,
+      batch: DataFrame, annDir: String, cents: Seq[Seq[Float]],
+      batchId: Long, k: Int = 3, nprobe: Int = 2, files: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): Unit = {
+    probeAppendCore(spark, path, batch, cents, Some(batchId), k, nprobe,
+      files, id, vec, { ann =>
+        ann.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(annDir)
+        spark.emptyDataFrame
+      })
+    ()
+  }
+
+  /** Shared probe/append body: `materialize` runs the one action that
+    * freezes the ANN result BEFORE the append (LshIndex's rule). */
+  private def probeAppendCore(spark: SparkSession, path: String,
+      batch: DataFrame, cents: Seq[Seq[Float]], batchId: Option[Long],
+      k: Int, nprobe: Int, files: Int, id: String, vec: String,
+      materialize: DataFrame => DataFrame): DataFrame = IndexLock.withWriter(path) {
     import org.apache.spark.sql.expressions.Window
     val gen = batchId.fold("adhoc")(b => s"b$b")
     // One evaluation of the batch plan + ONE K-centroid cosine pass per
@@ -217,8 +247,7 @@ object IvfIndex {
           round(col("cos"), 4).as("cos_sim"))
       // k rows per batch vector — bounded by construction; materialize
       // before the append below mutates the table the plan reads
-      val result = Caches.localize(ann, maxRows = 1 << 22)
-        .getOrElse(ann.localCheckpoint())
+      val result = materialize(ann)
       writeGen(assigned.select(col("vec_id"), col("embedding"), col("cell")),
         path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
       result

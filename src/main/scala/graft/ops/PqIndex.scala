@@ -173,7 +173,39 @@ object PqIndex {
       base: Seq[Seq[Float]], batchId: Option[Long], k: Int = 3,
       files: Int = 2, id: String = "vec_id",
       vec: String = "embedding",
-      prune: Option[(Seq[Seq[Float]], Int)] = None): DataFrame = IndexLock.withWriter(path) {
+      prune: Option[(Seq[Seq[Float]], Int)] = None): DataFrame =
+    probeAppendCore(spark, path, batch, base, batchId, k, files, id, vec,
+      prune, ann => Caches.localize(ann, maxRows = 1 << 22)
+        .getOrElse(ann.localCheckpoint()))
+
+  /** [[probeAndAppend]] with the ANN rows materialized DIRECTLY into a
+    * `batch_id`-partitioned log parquet (dynamic partition overwrite —
+    * a retried batch replaces its own log partition) instead of a
+    * driver localize + second write job — LshIndex.probeAndAppendToLog's
+    * contract for the PQ family (r15 streaming-floor cut). */
+  def probeAndAppendToLog(spark: SparkSession, path: String,
+      batch: DataFrame, annDir: String, base: Seq[Seq[Float]],
+      batchId: Long, k: Int = 3, files: Int = 2, id: String = "vec_id",
+      vec: String = "embedding",
+      prune: Option[(Seq[Seq[Float]], Int)] = None): Unit = {
+    probeAppendCore(spark, path, batch, base, Some(batchId), k, files, id,
+      vec, prune, { ann =>
+        ann.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(annDir)
+        spark.emptyDataFrame
+      })
+    ()
+  }
+
+  /** Shared probe/append body: `materialize` runs the one action that
+    * freezes the ANN result BEFORE the append (LshIndex's rule). */
+  private def probeAppendCore(spark: SparkSession, path: String,
+      batch: DataFrame, base: Seq[Seq[Float]], batchId: Option[Long],
+      k: Int, files: Int, id: String, vec: String,
+      prune: Option[(Seq[Seq[Float]], Int)],
+      materialize: DataFrame => DataFrame): DataFrame = IndexLock.withWriter(path) {
     import org.apache.spark.sql.expressions.Window
     val gen = batchId.fold("adhoc")(b => s"b$b")
     // one evaluation of the batch plan + one K-centroid pass per
@@ -239,8 +271,7 @@ object PqIndex {
         .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
           round(col("adc"), 4).as("adc_dist"))
       // k rows per batch vector — bounded; materialize before the append
-      val result = Caches.localize(ann, maxRows = 1 << 22)
-        .getOrElse(ann.localCheckpoint())
+      val result = materialize(ann)
       // UNCLUSTERED append (LSM write path): the per-batch delta skips
       // the range-shuffle + sort — compact() restores the clustered
       // layout for the accumulated generations (see writeGen).

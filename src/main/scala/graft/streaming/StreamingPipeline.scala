@@ -293,13 +293,10 @@ object StreamingPipeline {
     * backfill drivers can re-deliver a batch and assert convergence. */
   def vectorIngestBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       annDir: String, cents: Seq[Seq[Float]], k: Int = 3, nprobe: Int = 2): Unit =
-    graft.ops.IvfIndex.probeAndAppend(
-        batch.sparkSession, corpusPath, batch, cents, batchId = Some(batchId),
-        k = k, nprobe = nprobe)
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(annDir)
+    // sink form, like nearDupIngestBatch (one job instead of two)
+    graft.ops.IvfIndex.probeAndAppendToLog(
+      batch.sparkSession, corpusPath, batch, annDir, cents,
+      batchId = batchId, k = k, nprobe = nprobe)
 
   /** Continuously-ingesting PQ vector search — the COMPRESSED-index
     * twin of [[startVectorIngest]], completing the streaming story for
@@ -343,13 +340,10 @@ object StreamingPipeline {
   def pqIngestBatch(batch: DataFrame, batchId: Long, codesPath: String,
       annDir: String, base: Seq[Seq[Float]], k: Int = 3,
       prune: Option[(Seq[Seq[Float]], Int)] = None): Unit =
-    graft.ops.PqIndex.probeAndAppend(
-        batch.sparkSession, codesPath, batch, base, batchId = Some(batchId),
-        k = k, prune = prune)
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(annDir)
+    // sink form, like vectorIngestBatch (one job instead of two)
+    graft.ops.PqIndex.probeAndAppendToLog(
+      batch.sparkSession, codesPath, batch, annDir, base,
+      batchId = batchId, k = k, prune = prune)
 
   /** Continuously-ingesting CDC changelog merge — the streaming form of
     * [[graft.ops.ChangelogMerge]] (the lakehouse merge-on-read shape):
