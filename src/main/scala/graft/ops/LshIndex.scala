@@ -181,27 +181,39 @@ object LshIndex {
   def build(docs: DataFrame, path: String, cfg: Config = Config(),
       id: String = "doc_id", text: String = "text"): Unit = {
     val sig = signatures(docs, cfg, id, text).persist()
-    try {
-      writePartitioned(
-        bandsOf(sig, cfg, id).withColumn("__part", bandPk(cfg)),
-        bandsPath(path), cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
-      writePartitioned(
-        sig.select(col(id).as("doc_id"), col("sh"))
-          .withColumn("__part", sigPs(cfg, col("doc_id"))),
-        sigsPath(path), cfg.sigFiles, "overwrite", "base", col("doc_id"))
-      writeMeta(docs.sparkSession, path, cfg)
-    } finally sig.unpersist()
+    try buildFromSig(sig, path, cfg, id) finally sig.unpersist()
   }
 
-  /** [[build]] with the layout sized from a count of `docs` (one cheap
-    * metadata-friendly count job — negligible against the signature
-    * compute it right-sizes). Returns the chosen layout; probes need not
-    * see it (they adopt the persisted meta). */
+  /** The two table writes + meta, from an already-persisted signature
+    * frame — shared by [[build]] and [[buildSized]]. */
+  private def buildFromSig(sig: DataFrame, path: String, cfg: Config,
+      id: String): Unit = {
+    writePartitioned(
+      bandsOf(sig, cfg, id).withColumn("__part", bandPk(cfg)),
+      bandsPath(path), cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
+    writePartitioned(
+      sig.select(col(id).as("doc_id"), col("sh"))
+        .withColumn("__part", sigPs(cfg, col("doc_id"))),
+      sigsPath(path), cfg.sigFiles, "overwrite", "base", col("doc_id"))
+    writeMeta(sig.sparkSession, path, cfg)
+  }
+
+  /** [[build]] with the layout sized from the INDEXED doc count —
+    * taken from the persisted signature frame's own count, so the
+    * sizing pass and the signature compute are one job instead of a
+    * separate corpus scan (r15), and shingle-less docs (which never
+    * enter the index) don't inflate the layout. Returns the chosen
+    * layout; probes need not see it (they adopt the persisted meta).
+    * `sizedConfig` only sets LAYOUT fields, so signatures computed
+    * under `base` are identical under the sized config. */
   def buildSized(docs: DataFrame, path: String, base: Config = Config(),
       id: String = "doc_id", text: String = "text"): Config = {
-    val cfg = sizedConfig(docs.count(), base)
-    build(docs, path, cfg, id, text)
-    cfg
+    val sig = signatures(docs, base, id, text).persist()
+    try {
+      val cfg = sizedConfig(sig.count(), base)
+      buildFromSig(sig, path, cfg, id)
+      cfg
+    } finally sig.unpersist()
   }
 
   /** The probe's plans, exposed (package-private) so the plan-health spec

@@ -1419,16 +1419,28 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       .agg(collect_list(struct(col("s"), col("e"))).as("isl"))
     val isl = coalesce(col("isl"),
       array().cast("array<struct<s:int,e:int>>"))
-    // in-row rebuild: keep exactly the positions no island covers
-    val keptWords = filter(
-      transform(sequence(lit(1), size(w)),
-        p => struct(p.as("p"), element_at(w, p).as("t"))),
-      x => !exists(isl,
-        i => x("p") >= i("s") && x("p") <= i("e")))
+    // In-row rebuild from the GAP RANGES between islands, not a
+    // per-token membership test: higher-order functions are
+    // interpreted (CodegenFallback — the zorderWrite lesson), so the
+    // iteration count must be per-RANGE (size(isl)+1 per doc, a
+    // handful) with the token-volume work done by the native `slice`.
+    // The per-token exists() spelling measured 23 s at sf1 on 2.5M
+    // tokens; this is the same result — islands are disjoint and
+    // sorted by construction, so the kept positions are exactly the
+    // gaps (before the first island, between islands, after the last).
+    val keptWords = flatten(transform(
+      sequence(lit(0), size(isl)),
+      j => {
+        val start = when(j === 0, lit(1))
+          .otherwise(element_at(isl, j).getField("e") + 1)
+        val end = when(j === size(isl), size(w))
+          .otherwise(element_at(isl, j + 1).getField("s") - 1)
+        slice(w, start, greatest(end - start + 1, lit(0)))
+      }))
     corpus.join(islands, Seq("doc_id"), "left")
       .select(col("doc_id"), size(w).as("n_tok"),
         (size(w) - size(keptWords)).as("n_removed"),
-        concat_ws(" ", transform(keptWords, x => x("t"))).as("cleaned_text"))
+        concat_ws(" ", keptWords).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
   /** Oracle: the same dup rule + removal replayed over exploded token

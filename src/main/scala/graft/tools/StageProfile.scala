@@ -38,6 +38,7 @@ object StageProfile {
       case "q158" => profileQ158(spark, dir)
       case "pairs" => profilePairs(spark, dir)
       case "q92" => profileQ92(spark, dir)
+      case "q164" => profileQ164(spark, dir)
       case other => sys.error(s"unknown profile target $other")
     } finally spark.stop()
   }
@@ -126,6 +127,67 @@ object StageProfile {
       }
       rm(new java.io.File(tmp))
     }
+  }
+
+  /** q164's phases: gram hashing, the dup window, islands, rebuild. */
+  private def profileQ164(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextOps
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val w0 = TextOps.words(col("text"))
+    val excerpts = docs
+      .where(pmod(col("doc_id"), lit(7)) === 0 && size(w0) >= 27)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(w0, 3, 25)).as("text"))
+    val corpus = graft.sources.Tables.spread(docs.unionByName(excerpts))
+    val w = TextOps.words(col("text"))
+    val grams = corpus.where(size(w) >= 8)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 7),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .persist()
+    time("gram hashing (persist+count)")(
+      println(s"[profile]   grams = ${grams.count()}"))
+    val wDup = Window.partitionBy(col("h"))
+    val starts = grams
+      .withColumn("xdoc",
+        min(col("doc_id")).over(wDup) =!= max(col("doc_id")).over(wDup))
+      .where(col("xdoc"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
+      .persist()
+    time("dup window (shuffle on h)")(
+      println(s"[profile]   dup starts = ${starts.count()}"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val islands = starts
+      .withColumn("pmax", max(col("e")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("iid", sum(col("ni")).over(wDoc))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("isl"))
+      .persist()
+    time("islands (2 windows + 2 aggs)")(
+      println(s"[profile]   island docs = ${islands.count()}"))
+    val isl = coalesce(col("isl"), array().cast("array<struct<s:int,e:int>>"))
+    val keptWords = filter(
+      transform(sequence(lit(1), size(w)),
+        p => struct(p.as("p"), element_at(w, p).as("t"))),
+      x => !exists(isl, i => x("p") >= i("s") && x("p") <= i("e")))
+    val out = corpus.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(w).as("n_tok"),
+        (size(w) - size(keptWords)).as("n_removed"),
+        concat_ws(" ", transform(keptWords, x => x("t"))).as("cleaned_text"))
+    time("rebuild join + in-row filter")(
+      println(s"[profile]   out rows = ${out.count()}"))
+    time("rebuild again (noop write)")(
+      out.write.format("noop").mode("overwrite").save())
+    grams.unpersist(); starts.unpersist(); islands.unpersist(); ()
   }
 
   /** nearDupPairs' phases (the shared floor under q20/q59/q133/q158):
