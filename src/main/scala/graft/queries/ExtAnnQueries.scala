@@ -1272,52 +1272,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
     * build query (q148, which audits it edge-by-edge) and the beam
     * search that traverses it (q163). Returns the settled
     * (src, dst, cos) edge list — bounded at n·k rows by construction. */
-  private def nnDescentGraph(spark: SparkSession, dir: String): DataFrame = {
-    val k = 4
-    val emb = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"))
-    val nRows = emb.agg(count(lit(1)).as("n"))
-    val init = emb.select(col("vec_id").as("src"))
-      .crossJoin(broadcast(nRows))
-      .select(col("src"), explode(sequence(lit(1), lit(k))).as("j"), col("n"))
-      .withColumn("d0", pmod(col("src") * 37L + col("j") * 101L + 1L, col("n")))
-      .select(col("src"), when(col("d0") === col("src"),
-        pmod(col("d0") + 1L, col("n"))).otherwise(col("d0")).as("dst"))
-    def withCos(edges: DataFrame): DataFrame = edges
-      .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
-      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
-      .select(col("src"), col("dst"),
-        CosineSimilarity.cosineSim(spark, col("se"), col("de")).as("cos"))
-    def topK(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      scored.groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= k).drop("rn")
-    }
-    // Each round's graph is consumed 3× (both sides of the local join
-    // + the union into the next top-k); without a barrier the lineage
-    // re-executes the whole prior round per consumer — measured 8 s at
-    // sf0.1 for n·k = 8k rows of actual state. The graph is n·k rows
-    // by construction (the distributed analogue is a per-round
-    // checkpoint/persist of the edge list — standard for NN-Descent's
-    // iterated self-join), so localize it between rounds.
-    def settle(edges: DataFrame): DataFrame =
-      graft.ops.Caches.localize(edges, maxRows = 1 << 22).getOrElse {
-        val p = edges.persist(); p.count(); p
-      }
-    def descend(cur: DataFrame): DataFrame = {
-      val u = cur.select(col("src"), col("dst")).unionByName(
-        cur.select(col("dst").as("src"), col("src").as("dst")))
-      val pairs = u.as("x").join(u.as("y"),
-          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-        .select(col("x.dst").as("src"), col("y.dst").as("dst")).distinct()
-      val cand = withCos(pairs)
-      val sym = cand.unionByName(cand.select(col("dst").as("src"),
-        col("src").as("dst"), col("cos")))
-      settle(topK(cur.unionByName(sym)))
-    }
-    descend(descend(settle(topK(withCos(init)))))
-  }
+  private def nnDescentGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphIndex.nnDescent(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k = 4, rounds = 2)
 
   private[queries] def q148(spark: SparkSession, dir: String): DataFrame = {
     val k = 4
@@ -1345,8 +1303,8 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
   /** The CTE chain producing the NN-Descent graph `e2` over the
     * embedding relation `e` — the shared oracle prefix of q148Sql
     * (audit) and q163Sql (beam search). */
-  private lazy val nnGraphCtes =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  private[queries] def nnGraphCtesOver(eBody: String): String =
+    s"""e AS ($eBody),
       |nn AS (SELECT count(*) AS n FROM e),
       |init AS (
       |  SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst
@@ -1385,6 +1343,9 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       |          ORDER BY cos DESC, dst) AS rn
       |        FROM (SELECT src, dst, max(cos) AS cos FROM m2 GROUP BY 1, 2))
       |       WHERE rn <= 4)""".stripMargin
+
+  private lazy val nnGraphCtes = nnGraphCtesOver(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings")
 
   private[queries] lazy val q148Sql =
     s"""WITH $nnGraphCtes,

@@ -18,7 +18,7 @@ import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, V
   * parameters the Spark side uses, so the two can't drift.
   */
 object ExtQueries extends ExtDedupQueries with ExtAnnQueries
-    with ExtCurationQueries with ExtInfraQueries {
+    with ExtCurationQueries with ExtInfraQueries with ExtGraphQueries {
 
   // ------------------------------------------------------------- registry
 
@@ -141,7 +141,10 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q161_filtered_ivf_ann", q161, Some(q161Sql)),
     Decl("q162_leakage_safe_split", q162, Some(q162Sql)),
     Decl("q163_graph_ann_beam", q163, Some(q163Sql)),
-    Decl("q164_substring_dedup_removal", q164, Some(q164Sql)))
+    Decl("q164_substring_dedup_removal", q164, Some(q164Sql)),
+    Decl("q165_graph_index_incremental", q165, Some(q165Sql)),
+    Decl("q166_stream_graph_ingest", q166, Some(q166Sql)),
+    Decl("q167_graph_takedown_compact", q167, Some(q167Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -165,5 +168,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q109_ivf_takedown_compact", "q112_stream_simhash_dedup",
     "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup",
     "q135_format_interop", "q138_stream_pq_ingest",
-    "q150_stream_changelog_merge")
+    "q150_stream_changelog_merge", "q165_graph_index_incremental",
+    "q166_stream_graph_ingest", "q167_graph_takedown_compact")
 }

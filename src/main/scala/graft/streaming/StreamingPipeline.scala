@@ -345,6 +345,53 @@ object StreamingPipeline {
       batch.sparkSession, codesPath, batch, annDir, base,
       batchId = batchId, k = k, prune = prune)
 
+  /** Continuously-ingesting GRAPH-ANN index — the proximity-graph twin
+    * of [[startVectorIngest]], completing the streaming story for the
+    * graph family (q148/q163/q165): each micro-batch of embeddings
+    * beam-searches the persisted graph (ops/GraphIndex) in its
+    * PRE-batch state for every vector's top-k neighbors, logs the
+    * per-vector results (tagged with the micro-batch id) to `annDir`,
+    * then appends itself — forward top-k edges plus reverse edges
+    * capped per receiving node — so the next batch traverses a graph
+    * that includes it. Delivery mirrors the other ingests exactly:
+    * generation-keyed appends via dynamic partition overwrite,
+    * own-generation exclusion at probe time, batch_id-partitioned ANN
+    * log — a foreachBatch retry converges on storage. `compactEvery`
+    * is the lag-1 contract; the in-stream fold is VERBATIM (no degree
+    * re-prune — the kept batch's retry must probe the exact
+    * pre-compaction adjacency), the offline re-prune being
+    * [[graft.ops.GraphIndex.compact]]'s keepBatch=None form. */
+  def startGraphIngest(vectors: DataFrame, indexPath: String, annDir: String,
+      checkpointDir: String, k: Int = 4, beamW: Int = 8, hops: Int = 2,
+      revCap: Int = 4,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graphIngestBatch(batch, batchId, indexPath, annDir, k, beamW,
+            hops, revCap)
+        // evaluated outside the isEmpty guard (the startVectorIngest rule)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.GraphIndex.compact(
+              batch.sparkSession, indexPath, keepBatch = Some(batchId))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the graph ingest, idempotent in `batchId` —
+    * exposed (like [[vectorIngestBatch]]) for replay specs and batch
+    * backfill drivers. */
+  def graphIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      annDir: String, k: Int = 4, beamW: Int = 8, hops: Int = 2,
+      revCap: Int = 4): Unit =
+    graft.ops.GraphIndex.probeAndAppendToLog(
+      batch.sparkSession, indexPath, batch, annDir,
+      batchId = batchId, k = k, beamW = beamW, hops = hops, revCap = revCap)
+
   /** Continuously-ingesting CDC changelog merge — the streaming form of
     * [[graft.ops.ChangelogMerge]] (the lakehouse merge-on-read shape):
     * each micro-batch of changelog rows (key, payload…, cl_seq, cl_op)

@@ -68,6 +68,11 @@ class IndexCompatSpec extends SparkSpecBase {
       batchId = Some(0L)))
   }
 
+  test("graph index written by the previous layout era replays identically") {
+    check("graph")(p => graft.ops.GraphIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchVecs(spark), batchId = Some(0L)))
+  }
+
   test("BPE vocab written by an earlier generation encodes byte-identically") {
     // the tokenizer-drift tripwire (r14 verdict #8): a vocab learned and
     // shipped by generation N must make generation N+1 encode the same

@@ -65,6 +65,17 @@ object IndexFixtureGen {
         IndexFixtureData.batchVecs(spark), b16, batchId = Some(0L)), "expected_pq")
     }
 
+    family("graph") {
+      // r15 added the graph family this way (the `bpe` precedent): the
+      // committed adjacency + the recorded insert log pin the beam
+      // entry rule, hop order, tie breaks and the reverse-edge cap
+      // across layout eras
+      graft.ops.GraphIndex.build(vecs, s"$out/graph", k = 4, maxDeg = 8,
+        files = 2)
+      save(graft.ops.GraphIndex.probeAndAppend(spark, s"$out/graph",
+        IndexFixtureData.batchVecs(spark), batchId = Some(0L)), "expected_graph")
+    }
+
     family("bpe") {
       // a vocab whose round-1 merges consume round-0 PRODUCTS, so the
       // committed artifact exercises the round-chained replay, not just
