@@ -1607,4 +1607,78 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
        |QUALIFY rn <= 4
        |ORDER BY g.probe_id, rn""".stripMargin
   }
+
+  // ----------------------------------------------------------------- q168
+  /** MATRYOSHKA two-stage serving — shortlist by TRUNCATED-prefix
+    * cosine (first 16 of 64 dims, the MRL contract: nested prefixes of
+    * one embedding are themselves usable embeddings, Kusupati et al.
+    * 2022), then rerank the 10 survivors by FULL-dimension cosine and
+    * return the top-3 with q148's honest `is_true` audit against the
+    * exact full-dim answer — recall is measured in the output, not
+    * promised. Cosine needs no renormalization under truncation (it is
+    * scale-invariant), so the prefix score is just the same bit-pinned
+    * [[CosineSimilarity]] over `slice(embedding, 1, 16)`.
+    *
+    * Scale shape — why MRL serving exists: the shortlist scan touches
+    * ONE QUARTER of the vector bytes (at 100 TB the prefix lives as its
+    * own column/table, so column pruning makes the scan literally 4×
+    * smaller — here the slice stands in for that layout), and the
+    * full-width vectors are only read for |probes|·shortlist rows, the
+    * q126 rerank shape. Probes broadcast; both windows are bounded. */
+  private[queries] def q168(spark: SparkSession, dir: String): DataFrame = {
+    val PDIM = 16; val SHORTLIST = 10; val K = 3
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val probes = Tables.embeddings(spark, dir).where(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val wPref = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val wFull = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val short = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos", CosineSimilarity.cosineSim(spark,
+        slice(col("embedding"), 1, PDIM), slice(col("probe"), 1, PDIM)))
+      .withColumn("srn", row_number().over(wPref))
+      .where(col("srn") <= SHORTLIST)
+    val reranked = short
+      .withColumn("cos",
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= K)
+    val truth = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= K)
+      .select(col("probe_id"), col("vec_id"), lit(true).as("is_true"))
+    reranked.join(truth, Seq("probe_id", "vec_id"), "left")
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+  private[queries] val q168Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+      |shortl AS (SELECT probe_id, vec_id, v, pv FROM (
+      |    SELECT p.probe_id, e.vec_id, e.v, p.pv,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(e.v[1:16], p.pv[1:16]) DESC,
+      |                 e.vec_id) AS srn
+      |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) WHERE srn <= 10),
+      |rr AS (SELECT probe_id, vec_id, list_cosine_similarity(v, pv) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY list_cosine_similarity(v, pv) DESC, vec_id) AS rn
+      |  FROM shortl),
+      |tr AS (SELECT probe_id, vec_id FROM (
+      |    SELECT p.probe_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(e.v, p.pv) DESC, e.vec_id) AS rn
+      |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) WHERE rn <= 3)
+      |SELECT rr.probe_id, rr.rn, rr.vec_id AS neighbor_id,
+      |       round(rr.cos, 4) AS cos_sim,
+      |       tr.vec_id IS NOT NULL AS is_true
+      |FROM rr LEFT JOIN tr ON tr.probe_id = rr.probe_id AND tr.vec_id = rr.vec_id
+      |WHERE rr.rn <= 3
+      |ORDER BY rr.probe_id, rr.rn""".stripMargin
 }

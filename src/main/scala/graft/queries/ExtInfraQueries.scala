@@ -2166,4 +2166,66 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       CAST(count(*) * 960 AS BIGINT) AS last_granule,
       |       TRUE AS bos_ok, TRUE AS eos_ok
       |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q169
+  /** ZIP training-shard ingest — the other archive container public
+    * corpora ship in, next to tar/WebDataset (q155) and WARC (q146).
+    * Each document renders a genuine ZIP ([[graft.multimodal.ZipCodec
+    * .encode]] — local headers, central directory, end record, CRC-32
+    * per member) holding 2-4 samples of two members each, the text
+    * member alternating STORED and DEFLATE (RFC 1951 via the JDK's raw
+    * Inflater, the WarcCodec gzip precedent) so both decode paths run
+    * in one query; [[graft.multimodal.Multimodal.zipMembersBatched]]
+    * walks the central directory, cross-checks every local header and
+    * CRC-verifies every payload. The oracle recomputes member order,
+    * method choice, the exact decoded byte counts and `md5(payload)`
+    * closed-form — the hash only matches if the directory walk, the
+    * offset arithmetic AND the inflate land on the exact original
+    * bytes. Compressed sizes are deflate-implementation-dependent and
+    * deliberately excluded (the q146 rule). Scale shape: one narrow
+    * mapPartitions stage; archive blobs never cross a shuffle — each
+    * payload reduces to its size + md5 before the output sort. */
+  private[queries] def q169(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, ZipCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .mapPartitions(_.map { case (docId, lang, text) =>
+        val members = (1 to (2 + docId % 3).toInt).flatMap { s =>
+          val key = f"${docId * 10 + s}%08d"
+          val m = if (s % 2 == 0) ZipCodec.MethodStored else ZipCodec.MethodDeflate
+          Seq(
+            (s"$key.txt", text.drop(s * 10).take(40).getBytes("US-ASCII"), m),
+            (s"$key.cls", lang.getBytes("US-ASCII"), ZipCodec.MethodStored))
+        }
+        Multimodal.MediaRecord(docId, ZipCodec.encode(members),
+          "application/zip")
+      }).toDF()
+    Multimodal.zipMembersBatched(spark, media).toDF()
+      .select(col("doc_id"), col("member_idx"), col("name"),
+        when(col("method") === ZipCodec.MethodStored, lit("stored"))
+          .otherwise(lit("deflate")).as("method"),
+        col("size").as("size_bytes"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"), col("member_idx"))
+  }
+  private[queries] val q169Sql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text, CAST(g.s AS INT) AS s
+      |  FROM documents, (SELECT unnest(range(1, 5)) AS s) g
+      |  WHERE g.s <= 2 + doc_id % 3),
+      |m AS (
+      |  SELECT doc_id, (s - 1) * 2 AS member_idx,
+      |         lpad(CAST(doc_id * 10 + s AS VARCHAR), 8, '0') || '.txt' AS name,
+      |         CASE WHEN s % 2 = 0 THEN 'stored' ELSE 'deflate' END AS method,
+      |         substr(text, 1 + s * 10, 40) AS payload
+      |  FROM s
+      |  UNION ALL
+      |  SELECT doc_id, (s - 1) * 2 + 1,
+      |         lpad(CAST(doc_id * 10 + s AS VARCHAR), 8, '0') || '.cls',
+      |         'stored', lang
+      |  FROM s)
+      |SELECT doc_id, member_idx, name, method,
+      |       CAST(length(payload) AS INT) AS size_bytes,
+      |       md5(payload) AS payload_md5
+      |FROM m ORDER BY doc_id, member_idx""".stripMargin
 }

@@ -144,7 +144,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q164_substring_dedup_removal", q164, Some(q164Sql)),
     Decl("q165_graph_index_incremental", q165, Some(q165Sql)),
     Decl("q166_stream_graph_ingest", q166, Some(q166Sql)),
-    Decl("q167_graph_takedown_compact", q167, Some(q167Sql)))
+    Decl("q167_graph_takedown_compact", q167, Some(q167Sql)),
+    Decl("q168_matryoshka_rerank", q168, Some(q168Sql)),
+    Decl("q169_zip_shard_ingest", q169, Some(q169Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
