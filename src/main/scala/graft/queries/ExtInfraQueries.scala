@@ -2228,4 +2228,91 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       CAST(length(payload) AS INT) AS size_bytes,
       |       md5(payload) AS payload_md5
       |FROM m ORDER BY doc_id, member_idx""".stripMargin
+
+  // ----------------------------------------------------------------- q170
+  /** HTML main-content extraction under the oracle — the stage between
+    * WARC ingest (q146/q156) and dedup/quality that every crawl corpus
+    * runs: each document renders a REALISTIC page (title, style block,
+    * link-only nav, a script whose raw text contains markup-looking
+    * bytes — the HTML5 raw-text rule says that's data, not tags — the
+    * text chunked into <p> blocks with inline links and an escaped
+    * entity, and a link-only footer); [[graft.ops.HtmlOps.blocks]]
+    * walks the markup into ordered text blocks and the query classifies
+    * boilerplate by the jusText-style link-density rule (kept = not the
+    * title, >= 3 words, links*2 < words) — nav and footer fail it
+    * naturally, content paragraphs pass. The oracle rebuilds every
+    * block's text, word/link counts and classification closed-form
+    * from the table columns, so a wrong entity decode, a script body
+    * leaking into text, a lost block boundary or a miscounted inline
+    * link all hash-mismatch. Scale shape: one narrow mapPartitions
+    * stage (markup never crosses a shuffle); the output reduces each
+    * block to counts + md5 before the sort. */
+  private[queries] def q170(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.HtmlOps
+    val blocks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (docId, source, text) =>
+        val chunks = text.split(' ').grouped(12).take(4).toIndexedSeq
+        val ps = chunks.zipWithIndex.map { case (ws, c) =>
+          val esc = ws.map(HtmlOps.escape)
+          val inner =
+            if (c == 0) "Doc &amp; " + esc.mkString(" ")
+            else if (c % 2 == 1)
+              (s"""<a href="/w/${esc.head}">${esc.head}</a>""" +: esc.tail)
+                .mkString(" ")
+            else esc.mkString(" ")
+          s"<p>$inner</p>"
+        }.mkString
+        val html =
+          s"<html><head><title>Doc $docId of $source</title>" +
+            "<style>body { color: #000; }</style></head><body>" +
+            """<nav><a href="/">Home</a> <a href="/a">About</a> """ +
+            """<a href="/c">Contact</a></nav>""" +
+            "<script>var x = '<p>not a block</p>';</script>" +
+            s"""<div class="content">$ps</div>""" +
+            """<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>""" +
+            "</body></html>"
+        HtmlOps.blocks(docId, html)
+          .map(b => (docId, b.idx, b.tag, b.text, b.nLinks))
+      }).toDF("doc_id", "block_idx", "tag", "text", "n_links")
+    val words = size(split(col("text"), " "))
+    blocks.select(col("doc_id"), col("block_idx"), col("tag"),
+        words.as("n_words"), col("n_links"),
+        (col("tag") =!= "title" && words >= 3 &&
+          col("n_links") * 2 < words).as("kept"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+  private[queries] val q170Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |ch AS (SELECT doc_id, CAST(g.c AS INT) AS c,
+      |              ws[c*12+1 : c*12+12] AS cw
+      |       FROM w, (SELECT unnest(range(0, 4)) AS c) g
+      |       WHERE g.c * 12 < len(ws)),
+      |p AS (SELECT doc_id, 2 + c AS block_idx, 'p' AS tag,
+      |             CASE WHEN c = 0 THEN 'Doc & ' || array_to_string(cw, ' ')
+      |                  ELSE array_to_string(cw, ' ') END AS text,
+      |             CASE WHEN c % 2 = 1 THEN 1 ELSE 0 END AS n_links
+      |      FROM ch),
+      |nc AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, 0 AS block_idx, 'title' AS tag,
+      |         'Doc ' || doc_id || ' of ' || source AS text, 0 AS n_links
+      |  FROM w
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'nav', 'Home About Contact', 3 FROM w
+      |  UNION ALL
+      |  SELECT doc_id, block_idx, tag, text, n_links FROM p
+      |  UNION ALL
+      |  SELECT w.doc_id, CAST(2 + nc.n AS INT), 'footer', 'Privacy Terms', 2
+      |  FROM w JOIN nc ON nc.doc_id = w.doc_id)
+      |SELECT doc_id, block_idx, tag,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_words, n_links,
+      |       (tag <> 'title' AND len(string_split(text, ' ')) >= 3
+      |          AND n_links * 2 < len(string_split(text, ' '))) AS kept,
+      |       md5(text) AS text_md5
+      |FROM blocks ORDER BY doc_id, block_idx""".stripMargin
 }
