@@ -31,6 +31,16 @@ object HtmlOps {
   def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** The extraction composition the crawl chain ships (q171): kept
+    * blocks' text in document order, space-joined — kept = not the
+    * title, >= 3 words, and links*2 < words (the jusText-style
+    * link-density rule q170 audits block by block). */
+  def mainText(docId: Long, html: String): String =
+    blocks(docId, html).filter { b =>
+      val w = b.text.split(' ').length
+      b.tag != "title" && w >= 3 && b.nLinks * 2 < w
+    }.map(_.text).mkString(" ")
+
   /** Walk one document's markup into its ordered text blocks. */
   def blocks(docId: Long, html: String): IndexedSeq[Block] = {
     def fail(msg: String): Nothing =

@@ -10,6 +10,40 @@ import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, V
 
 /** Storage/wire/multimodal family: clustered and z-order layout
   * scans, wire-format round-trip, image/audio decode. */
+/** The synthetic page q170 audits block-by-block and q171 crawls
+  * end-to-end: title + style block + link-only nav + a script whose
+  * raw text contains markup-looking bytes + the document text chunked
+  * into <p> blocks (inline link on odd chunks, an escaped entity in
+  * chunk 0) + a link-only footer. Pure ASCII, derived deterministically
+  * from the table columns so the oracle can rebuild every block
+  * closed-form. A top-level OBJECT (not a trait method) so executor
+  * closures reference the module statically instead of capturing the
+  * registry instance. */
+private[queries] object HtmlPage {
+  def of(docId: Long, source: String, text: String): String = {
+    import graft.ops.HtmlOps
+    val chunks = text.split(' ').grouped(12).take(4).toIndexedSeq
+    val ps = chunks.zipWithIndex.map { case (ws, c) =>
+      val esc = ws.map(HtmlOps.escape)
+      val inner =
+        if (c == 0) "Doc &amp; " + esc.mkString(" ")
+        else if (c % 2 == 1)
+          (s"""<a href="/w/${esc.head}">${esc.head}</a>""" +: esc.tail)
+            .mkString(" ")
+        else esc.mkString(" ")
+      s"<p>$inner</p>"
+    }.mkString
+    s"<html><head><title>Doc $docId of $source</title>" +
+      "<style>body { color: #000; }</style></head><body>" +
+      """<nav><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/c">Contact</a></nav>""" +
+      "<script>var x = '<p>not a block</p>';</script>" +
+      s"""<div class="content">$ps</div>""" +
+      """<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>""" +
+      "</body></html>"
+  }
+}
+
 private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
   // ------------------------------------------------------------------ q61
   /** The clustered data layout under the oracle, end-to-end: write the
@@ -2254,27 +2288,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (docId, source, text) =>
-        val chunks = text.split(' ').grouped(12).take(4).toIndexedSeq
-        val ps = chunks.zipWithIndex.map { case (ws, c) =>
-          val esc = ws.map(HtmlOps.escape)
-          val inner =
-            if (c == 0) "Doc &amp; " + esc.mkString(" ")
-            else if (c % 2 == 1)
-              (s"""<a href="/w/${esc.head}">${esc.head}</a>""" +: esc.tail)
-                .mkString(" ")
-            else esc.mkString(" ")
-          s"<p>$inner</p>"
-        }.mkString
-        val html =
-          s"<html><head><title>Doc $docId of $source</title>" +
-            "<style>body { color: #000; }</style></head><body>" +
-            """<nav><a href="/">Home</a> <a href="/a">About</a> """ +
-            """<a href="/c">Contact</a></nav>""" +
-            "<script>var x = '<p>not a block</p>';</script>" +
-            s"""<div class="content">$ps</div>""" +
-            """<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>""" +
-            "</body></html>"
-        HtmlOps.blocks(docId, html)
+        HtmlOps.blocks(docId, HtmlPage.of(docId, source, text))
           .map(b => (docId, b.idx, b.tag, b.text, b.nLinks))
       }).toDF("doc_id", "block_idx", "tag", "text", "n_links")
     val words = size(split(col("text"), " "))
@@ -2315,4 +2329,109 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |          AND n_links * 2 < len(string_split(text, ' '))) AS kept,
       |       md5(text) AS text_md5
       |FROM blocks ORDER BY doc_id, block_idx""".stripMargin
+
+  // ----------------------------------------------------------------- q171
+  /** Crawl-to-corpus with REAL HTML bodies — q156's chain upgraded to
+    * what a web corpus actually requires: each WARC response body is
+    * MARKUP (the q170 page: nav/script/style/footer boilerplate around
+    * the document text), so the chain is WARC walk (member-gzip half
+    * the archives) -> HTML main-content extraction
+    * ([[graft.ops.HtmlOps.mainText]]: block segmentation + the
+    * link-density boilerplate rule) -> canonical-text exact dedup ->
+    * quality gate -> per-lang report. Four self-written layers (gzip
+    * member split, WARC framing, HTTP split, HTML walk) compose under
+    * ONE hash: the oracle rebuilds the extracted text closed-form
+    * (chunk arithmetic from the table columns), replays dedup and the
+    * gate on it, and pins the survivor id list's md5 — a boilerplate
+    * block leaking into the corpus, a lost entity, or a dedup keyed on
+    * the wrong text all fail. Scale shape: archives and markup die in
+    * their mapPartitions stages; dedup is one keyed window; the report
+    * is a 5-row aggregate. */
+  private[queries] def q171(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WarcCodec}
+    import graft.ops.HtmlOps
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (docId, lang, source, text) =>
+        val uri = s"https://example.org/$source/doc$docId"
+        val date = "2026-08-16T00:00:00Z"
+        val page = HtmlPage.of(docId, source, text)
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${page.length}\r\n\r\n$page"
+        val meta = s"lang: $lang\r\n"
+        val recs = Seq(
+          WarcCodec.WarcRecord("response", uri, date,
+            "application/http;msgtype=response", http.getBytes("US-ASCII")),
+          WarcCodec.WarcRecord("metadata", uri, date,
+            "application/warc-fields", meta.getBytes("US-ASCII")))
+        if (docId % 2 == 0)
+          Multimodal.MediaRecord(docId, WarcCodec.encodeGzip(recs),
+            "application/warc+gzip")
+        else
+          Multimodal.MediaRecord(docId, WarcCodec.encode(recs),
+            "application/warc")
+      }).toDF()
+    val records = Multimodal.warcRecordsBatched(spark, media).toDF()
+    val ext = records.where(col("warc_type") === "response")
+      .select(col("doc_id"), col("payload").cast("string").as("html"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        (id, HtmlOps.mainText(id, html))
+      }).toDF("doc_id", "text")
+    val metas = records.where(col("warc_type") === "metadata")
+      .select(col("doc_id"),
+        regexp_extract(col("payload").cast("string"),
+          "lang: ([^\\r]+)", 1).as("lang"))
+    val crawled = ext.join(metas, "doc_id")
+    val exact = CurationPipeline.exactDedup(crawled)
+    val qual = CurationPipeline.qualityGate(exact, CurationPipeline.Config())
+    val c0 = crawled.groupBy(col("lang")).agg(count(lit(1)).as("n_crawled"))
+    val c1 = exact.groupBy(col("lang")).agg(count(lit(1)).as("n_after_exact"))
+    val c2 = qual.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_after_quality"),
+      sum(length(col("text"))).as("sum_chars"),
+      md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string"))).cast("binary")).as("kept_md5"))
+    c0.join(c1, "lang").join(c2, "lang")
+      .select(col("lang"), col("n_crawled"), col("n_after_exact"),
+        col("n_after_quality"), col("sum_chars"), col("kept_md5"))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q171Sql = {
+    val norm = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    val nWords = "len(string_split(text, ' '))"
+    val swHits = "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |ch AS (SELECT doc_id, CAST(g.c AS INT) AS c,
+       |              ws[c*12+1 : c*12+12] AS cw
+       |       FROM w, (SELECT unnest(range(0, 4)) AS c) g
+       |       WHERE g.c * 12 < len(ws)),
+       |ext AS (SELECT doc_id,
+       |              'Doc & ' || string_agg(array_to_string(cw, ' '), ' '
+       |                ORDER BY c) AS text
+       |        FROM ch WHERE c = 0 OR len(cw) >= 3 GROUP BY doc_id),
+       |crawled AS (SELECT e.doc_id, w.lang, e.text
+       |            FROM ext e JOIN w ON w.doc_id = e.doc_id),
+       |exact AS (
+       |  SELECT doc_id, lang, text FROM crawled
+       |  QUALIFY row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE $nWords >= 10
+       |    AND CAST($swHits AS DOUBLE) / $nWords <= 0.5),
+       |c0 AS (SELECT lang, count(*) AS n_crawled FROM crawled GROUP BY 1),
+       |c1 AS (SELECT lang, count(*) AS n_after_exact FROM exact GROUP BY 1),
+       |c2 AS (SELECT lang, count(*) AS n_after_quality,
+       |              CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+       |                ORDER BY doc_id)) AS kept_md5
+       |       FROM qual GROUP BY 1)
+       |SELECT lang, n_crawled, n_after_exact, n_after_quality,
+       |       sum_chars, kept_md5
+       |FROM c0 JOIN c1 USING (lang) JOIN c2 USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
 }

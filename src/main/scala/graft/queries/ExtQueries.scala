@@ -147,7 +147,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q167_graph_takedown_compact", q167, Some(q167Sql)),
     Decl("q168_matryoshka_rerank", q168, Some(q168Sql)),
     Decl("q169_zip_shard_ingest", q169, Some(q169Sql)),
-    Decl("q170_html_extract", q170, Some(q170Sql)))
+    Decl("q170_html_extract", q170, Some(q170Sql)),
+    Decl("q171_crawl_html_chain", q171, Some(q171Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
