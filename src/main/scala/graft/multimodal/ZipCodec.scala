@@ -145,6 +145,8 @@ object ZipCodec {
       val name = new String(bytes, o + 46, nlen, "US-ASCII")
       require(method == MethodStored || method == MethodDeflate,
         s"doc $docId: member '$name' uses unsupported method $method")
+      require(usize >= 0,
+        s"doc $docId: member '$name' uncompressed size overflows")
       // cross-check the local header this entry points at
       require(lofs >= 0 && lofs + 30 <= bytes.length &&
           u32(bytes, lofs) == 0x04034b50L,

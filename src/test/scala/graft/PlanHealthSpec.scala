@@ -75,9 +75,11 @@ class PlanHealthSpec extends SparkSpecBase {
     // q130's 1-row (N, avgdl) BM25 corpus stats, q148's 1-row corpus
     // count (init-ring modulus) + 50-probe exact-truth audit, q163's
     // 1-row entry vertex + 30-probe exact-truth audit (the same two
-    // bounded broadcasts as q148, reused through nnDescentGraph)
+    // bounded broadcasts as q148, reused through nnDescentGraph),
+    // q168's 20-probe Matryoshka shortlist + exact-truth audit
     val bnljOk = Set("q23_knn_bruteforce", "q54_ann_ivf",
       "q148_nn_descent", "q163_graph_ann_beam",
+      "q168_matryoshka_rerank",
       "q151_kll_quantiles", "q152_hard_negative_mining",
       "q65_ann_ivf_persisted", "q15_cosine_topk", "q38_tfidf_topk",
       "q74_mixture_sampling", "q93_bpe_apply_merge",
