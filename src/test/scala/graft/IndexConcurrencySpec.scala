@@ -140,4 +140,41 @@ class IndexConcurrencySpec extends SparkSpecBase {
     assert(counts.size === 54 && counts.values.forall(_ == 1L),
       s"corpus corrupted by the race: ${counts.filter(_._2 != 1L)}")
   }
+
+  test("graph: compact racing probeAndAppend keeps every node exactly " +
+    "once and the appended generation's edges") {
+    import graft.ops.GraphIndex
+    val base = (0L until 20L).map(i =>
+      (i, Seq(1.0f + (i % 3) * 0.3f, 0.5f + (i % 4) * 0.2f,
+        0.2f + (i % 5) * 0.1f, 1.0f - 0.02f * i)))
+      .toDF("vec_id", "embedding")
+    val path = tmpDir("graph_race") + "/g"
+    GraphIndex.build(base, path, k = 3, maxDeg = 6, files = 2)
+    (0 until 2).foreach { i =>
+      GraphIndex.probeAndAppend(spark, path,
+        Seq((100L + i, Seq(1.1f, 0.9f, 0.3f + 0.01f * i, 0.8f)))
+          .toDF("vec_id", "embedding"),
+        Some(i.toLong), k = 2, beamW = 6, hops = 3, revCap = 2)
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => errs.add(t); () })
+    val a = thread(GraphIndex.compact(spark, path, maxDeg = 6, files = 2))
+    val b = thread(GraphIndex.probeAndAppend(spark, path,
+      Seq((500L, Seq(0.9f, 1.0f, 0.4f, 0.7f))).toDF("vec_id", "embedding"),
+      Some(9L), k = 2, beamW = 6, hops = 3, revCap = 2))
+    a.start(); b.start()
+    a.join(120000); b.join(120000)
+    assert(errs.isEmpty, s"racing writers failed: ${errs.peek()}")
+    val counts = spark.read.parquet(GraphIndex.nodesPath(path))
+      .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.getOrElse(500L, 0L) === 1L,
+      "insert lost (or duplicated) by the racing compaction")
+    assert(counts.size === 23 && counts.values.forall(_ == 1L),
+      s"node table corrupted by the race: ${counts.filter(_._2 != 1L)}")
+    // the racing batch's forward edges landed and point at real nodes
+    val b9 = spark.read.parquet(GraphIndex.edgesPath(path))
+      .where(col("gen") === "b9" && col("src") === 500L).count()
+    assert(b9 === 2L, s"racing batch wrote $b9 forward edges, want 2")
+  }
 }
