@@ -153,11 +153,20 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
     * state store is EMPTY — the graph on storage IS the state, so the
     * ingest restarts and scales horizontally like the other index
     * ingests. */
-  private[queries] def q166(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def q166(spark: SparkSession, dir: String): DataFrame =
+    streamGraphIngest(spark, dir, compactEvery = None, prefix = "graft_q166_")
+
+  /** The shared q166/q172 harness (the streamLshIngest pattern): base
+    * graph built, the vec_id%4==0 stream fed in 2 id-ordered
+    * micro-batches through the PRODUCTION `startGraphIngest` (with or
+    * without in-stream auto-compaction), ANN log localized before the
+    * scratch dir dies. */
+  private def streamGraphIngest(spark: SparkSession, dir: String,
+      compactEvery: Option[Int], prefix: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val tmp = graft.ops.Scratch.tempDir("graft_q166_")
+    val tmp = graft.ops.Scratch.tempDir(prefix)
     try {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -174,7 +183,8 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
         mem.toDF().toDF("vec_id", "embedding"),
         indexPath = path, annDir = s"$tmp/ann", checkpointDir = s"$tmp/ckpt",
         k = GraphK, beamW = GraphBeam, hops = GraphHops, revCap = GraphRevCap,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = compactEvery)
       try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
       finally q.stop()
       localizeRows(
@@ -185,6 +195,21 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
         Seq("probe_id", "rn"))
     } finally rmRecursive(tmp)
   }
+
+  // ----------------------------------------------------------------- q172
+  /** q166's streaming graph ingest WITH in-stream auto-compaction on
+    * the correctness gate — q106's contract for the graph family:
+    * `compactEvery = 2` fires the lag-1 compaction inside foreachBatch
+    * after batch 1 (generations fold VERBATIM — no degree re-prune —
+    * while batch 1's own generation stays replace-able), and any later
+    * probe traverses the compacted adjacency. The oracle is q166's
+    * from-scratch replay, identical: the hash only matches if folding
+    * generations mid-stream changed NOTHING about which neighbors every
+    * batch finds — the invariant the verbatim in-stream fold exists to
+    * provide (GraphIndexSpec pins it as set-equality; here it runs
+    * end-to-end under the driver's gate). */
+  private[queries] def q172(spark: SparkSession, dir: String): DataFrame =
+    streamGraphIngest(spark, dir, compactEvery = Some(2), prefix = "graft_q172_")
   private[queries] lazy val q166Sql =
     s"""WITH $baseGraphCtes,
        |s AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

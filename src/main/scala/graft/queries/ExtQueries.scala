@@ -148,7 +148,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q168_matryoshka_rerank", q168, Some(q168Sql)),
     Decl("q169_zip_shard_ingest", q169, Some(q169Sql)),
     Decl("q170_html_extract", q170, Some(q170Sql)),
-    Decl("q171_crawl_html_chain", q171, Some(q171Sql)))
+    Decl("q171_crawl_html_chain", q171, Some(q171Sql)),
+    Decl("q172_stream_graph_autocompact", q172, Some(q166Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -173,5 +174,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q116_stream_media_ivf_ingest", "q132_stream_image_dhash_dedup",
     "q135_format_interop", "q138_stream_pq_ingest",
     "q150_stream_changelog_merge", "q165_graph_index_incremental",
-    "q166_stream_graph_ingest", "q167_graph_takedown_compact")
+    "q166_stream_graph_ingest", "q167_graph_takedown_compact",
+    "q172_stream_graph_autocompact")
 }
