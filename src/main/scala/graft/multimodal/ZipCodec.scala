@@ -142,6 +142,12 @@ object ZipCodec {
       val xlen = u16(bytes, o + 30)
       val clen = u16(bytes, o + 32)
       val lofs = u32(bytes, o + 42).toInt
+      // name/extra/comment must fit inside the central directory BEFORE
+      // the name bytes are read — a corrupt nlen (≤ 65535) would
+      // otherwise overrun the buffer with an IndexOutOfBoundsException
+      // instead of the codec contract's IllegalArgumentException
+      require(o + 46 + nlen + xlen + clen <= e,
+        s"doc $docId: central entry $i name/extra overruns the directory")
       val name = new String(bytes, o + 46, nlen, "US-ASCII")
       require(method == MethodStored || method == MethodDeflate,
         s"doc $docId: member '$name' uses unsupported method $method")
@@ -153,6 +159,8 @@ object ZipCodec {
         s"doc $docId: member '$name' has a bad local header at $lofs")
       val lnlen = u16(bytes, lofs + 26)
       val lxlen = u16(bytes, lofs + 28)
+      require(lofs + 30 + lnlen <= bytes.length,
+        s"doc $docId: member '$name' local name overruns the archive")
       require(lnlen == nlen &&
           new String(bytes, lofs + 30, lnlen, "US-ASCII") == name,
         s"doc $docId: member '$name' local/central name mismatch")

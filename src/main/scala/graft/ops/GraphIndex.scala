@@ -56,6 +56,13 @@ object GraphIndex {
   def edgesPath(path: String): String = s"$path/edges"
   private def tombsPath(path: String) = s"$path.tombstones"
 
+  /** Frontier-size bound for the pruned-scan beam spelling: above this
+    * many DISTINCT beam vertices the hop takes the distributed keyed-join
+    * path instead of building a `src IN (…)` literal list (the In is
+    * cheap to EXECUTE at any size — InSet — but a million-literal
+    * expression is slow to construct and bloats the plan). */
+  private val MaxInLiterals = 1 << 12
+
   // ------------------------------------------------------------- build
 
   /** NN-Descent k-NN-graph construction (Dong et al., WWW 2011) — the
@@ -77,12 +84,35 @@ object GraphIndex {
     val e = graft.sources.Tables.spread(emb)
       .select(col(id).as("vec_id"), col(vec).as("embedding"))
     val nRows = e.agg(count(lit(1)).as("n"))
-    val init = e.select(col("vec_id").as("src"))
+    // Init-ring arithmetic runs in DENSE-RANK space (idx = row_number
+    // over vec_id − 1), decoded back to real ids through `ranked` — on
+    // a sparse id set (q165–q167's vec_id % 4 <> 0 base) the raw-id
+    // ring pointed ~1/4 of init edges at nonexistent ids, silently
+    // thinning initial connectivity (r15 advice). Ranks come from a
+    // distributed sort + zipWithIndex (per-partition offsets), not a
+    // single-partition window, so the build stays shuffle-shaped at
+    // corpus scale; the oracle replays the same rank with
+    // row_number() OVER (ORDER BY vec_id).
+    val ranked = {
+      val sorted = e.select(col("vec_id")).orderBy(col("vec_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          sorted.schema("vec_id").dataType),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i) }, schema)
+    }
+    val init = ranked.select(col("vid").as("src"), col("idx").as("sidx"))
       .crossJoin(broadcast(nRows))
-      .select(col("src"), explode(sequence(lit(1), lit(k))).as("j"), col("n"))
+      .select(col("src"), col("sidx"),
+        explode(sequence(lit(1), lit(k))).as("j"), col("n"))
       .withColumn("d0", pmod(col("src") * 37L + col("j") * 101L + 1L, col("n")))
-      .select(col("src"), when(col("d0") === col("src"),
-        pmod(col("d0") + 1L, col("n"))).otherwise(col("d0")).as("dst"))
+      .withColumn("fidx", when(col("d0") === col("sidx"),
+        pmod(col("d0") + 1L, col("n"))).otherwise(col("d0")))
+      .join(ranked.select(col("vid").as("dst"), col("idx").as("fidx")), "fidx")
+      .select(col("src"), col("dst"))
     def withCos(edges: DataFrame): DataFrame = edges
       .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
       .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
@@ -243,6 +273,15 @@ object GraphIndex {
           // scan, then one pruned node scan scoring the local list
           val beamPairs = rows.map(r => (r.getLong(0), r.getLong(1)))
           val frontier = beamPairs.map(_._2).distinct.toSeq
+          if (frontier.size > MaxInLiterals) {
+            // the pruned-scan spelling builds `src IN (frontier)` as a
+            // literal list — bounded HERE on frontier SIZE, not just on
+            // adjacency row count, so a huge probe batch under maxLocal
+            // can't construct a million-literal In expression; the
+            // distributed spelling below is the same semantics keyed
+            beamDist = localBeam
+            settled = None
+          } else {
           val adjRows = edges.where(col("src").isin(frontier: _*))
             .limit(maxLocal + 1).collect()
           if (adjRows.length > maxLocal) {
@@ -265,6 +304,7 @@ object GraphIndex {
             settled = settleBeam(topped, maxLocal)
             if (settled.isEmpty) beamDist = settleLineage(topped)
             hopDone = true
+          }
           }
         }
         if (!hopDone && settled.isEmpty) {

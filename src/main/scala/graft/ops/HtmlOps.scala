@@ -37,9 +37,32 @@ object HtmlOps {
     * link-density rule q170 audits block by block). */
   def mainText(docId: Long, html: String): String =
     blocks(docId, html).filter { b =>
-      val w = b.text.split(' ').length
+      // limit -1 keeps trailing empty tokens — the same word count the
+      // oracle's DuckDB string_split sees, so a block ending in a space
+      // classifies identically on both sides (r15 advice)
+      val w = b.text.split(" ", -1).length
       b.tag != "title" && w >= 3 && b.nLinks * 2 < w
     }.map(_.text).mkString(" ")
+
+  /** Find the end of a tag opened at `lt` (`html(lt) == '<'`), honoring
+    * QUOTED attribute values — a `>` inside `"…"` or `'…'` is data, not
+    * the tag end (the naive indexOf('>') mis-split it — r15 verdict).
+    * Returns the index of the closing '>' or -1 when the tag (or a
+    * quote inside it) never terminates. */
+  private def tagEnd(html: String, lt: Int): Int = {
+    var i = lt + 1
+    while (i < html.length) {
+      html.charAt(i) match {
+        case '>' => return i
+        case q @ ('"' | '\'') =>
+          val close = html.indexOf(q, i + 1)
+          if (close < 0) return -1
+          i = close + 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
 
   /** Walk one document's markup into its ordered text blocks. */
   def blocks(docId: Long, html: String): IndexedSeq[Block] = {
@@ -59,7 +82,7 @@ object HtmlOps {
           if (end < 0) fail(s"unterminated comment at $i")
           i = end + 3
         } else {
-          val gt = html.indexOf('>', i)
+          val gt = tagEnd(html, i)
           if (gt < 0) fail(s"unterminated tag at $i")
           val raw = html.substring(i + 1, gt)
           val closing = raw.startsWith("/")

@@ -1271,11 +1271,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
   /** q148's two-round NN-Descent k-NN graph (k = 4), shared by the
     * build query (q148, which audits it edge-by-edge) and the beam
     * search that traverses it (q163). Returns the settled
-    * (src, dst, cos) edge list — bounded at n·k rows by construction. */
+    * (src, dst, cos) edge list — bounded at n·k rows by construction,
+    * memoized per JVM (the build is deterministic; [[GraphFixtures]]). */
   private def nnDescentGraph(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.GraphIndex.nnDescent(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      k = 4, rounds = 2)
+    GraphFixtures.fullNnEdges(spark, dir)
 
   private[queries] def q148(spark: SparkSession, dir: String): DataFrame = {
     val k = 4
@@ -1306,10 +1305,15 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
   private[queries] def nnGraphCtesOver(eBody: String): String =
     s"""e AS ($eBody),
       |nn AS (SELECT count(*) AS n FROM e),
+      |rk AS MATERIALIZED (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM e),
       |init AS (
-      |  SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst
-      |  FROM (SELECT v.vec_id AS src, (v.vec_id * 37 + j.j * 101 + 1) % nn.n AS d0, nn.n AS n
-      |        FROM e v CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j)),
+      |  SELECT f.src, r2.vec_id AS dst
+      |  FROM (SELECT v.vec_id AS src,
+      |               CASE WHEN v.d0 = v.idx THEN (v.d0 + 1) % v.n ELSE v.d0 END AS fidx
+      |        FROM (SELECT vec_id, idx, (vec_id * 37 + j.j * 101 + 1) % nn.n AS d0, nn.n AS n
+      |              FROM rk CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j) v) f
+      |  JOIN rk r2 ON r2.idx = f.fidx),
       |c0 AS (SELECT i.src, i.dst, list_cosine_similarity(a.emb, b.emb) AS cos
       |       FROM init i JOIN e a ON a.vec_id = i.src JOIN e b ON b.vec_id = i.dst),
       |e0 AS (SELECT src, dst, cos FROM (

@@ -109,8 +109,7 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
         .select(col("vec_id"), col("embedding"))
       val isBatch = pmod(col("vec_id"), lit(4)) === 0
       val path = s"$tmp/g"
-      GraphIndex.build(emb.where(!isBatch), path,
-        k = GraphK, maxDeg = GraphMaxDeg)
+      GraphFixtures.baseIndexInto(spark, dir, path, GraphK, GraphMaxDeg)
       GraphIndex.probeAndAppend(spark, path, emb.where(isBatch),
         batchId = Some(0L), k = GraphK, beamW = GraphBeam,
         hops = GraphHops, revCap = GraphRevCap)
@@ -172,8 +171,7 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
         .select(col("vec_id"), col("embedding"))
       val isStream = pmod(col("vec_id"), lit(4)) === 0
       val path = s"$tmp/g"
-      GraphIndex.build(emb.where(!isStream), path,
-        k = GraphK, maxDeg = GraphMaxDeg)
+      GraphFixtures.baseIndexInto(spark, dir, path, GraphK, GraphMaxDeg)
       val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])])
         .sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
@@ -199,17 +197,20 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
   // ----------------------------------------------------------------- q172
   /** q166's streaming graph ingest WITH in-stream auto-compaction on
     * the correctness gate — q106's contract for the graph family:
-    * `compactEvery = 2` fires the lag-1 compaction inside foreachBatch
-    * after batch 1 (generations fold VERBATIM — no degree re-prune —
-    * while batch 1's own generation stays replace-able), and any later
-    * probe traverses the compacted adjacency. The oracle is q166's
-    * from-scratch replay, identical: the hash only matches if folding
-    * generations mid-stream changed NOTHING about which neighbors every
-    * batch finds — the invariant the verbatim in-stream fold exists to
-    * provide (GraphIndexSpec pins it as set-equality; here it runs
-    * end-to-end under the driver's gate). */
+    * `compactEvery = 1` fires the lag-1 compaction inside foreachBatch
+    * after EVERY batch (generations fold VERBATIM — no degree re-prune —
+    * while the firing batch's own generation stays replace-able), so
+    * batch 1's beam search traverses the POST-fold adjacency (folded
+    * base ∪ kept b0) — the fold sits upstream of a gated probe, not
+    * after the last one. The oracle is q166's from-scratch replay,
+    * identical: the hash only matches if folding generations mid-stream
+    * changed NOTHING about which neighbors every batch finds — with
+    * cadence 1 that invariant is LIVE end-to-end under the driver's
+    * gate (the r15 cadence-2 form only ever folded after the final
+    * probe; GraphIndexSpec pinned the set-equality, nothing exercised
+    * it in-stream). */
   private[queries] def q172(spark: SparkSession, dir: String): DataFrame =
-    streamGraphIngest(spark, dir, compactEvery = Some(2), prefix = "graft_q172_")
+    streamGraphIngest(spark, dir, compactEvery = Some(1), prefix = "graft_q172_")
   private[queries] lazy val q166Sql =
     s"""WITH $baseGraphCtes,
        |s AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -256,8 +257,7 @@ private[queries] trait ExtGraphQueries extends ExtQueryHelpers {
         .select(col("vec_id"), col("embedding"))
       val isBatch = pmod(col("vec_id"), lit(4)) === 0
       val path = s"$tmp/g"
-      GraphIndex.build(emb.where(!isBatch), path,
-        k = GraphK, maxDeg = GraphMaxDeg)
+      GraphFixtures.baseIndexInto(spark, dir, path, GraphK, GraphMaxDeg)
       GraphIndex.probeAndAppend(spark, path, emb.where(isBatch),
         batchId = Some(0L), k = GraphK, beamW = GraphBeam,
         hops = GraphHops, revCap = GraphRevCap)

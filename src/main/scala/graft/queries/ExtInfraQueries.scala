@@ -22,7 +22,16 @@ import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, V
 private[queries] object HtmlPage {
   def of(docId: Long, source: String, text: String): String = {
     import graft.ops.HtmlOps
-    val chunks = text.split(' ').grouped(12).take(4).toIndexedSeq
+    // The oracle rebuilds chunks with DuckDB string_split, which KEEPS
+    // trailing empty tokens; split with limit -1 matches that exactly
+    // (Java's default limit 0 silently drops them — r15 advice). Text
+    // with a trailing space or no words at all would still chunk
+    // differently downstream (the 'Doc &' block's word count), so the
+    // generator REFUSES it loudly instead of hash-mismatching quietly.
+    require(text.nonEmpty && !text.endsWith(" "),
+      s"doc $docId: page generator needs non-empty text without a " +
+        "trailing space")
+    val chunks = text.split(" ", -1).grouped(12).take(4).toIndexedSeq
     val ps = chunks.zipWithIndex.map { case (ws, c) =>
       val esc = ws.map(HtmlOps.escape)
       val inner =
@@ -35,7 +44,10 @@ private[queries] object HtmlPage {
     }.mkString
     s"<html><head><title>Doc $docId of $source</title>" +
       "<style>body { color: #000; }</style></head><body>" +
-      """<nav><a href="/">Home</a> <a href="/a">About</a> """ +
+      // the About link carries a quoted '>' in an attribute VALUE — the
+      // HTML5 tokenizer case the extractor must not mis-split on
+      // (attributes contribute no text, so the oracle is unaffected)
+      """<nav><a href="/">Home</a> <a href="/a" data-sym="a>b">About</a> """ +
       """<a href="/c">Contact</a></nav>""" +
       "<script>var x = '<p>not a block</p>';</script>" +
       s"""<div class="content">$ps</div>""" +

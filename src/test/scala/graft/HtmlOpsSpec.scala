@@ -23,6 +23,25 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(got.map(_.idx) == IndexedSeq(0, 1, 2))
   }
 
+  test("'>' inside a quoted attribute value does not end the tag") {
+    val html = "<p>alpha <a href=\"/x\" data-sym=\"a>b\">beta</a> gamma" +
+      " <a href='/y' title='1>0'>delta</a></p>"
+    val got = HtmlOps.blocks(3L, html)
+    assert(got.map(_.text) == IndexedSeq("alpha beta gamma delta"))
+    assert(got.head.nLinks == 2)
+    // an unterminated quote is an unterminated tag, loudly
+    val msg = intercept[IllegalArgumentException](
+      HtmlOps.blocks(4L, "<p><a href=\"/never>text</p>")).getMessage
+    assert(msg.contains("unterminated tag"))
+  }
+
+  test("mainText counts words like the oracle's string_split (trailing empties kept)") {
+    // 'w x ' splits to 3 tokens under string_split semantics, so the
+    // block passes the >= 3-word rule even with only 2 visible words
+    val html = "<p>w x&#39; </p><nav><a href=\"/\">Home</a></nav>"
+    assert(HtmlOps.mainText(5L, html) == "w x' ")
+  }
+
   test("escape/decode roundtrip") {
     val s = "a & b < c > d"
     val html = s"<p>${HtmlOps.escape(s)}</p>"
