@@ -1,0 +1,347 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the TEXT-RETRIEVAL member of the
+  * lifecycle-index family (LshIndex / SimHashIndex / IvfIndex / PqIndex /
+  * GraphIndex): build once, probe ranked queries forever, batch-append
+  * incrementally, tombstone takedowns, compact offline. One-shot BM25
+  * (ExtCurationQueries q130) re-tokenizes the whole corpus per run; at
+  * 100 TB that is a full scan + tokenize pass per query batch. The index
+  * amortizes it: term postings are computed ONCE per document, written
+  * clustered by term, and each probe pays
+  *
+  *   O(postings of the probed terms)
+  *
+  * — enforced at the FILE level: the postings table is hive-partitioned
+  * on `pk = hash(term) mod indexPartitions`, each probe derives a
+  * partition `IN` predicate from its query terms (≤ indexPartitions
+  * ints, bounded regardless of batch size), and a broadcast semi join on
+  * `term` keeps row-level exactness inside the touched directories —
+  * the LshIndex bands discipline applied to text postings.
+  *
+  * Storage layout (`<path>/postings`, `<path>/docstats`):
+  *   - `postings` (term, doc_id, tf, dl), partitioned (pk, gen) and
+  *     range-clustered on (term, doc_id) within partitions, so one
+  *     term's postings sit contiguous in one file per generation —
+  *     row-group pruning keeps a probed term's scan proportional to its
+  *     own postings list.
+  *   - `docstats` (n_docs, sum_dl) — ONE row per generation: the
+  *     corpus-level N and Σdl the BM25 idf/length-normalization terms
+  *     need. Probes aggregate the visible generations' rows (a
+  *     broadcast-sized read), never the corpus.
+  * Per-term document frequency is NOT persisted: df is only needed for
+  * the probed terms, and the pruned postings scan already holds exactly
+  * those rows — one `count per term` over it is both cheaper and
+  * automatically generation-consistent.
+  *
+  * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75), the exact expression
+  * q130 pins bit-for-bit against DuckDB:
+  *   idf = ln((N − df + 0.5) / (df + 0.5) + 1)
+  *   s   = idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+  * summed per (query, doc) over the query's terms. Callers keep query
+  * term lists short (the gates use ≤ 2 terms — real retrieval queries
+  * are distilled, not whole documents), which also keeps the per-group
+  * float sum ≤ 2 addends: IEEE addition is commutative, so the score is
+  * bit-stable without ordering tricks.
+  *
+  * Generations, retries, takedowns and compaction follow the family
+  * contract verbatim (LshIndex.scala is the authoritative scaladoc):
+  * batch appends land in `gen=b<id>` via dynamic partition overwrite and
+  * the probe excludes its own generation (exactly-once on storage);
+  * [[markDeleted]] tombstones hide docs from emitted MATCHES immediately
+  * — but, deliberately, NOT from df/N/avgdl until [[compact]] folds them
+  * out physically: corpus statistics stay a property of the physical
+  * postings, exactly the public Lucene semantics (deleted docs count
+  * toward docFreq until segment merge), so probes never pay a
+  * corpus-sized stats correction on the hot path.
+  *
+  * Reference anchor: the toy pipeline has no retrieval surface at all
+  * (SURVEY §2B gap rows) — semantics follow the public Okapi BM25
+  * formulation (Robertson & Zaragoza 2009) and the Lucene deleted-doc
+  * statistics contract. */
+object InvertedIndex {
+
+  case class Config(indexPartitions: Int = 32, postFiles: Int = 8)
+
+  def postingsPath(path: String): String = s"$path/postings"
+  def statsPath(path: String): String = s"$path/docstats"
+  private def tombsPath(path: String) = s"$path/tombstones"
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_index_meta")
+
+  private def genOf(batchId: Option[Long]): String =
+    batchId.map(b => s"b$b").getOrElse("adhoc")
+
+  private def termPk(cfg: Config): Column =
+    pmod(xxhash64(col("term")), lit(cfg.indexPartitions)).cast("int")
+
+  private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
+    GenTable.writeMeta(spark, metaPath(path), Seq(
+      "indexPartitions" -> cfg.indexPartitions, "postFiles" -> cfg.postFiles))
+
+  private def adoptMeta(spark: SparkSession, path: String, cfg: Config): Config = {
+    val kv = GenTable.readMeta(spark, metaPath(path))
+    cfg.copy(
+      indexPartitions = kv.getOrElse("indexPartitions",
+        throw new IllegalStateException(
+          s"${metaPath(path)} has no indexPartitions entry — rebuild with InvertedIndex.build")),
+      postFiles = kv.getOrElse("postFiles", cfg.postFiles))
+  }
+
+  /** (doc_id, term, tf, dl) — one row per distinct (doc, term); `dl` is
+    * the doc's token count (string_split semantics: TextOps.words, the
+    * same tokenizer q130 and the oracle use). Map-side until the one
+    * keyed aggregation; spread first so an under-split scan cannot
+    * serialize the tokenize pass. */
+  private def postingsOf(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.sources.Tables.spread(docs)
+      .select(col(id).as("doc_id"), TextOps.words(col(text)).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** One (n_docs, sum_dl) row for a doc frame — the generation's
+    * contribution to the corpus stats. */
+  private def docStatsOf(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.agg(count(col(id)).as("n_docs"),
+      sum(size(TextOps.words(col(text)))).as("sum_dl"))
+
+  /** docstats is one row per generation — a plain gen-partitioned write,
+    * no pk level (there is nothing to prune). */
+  private def writeStats(df: DataFrame, path: String, mode: String,
+      gen: String): Unit = {
+    val w = df.select(col("n_docs"), col("sum_dl"))
+      .withColumn("gen", lit(gen)).coalesce(1).write.partitionBy("gen")
+    (mode match {
+      case "replace-gen" =>
+        w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      case m => w.mode(m)
+    }).parquet(path)
+  }
+
+  /** Build the index at `path` from a base corpus (full recompute — run
+    * once; subsequent batches go through [[probeAndAppend]]). */
+  def build(docs: DataFrame, path: String, cfg: Config = Config(),
+      id: String = "doc_id", text: String = "text"): Unit = {
+    writePartitioned(postingsOf(docs, id, text), path, cfg, "overwrite", "base")
+    writeStats(docStatsOf(docs, id, text), statsPath(path), "overwrite", "base")
+    writeMeta(docs.sparkSession, path, cfg)
+  }
+
+  private def writePartitioned(postings: DataFrame, path: String,
+      cfg: Config, mode: String, gen: String): Unit =
+    GenTable.writePartitioned(
+      postings.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .withColumn("__part", termPk(cfg)),
+      postingsPath(path), cfg.postFiles, mode, gen, col("term"), col("doc_id"))
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombsPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      Some(spark.read.parquet(tombsPath(path)).select(col("doc_id")).distinct())
+    else None
+  }
+
+  /** Rank `queries` — a (query_id, term) frame, one row per query term —
+    * against the visible index: BM25 top-`k` docs per query as
+    * (query_id, rn, doc_id, score). The postings scan is partition-
+    * pruned to the probed terms' pk directories (file level) plus a
+    * broadcast semi join on term (row level); df comes from that same
+    * pruned scan; N/avgdl from the generation stats rows. Tombstoned
+    * docs never appear in results (they still count toward df/N/avgdl —
+    * see the object scaladoc for why that is the Lucene contract).
+    * `excludeGen` hides one generation (the retry contract). */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, excludeGen: Option[String] = None,
+      cfg: Config = Config()): DataFrame = {
+    val layout = adoptMeta(spark, path, cfg)
+    val qcols = queries.select(col("query_id"), col("term"))
+    // touched pk values + the term semi-join list from ONE bounded
+    // localize (the LshIndex probe shape); over-cap falls back to a
+    // distinct-pk collect with the terms staying distributed
+    val (q, touchedTerms, touchedPk) =
+      Caches.localize(qcols.withColumn("pk", termPk(layout)),
+        maxRows = 1 << 20) match {
+        case Some(local) =>
+          val rows = local.collect() // LocalRelation — driver-side, no job
+          val terms = rows.map(_.getString(1)).distinct.toSeq
+          val tt = spark.createDataFrame(
+            new java.util.ArrayList(
+              terms.map(t => org.apache.spark.sql.Row(t)).asJava),
+            org.apache.spark.sql.types.StructType(Seq(local.schema("term"))))
+          (local.drop("pk"), tt, rows.map(_.getInt(2)).distinct.map(Int.box).toSeq)
+        case None =>
+          val tt = qcols.select(col("term")).distinct()
+          val pk = tt.select(termPk(layout).as("pk")).distinct()
+            .collect().map(r => Int.box(r.getInt(0))).toSeq
+          (qcols, tt, pk)
+      }
+    def dropOwnGen(df: DataFrame): DataFrame =
+      excludeGen.fold(df)(g => df.where(col("gen") =!= g))
+    val post = dropOwnGen(spark.read.parquet(postingsPath(path))
+        .where(col("pk").isin(touchedPk: _*)))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .join(broadcast(touchedTerms), Seq("term"), "left_semi")
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dropOwnGen(spark.read.parquet(statsPath(path)))
+      .agg(sum(col("n_docs")).as("n"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    // the exact q130 BM25 spelling — bit-pinned against DuckDB there
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = post.join(broadcast(q), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * tfn)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    val alive = tombstones(spark, path).fold(scored)(t =>
+      scored.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    alive.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
+  /** One ingest batch: each batch doc DISTILLS its own retrieval query —
+    * its top-`queryTerms` terms by (tf desc, term asc), the short-query
+    * discipline that keeps BM25 sums bit-stable — probes the PRE-batch
+    * index for its top-`k` matches (contamination / near-dup forensics
+    * against the standing corpus), then appends the batch's postings
+    * and stats as generation `b<id>`. Returns the match log
+    * (probe_id, rn, match_id, score_r), materialized BEFORE the append
+    * (the family freeze rule). Retry contract: `batchId = Some(b)`
+    * probes exclude `gen=b<b>` and the append replaces exactly that
+    * generation. */
+  def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Option[Long], k: Int = 3, queryTerms: Int = 2,
+      cfg: Config = Config(), id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    probeAppendCore(spark, path, batch, batchId, k, queryTerms, cfg, id,
+      text, log => Caches.localize(log, maxRows = 1 << 20)
+        .getOrElse(log.localCheckpoint()))
+
+  /** [[probeAndAppend]] with the match log materialized DIRECTLY into a
+    * `batch_id`-partitioned parquet log (dynamic partition overwrite —
+    * a retried batch replaces its own partition), the families' shared
+    * sink form (one job instead of localize + write). */
+  def probeAndAppendToLog(spark: SparkSession, path: String,
+      batch: DataFrame, matchesDir: String, batchId: Long, k: Int = 3,
+      queryTerms: Int = 2, cfg: Config = Config(), id: String = "doc_id",
+      text: String = "text"): Unit = {
+    probeAppendCore(spark, path, batch, Some(batchId), k, queryTerms, cfg,
+      id, text, { log =>
+        log.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(matchesDir)
+        spark.emptyDataFrame
+      })
+    ()
+  }
+
+  private def probeAppendCore(spark: SparkSession, path: String,
+      batch: DataFrame, batchId: Option[Long], k: Int, queryTerms: Int,
+      cfg: Config, id: String, text: String,
+      materialize: DataFrame => DataFrame): DataFrame =
+    IndexLock.withWriter(path) {
+      val layout = adoptMeta(spark, path, cfg)
+      val post = postingsOf(batch, id, text).persist()
+      try {
+        val wq = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("term"))
+        val q = post.withColumn("qrn", row_number().over(wq))
+          .where(col("qrn") <= queryTerms)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val ann = probe(spark, path, q, k,
+          excludeGen = batchId.map(b => genOf(Some(b))), cfg = layout)
+        val result = materialize(
+          ann.select(col("query_id").as("probe_id"), col("rn"),
+            col("doc_id").as("match_id"), round(col("score"), 4).as("score_r")))
+        val mode = if (batchId.isDefined) "replace-gen" else "append"
+        val gen = genOf(batchId)
+        writePartitioned(post, path, layout, mode, gen)
+        writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen)
+        result
+      } finally { post.unpersist(); () }
+    }
+
+  /** Tombstone `docIds`: hidden from every subsequent probe's MATCHES
+    * immediately; physically dropped (and removed from df/N/avgdl) at
+    * the next [[compact]]. O(deletions) writes, nothing rebuilt. */
+  def markDeleted(spark: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    IndexLock.withWriter(path) {
+      import spark.implicits._
+      adoptMeta(spark, path, Config()) // loud failure on a non-index path
+      docIds.toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(tombsPath(path))
+    }
+
+  /** Fold the accumulated generations back into one tight `gen=base`:
+    * tombstoned docs drop physically from the postings AND from the
+    * recomputed generation stats (df/N/avgdl snap to the post-takedown
+    * corpus — the Lucene merge semantics). `keepBatch = Some(b)` is the
+    * lag-1 in-stream form: generation `b<b>` is rewritten verbatim
+    * (minus tombstoned docs, retained in the log — the LshIndex rule)
+    * so the kept batch's replace-gen retry still converges. Tombstone
+    * snapshot discipline and the stage-then-swap commit are the family
+    * contract verbatim. */
+  def compact(spark: SparkSession, path: String,
+      keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
+    val cfg = adoptMeta(spark, path, Config())
+    val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
+    val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
+    val keepGen = keepBatch.map(b => s"b$b")
+    val retained: Seq[Long] = (keepGen, tombs) match {
+      case (Some(g), Some(t)) =>
+        spark.read.parquet(postingsPath(path)).where(col("gen") === g)
+          .select(col("doc_id"))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .distinct().collect().map(_.getLong(0)).toSeq
+      case _ => Seq.empty
+    }
+    def dropTombstoned(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    // one gen's stats row, recomputed from its REWRITTEN postings (one
+    // row per doc survives as distinct (doc_id, dl) — every doc has ≥ 1
+    // token under string_split semantics, so no doc is lost here)
+    def statsFromPostings(rows: DataFrame): DataFrame =
+      rows.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postStaged = s"${postingsPath(path)}.compacting"
+    Layout.healSwap(spark, postStaged, postingsPath(path))
+    val all = spark.read.parquet(postingsPath(path))
+    val dataCols = Seq("term", "doc_id", "tf", "dl").map(col)
+    val folded = dropTombstoned(
+      keepGen.fold(all)(g => all.where(col("gen") =!= g)).select(dataCols: _*))
+    GenTable.writePartitioned(folded.withColumn("__part", termPk(cfg)),
+      postStaged, cfg.postFiles, "overwrite", "base", col("term"), col("doc_id"))
+    val kept = keepGen.map(g =>
+      g -> dropTombstoned(all.where(col("gen") === g).select(dataCols: _*)))
+    kept.foreach { case (g, rows) =>
+      GenTable.writePartitioned(rows.withColumn("__part", termPk(cfg)),
+        postStaged, cfg.postFiles, "append", g, col("term"), col("doc_id"))
+    }
+    // stats recomputed from the STAGED rewrite (the committed bytes, not
+    // the plan), then both tables swap
+    val statsStaged = s"${statsPath(path)}.compacting"
+    Layout.healSwap(spark, statsStaged, statsPath(path))
+    val stagedRows = spark.read.parquet(postStaged)
+    writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
+      statsStaged, "overwrite", "base")
+    kept.foreach { case (g, _) =>
+      writeStats(statsFromPostings(stagedRows.where(col("gen") === g)),
+        statsStaged, "append", g)
+    }
+    Layout.swapInto(spark, postStaged, postingsPath(path))
+    Layout.swapInto(spark, statsStaged, statsPath(path))
+    if (retained.nonEmpty) markDeleted(spark, path, retained)
+    TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
+  }
+}

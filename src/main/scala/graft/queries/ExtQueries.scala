@@ -18,7 +18,8 @@ import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, V
   * parameters the Spark side uses, so the two can't drift.
   */
 object ExtQueries extends ExtDedupQueries with ExtAnnQueries
-    with ExtCurationQueries with ExtInfraQueries with ExtGraphQueries {
+    with ExtCurationQueries with ExtInfraQueries with ExtGraphQueries
+    with ExtRetrievalQueries {
 
   // ------------------------------------------------------------- registry
 
@@ -149,7 +150,11 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q169_zip_shard_ingest", q169, Some(q169Sql)),
     Decl("q170_html_extract", q170, Some(q170Sql)),
     Decl("q171_crawl_html_chain", q171, Some(q171Sql)),
-    Decl("q172_stream_graph_autocompact", q172, Some(q166Sql)))
+    Decl("q172_stream_graph_autocompact", q172, Some(q166Sql)),
+    Decl("q173_bm25_index_topk", q173, Some(q130Sql)),
+    Decl("q174_bm25_index_incremental", q174, Some(q174Sql)),
+    Decl("q175_stream_bm25_ingest", q175, Some(q175Sql)),
+    Decl("q176_bm25_takedown_compact", q176, Some(q176Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -175,5 +180,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q135_format_interop", "q138_stream_pq_ingest",
     "q150_stream_changelog_merge", "q165_graph_index_incremental",
     "q166_stream_graph_ingest", "q167_graph_takedown_compact",
-    "q172_stream_graph_autocompact")
+    "q172_stream_graph_autocompact", "q173_bm25_index_topk",
+    "q174_bm25_index_incremental", "q175_stream_bm25_ingest",
+    "q176_bm25_takedown_compact")
 }

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.InvertedIndex
+import graft.sources.Tables
+
+/** Persisted BM25 inverted-index lifecycle (ops/InvertedIndex): build +
+  * ranked probe, incremental doc-batch append, streaming ingest with
+  * in-stream compaction, takedown + offline compaction — the 7th
+  * lifecycle family (after LSH/SimHash/IVF/PQ/graph/changelog), probing
+  * q130's bit-pinned BM25 scorer against persisted postings. Every
+  * oracle replays the WHOLE lifecycle relationally: tokenize → tf →
+  * df → corpus stats → idf·tfn → per-query top-k, per visible
+  * generation set, so a stale df, a stats row missing a generation, a
+  * probe that saw its own batch or a resurrected takedown all
+  * hash-mismatch. */
+private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
+
+  /** Match-log geometry shared by the ingest gates and their oracles. */
+  private val Bm25K = 3          // matches logged per batch doc
+  private val Bm25QueryTerms = 2 // distilled query terms per batch doc
+
+  /** BM25 scoring CTE chain over docs `$docsCte` (doc_id, text) for
+    * queries `$qCte` (query_id, term), ending in `<pfx>agg`
+    * (query_id, doc_id, score) — the relational replay of
+    * [[InvertedIndex.probe]]: tf with doc length, df from the tf table,
+    * (N, avgdl) corpus stats, the exact q130 idf·tfn product, summed
+    * per (query, doc). `tf` is MATERIALIZED (df and the scoring join
+    * both read it — DuckDB inlines CTEs, the q165 precedent). */
+  private def bm25Ctes(pfx: String, docsCte: String, qCte: String): String =
+    s"""${pfx}tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |        unnest(string_split(text, ' ')) AS term FROM $docsCte),
+       |${pfx}tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM ${pfx}tok GROUP BY 1, 2),
+       |${pfx}df AS (SELECT term, count(*) AS df FROM ${pfx}tf GROUP BY 1),
+       |${pfx}st AS (SELECT count(*) AS n,
+       |        avg(len(string_split(text, ' '))) AS avgdl FROM $docsCte),
+       |${pfx}sc AS (SELECT q.query_id, t.doc_id,
+       |        ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+       |        ((t.tf * 2.2) /
+       |         (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS sv
+       |   FROM $qCte q JOIN ${pfx}tf t ON t.term = q.term
+       |        JOIN ${pfx}df d ON d.term = q.term CROSS JOIN ${pfx}st s),
+       |${pfx}agg AS (SELECT query_id, doc_id, sum(sv) AS score
+       |       FROM ${pfx}sc GROUP BY 1, 2)""".stripMargin
+
+  /** The per-batch-doc distilled query: top-2 terms by (tf desc, term) —
+    * ends in `$out` (query_id, term). */
+  private def distillCtes(pfx: String, batchCte: String, out: String): String =
+    s"""${pfx}btf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM $batchCte) GROUP BY 1, 2),
+       |$out AS (SELECT doc_id AS query_id, term FROM (
+       |        SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY tf DESC, term) AS qrn FROM ${pfx}btf)
+       |       WHERE qrn <= $Bm25QueryTerms)""".stripMargin
+
+  /** Per-query top-k selection over `<pfx>agg`, as the ingest log shape
+    * (probe_id, rn, match_id, score_r). */
+  private def topKSel(pfx: String): String =
+    s"""SELECT query_id AS probe_id, rn, doc_id AS match_id,
+       |       round(score, 4) AS score_r
+       |FROM (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc_id) AS rn FROM ${pfx}agg)
+       |WHERE rn <= $Bm25K""".stripMargin
+
+  // ----------------------------------------------------------------- q173
+  /** BM25 ranked retrieval THROUGH THE PERSISTED INDEX — build the
+    * postings (term-clustered, pk-partitioned) + generation stats from
+    * the corpus, derive q130's 4 two-term queries from the indexed df,
+    * and rank via [[InvertedIndex.probe]]: the partition-pruned
+    * postings scan, the probe-side df aggregate and the stats-row
+    * (N, avgdl) must reproduce the from-scratch q130 result EXACTLY —
+    * the oracle IS q130's SQL. Scale shape: the probe reads only the
+    * probed terms' pk directories (file-pruned, term-clustered row
+    * groups), df reduces the same pruned scan, stats are one row per
+    * generation — probe cost is O(postings of probed terms), not
+    * O(corpus); the one-off full-df query derivation here is gate
+    * bootstrap, not probe cost (production queries arrive externally). */
+  private[queries] def q173(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q173_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val path = s"$tmp/idx"
+      InvertedIndex.build(docs, path)
+      val dfAll = spark.read.parquet(InvertedIndex.postingsPath(path))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qt = dfAll.orderBy(col("df").desc, col("term")).limit(8)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+        .select(((col("r") - 1) / 2).cast("bigint").as("query_id"), col("term"))
+      val res = InvertedIndex.probe(spark, path, qt, k = 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("bm25"), col("rn"))
+      localizeRows(res, Seq("query_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  // oracle: q130's SQL verbatim (ExtCurationQueries.q130Sql) — the
+  // index + pruned probe must be indistinguishable from from-scratch
+
+  // ----------------------------------------------------------------- q174
+  /** INCREMENTAL inverted-index ingest — q97's contract for the text
+    * family: the index is PERSISTED from the base corpus (doc_id % 4
+    * <> 0), an ingest batch (doc_id % 4 == 0) distills one short query
+    * per doc (top-2 terms by tf — contamination/near-dup forensics
+    * against the standing corpus), BM25-probes the PRE-batch postings
+    * for its top-3 matches, and APPENDS as `gen=b0` (postings + stats
+    * row). The emitted match log puts the distillation, the pruned
+    * probe, df/N/avgdl visibility AND the ranking under one hash. */
+  private[queries] def q174(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q174_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isBatch = pmod(col("doc_id"), lit(4)) === 0
+      val path = s"$tmp/idx"
+      InvertedIndex.build(docs.where(!isBatch), path)
+      val log = InvertedIndex.probeAndAppend(spark, path,
+        docs.where(isBatch), batchId = Some(0L),
+        k = Bm25K, queryTerms = Bm25QueryTerms)
+      localizeRows(log, Seq("probe_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] lazy val q174Sql =
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |        WHERE doc_id % 4 <> 0),
+       |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |${distillCtes("i", "bat", "q")},
+       |${bm25Ctes("i", "base", "q")}
+       |${topKSel("i")}
+       |ORDER BY probe_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------- q175
+  /** STREAMING inverted-index ingest through the PRODUCTION operator
+    * (`StreamingPipeline.startBm25Ingest`: foreachBatch →
+    * [[InvertedIndex.probeAndAppendToLog]]) WITH in-stream
+    * auto-compaction on the gate — q105 + q106's contracts for the
+    * text family in one harness: documents arrive in 2 micro-batches,
+    * each batch probes the index as built from base PLUS every earlier
+    * batch (own generation excluded — the retry contract), logs its
+    * top-3 matches to the batch_id-partitioned log, appends itself,
+    * and `compactEvery = 1` folds generations lag-1 after EVERY batch —
+    * so batch 1 probes the POST-fold postings and stats (the live-fold
+    * rule q172 established): the oracle, a from-scratch replay of both
+    * rounds' visibility, hash-matches only if folding changed nothing.
+    * The stream's state store is EMPTY — the index on storage IS the
+    * state. */
+  private[queries] def q175(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q175_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isStream = pmod(col("doc_id"), lit(4)) === 0
+      val path = s"$tmp/idx"
+      InvertedIndex.build(docs.where(!isStream), path)
+      val rows = fixtureSlice(docs.where(isStream).as[(Long, String)])
+        .sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingPipeline.startBm25Ingest(
+        mem.toDF().toDF("doc_id", "text"),
+        indexPath = path, matchesDir = s"$tmp/matches",
+        checkpointDir = s"$tmp/ckpt", k = Bm25K, queryTerms = Bm25QueryTerms,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(1))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.schema(
+            "probe_id BIGINT, rn INT, match_id BIGINT, score_r DOUBLE, batch_id BIGINT")
+          .parquet(s"$tmp/matches")
+          .select(col("probe_id"), col("rn"), col("match_id"), col("score_r")),
+        Seq("probe_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] lazy val q175Sql =
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |        WHERE doc_id % 4 <> 0),
+       |s AS MATERIALIZED (SELECT doc_id, text,
+       |        (row_number() OVER (ORDER BY doc_id) - 1)
+       |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
+       |      FROM documents WHERE doc_id % 4 = 0),
+       |b0 AS (SELECT doc_id, text FROM s WHERE b = 0),
+       |b1 AS (SELECT doc_id, text FROM s WHERE b = 1),
+       |${distillCtes("x", "b0", "q0")},
+       |${bm25Ctes("x", "base", "q0")},
+       |d1 AS MATERIALIZED (SELECT doc_id, text FROM base
+       |       UNION ALL SELECT doc_id, text FROM b0),
+       |${distillCtes("y", "b1", "q1")},
+       |${bm25Ctes("y", "d1", "q1")}
+       |SELECT * FROM (${topKSel("x")} UNION ALL ${topKSel("y")})
+       |ORDER BY probe_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------- q176
+  /** Inverted-index TAKEDOWN + COMPACTION — q101/q109's contract for
+    * the text family: after the base build and one incremental batch,
+    * five docs (three base, two batch) are tombstoned
+    * ([[InvertedIndex.markDeleted]] — O(deletions), nothing rebuilt)
+    * and an OFFLINE [[InvertedIndex.compact]] folds the generations
+    * into one tight gen=base: tombstoned docs drop physically from the
+    * postings AND from the recomputed (N, avgdl) stats — df snaps to
+    * the post-takedown corpus, the Lucene merge semantics. The output
+    * re-derives the 4 top-df queries from the compacted index and
+    * ranks top-10 through the probe; the oracle replays q130's chain
+    * over `documents` minus the tombstoned ids, so a resurrected doc,
+    * a stale stats row or an un-dropped posting all hash-mismatch. */
+  private[queries] def q176(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q176_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val isBatch = pmod(col("doc_id"), lit(4)) === 0
+      val path = s"$tmp/idx"
+      InvertedIndex.build(docs.where(!isBatch), path)
+      InvertedIndex.probeAndAppend(spark, path, docs.where(isBatch),
+        batchId = Some(0L), k = Bm25K, queryTerms = Bm25QueryTerms)
+      InvertedIndex.markDeleted(spark, path, Seq(1L, 2L, 3L, 0L, 4L))
+      InvertedIndex.compact(spark, path)
+      val dfAll = spark.read.parquet(InvertedIndex.postingsPath(path))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qt = dfAll.orderBy(col("df").desc, col("term")).limit(8)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+        .select(((col("r") - 1) / 2).cast("bigint").as("query_id"), col("term"))
+      val res = InvertedIndex.probe(spark, path, qt, k = 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("bm25"), col("rn"))
+      localizeRows(res, Seq("query_id", "rn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] lazy val q176Sql =
+    """WITH live AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |        WHERE doc_id NOT IN (0, 1, 2, 3, 4)),
+      |tokens AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM live),
+      |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM tokens GROUP BY 1, 2),
+      |df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT (row_number() OVER (ORDER BY df DESC, term) - 1) // 2
+      |                 AS query_id, term, df
+      |       FROM df ORDER BY df DESC, term LIMIT 8),
+      |stats AS (SELECT count(*) AS n,
+      |                 avg(len(string_split(text, ' '))) AS avgdl
+      |          FROM live),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((stats.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         ((tf.tf * 2.2) /
+      |          (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
+      |  FROM tf JOIN qt ON tf.term = qt.term CROSS JOIN stats),
+      |agg AS (SELECT query_id, doc_id, sum(s) AS score
+      |        FROM scored GROUP BY 1, 2)
+      |SELECT query_id, doc_id, round(score, 4) AS bm25,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY score DESC, doc_id) AS rn
+      |FROM agg
+      |QUALIFY rn <= 10
+      |ORDER BY query_id, rn""".stripMargin
+}

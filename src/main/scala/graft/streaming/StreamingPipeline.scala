@@ -392,6 +392,48 @@ object StreamingPipeline {
       batch.sparkSession, indexPath, batch, annDir,
       batchId = batchId, k = k, beamW = beamW, hops = hops, revCap = revCap)
 
+  /** Continuously-ingesting BM25 inverted index — the TEXT-RETRIEVAL
+    * twin of [[startNearDupIngest]], completing the streaming story for
+    * the inverted-index family (ops/InvertedIndex): each micro-batch of
+    * documents distills a short retrieval query per doc (its top
+    * `queryTerms` terms), BM25-probes the persisted postings in their
+    * PRE-batch state — partition-pruned to the probed terms' pk
+    * directories — logs the per-doc top-k matches (tagged with the
+    * micro-batch id) to `matchesDir`, then appends the batch's postings
+    * and generation stats so the next batch retrieves against it.
+    * Delivery mirrors the other ingests exactly: generation-keyed
+    * appends via dynamic partition overwrite, own-generation exclusion
+    * at probe time, batch_id-partitioned match log. `compactEvery` is
+    * the lag-1 in-stream compaction contract (evaluated outside the
+    * isEmpty guard, same as the other ingests). */
+  def startBm25Ingest(docs: DataFrame, indexPath: String, matchesDir: String,
+      checkpointDir: String, k: Int = 3, queryTerms: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          bm25IngestBatch(batch, batchId, indexPath, matchesDir, k, queryTerms)
+        // evaluated outside the isEmpty guard (the startVectorIngest rule)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1))
+            graft.ops.InvertedIndex.compact(
+              batch.sparkSession, indexPath, keepBatch = Some(batchId))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the BM25 ingest, idempotent in `batchId` —
+    * exposed (like [[nearDupIngestBatch]]) for replay specs and batch
+    * backfill drivers. */
+  def bm25IngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      matchesDir: String, k: Int = 3, queryTerms: Int = 2): Unit =
+    graft.ops.InvertedIndex.probeAndAppendToLog(
+      batch.sparkSession, indexPath, batch, matchesDir,
+      batchId = batchId, k = k, queryTerms = queryTerms)
+
   /** Continuously-ingesting CDC changelog merge — the streaming form of
     * [[graft.ops.ChangelogMerge]] (the lakehouse merge-on-read shape):
     * each micro-batch of changelog rows (key, payload…, cl_seq, cl_op)

@@ -73,6 +73,11 @@ class IndexCompatSpec extends SparkSpecBase {
       spark, p, IndexFixtureData.batchVecs(spark), batchId = Some(0L)))
   }
 
+  test("BM25 inverted index written by the previous layout era replays identically") {
+    check("bm25")(p => graft.ops.InvertedIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
+  }
+
   test("BPE vocab written by an earlier generation encodes byte-identically") {
     // the tokenizer-drift tripwire (r14 verdict #8): a vocab learned and
     // shipped by generation N must make generation N+1 encode the same

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   sbt "Test/runMain graft.IndexFixtureGen"
   *
   * A second argument GENERATES ONE FAMILY ONLY (`lsh`, `simhash`,
-  * `ivf`, `pq`, `bpe`) — how a NEW family is added to an existing
+  * `ivf`, `pq`, `bpe`, `graph`, `bm25`) — how a NEW family is added to an existing
   * fixture without rewriting the other families' committed directories
   * with current code (which would silently destroy their
   * earlier-era-layout property; r15 added `bpe` this way). */
@@ -74,6 +74,16 @@ object IndexFixtureGen {
         files = 2)
       save(graft.ops.GraphIndex.probeAndAppend(spark, s"$out/graph",
         IndexFixtureData.batchVecs(spark), batchId = Some(0L)), "expected_graph")
+    }
+
+    family("bm25") {
+      // r16 added the inverted-index family this way: the committed
+      // postings layout + the recorded match log pin the term pk
+      // partitioning, df/N/avgdl visibility, query distillation and the
+      // BM25 tie rules across layout eras
+      graft.ops.InvertedIndex.build(docs, s"$out/bm25")
+      save(graft.ops.InvertedIndex.probeAndAppend(spark, s"$out/bm25",
+        IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_bm25")
     }
 
     family("bpe") {

@@ -1,0 +1,160 @@
+package graft
+
+import graft.ops.InvertedIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted-index lifecycle: probe parity with the
+  * from-scratch scorer, append retry idempotence, pre-batch visibility,
+  * tombstone semantics (matches now, stats at compact — the Lucene
+  * contract), and the two compaction forms. */
+class InvertedIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 8 docs over a tiny vocabulary with skewed df so BM25 ranks are
+    * stable and every tie rule is exercised. */
+  private def fixture: DataFrame = (0L until 8L).map { i =>
+    val common = "the quick fox"
+    val rare = if (i % 2 == 0) s"zebra$i" else s"yak$i"
+    (i, s"$common $rare word$i " + ("pad " * (i.toInt + 1)).trim)
+  }.toDF("doc_id", "text")
+
+  private def batch: DataFrame =
+    Seq((100L, "the quick fox zebra0 extra"), (101L, "yak1 yak1 word3 blue"))
+      .toDF("doc_id", "text")
+
+  /** From-scratch BM25 over `docs` for `(query_id, term)` rows — the
+    * spec's independent reference scorer (same expressions the oracle
+    * pins in q130). */
+  private def brute(docs: DataFrame, q: DataFrame, k: Int): Seq[(Long, Int, Long, Double)] = {
+    val tok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    tf.join(q, "term").join(dfr, "term").crossJoin(stats)
+      .withColumn("s", idf * tfn)
+      .groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq.sorted
+  }
+
+  private def probed(path: String, q: DataFrame, k: Int): Seq[(Long, Int, Long, Double)] =
+    InvertedIndex.probe(spark, path, q, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+
+  test("index probe reproduces the from-scratch BM25 ranking exactly") {
+    val path = tmpDir("bm25_build")
+    InvertedIndex.build(fixture, path)
+    val q = Seq((0L, "the"), (0L, "zebra0"), (1L, "yak1"), (1L, "pad"))
+      .toDF("query_id", "term")
+    assert(probed(path, q, 3) == brute(fixture, q, 3))
+    assert(probed(path, q, 3).nonEmpty)
+  }
+
+  test("probeAndAppend is idempotent in batchId and probes the pre-batch index") {
+    val path = tmpDir("bm25_retry")
+    InvertedIndex.build(fixture, path)
+    def postB0(): Seq[String] =
+      spark.read.parquet(InvertedIndex.postingsPath(path))
+        .where(col("gen") === "b0")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .collect().map(_.toString).sorted.toSeq
+    val log1 = InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+      .collect().map(_.toString).sorted.toSeq
+    val p1 = postB0()
+    val log2 = InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(log2 == log1)
+    assert(postB0() == p1)
+    // the retry probed the PRE-batch index: no match is a batch member
+    assert(InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+      .collect().forall(_.getLong(2) < 100L))
+    // stats carry one row per generation
+    val gens = spark.read.parquet(InvertedIndex.statsPath(path))
+      .select(col("gen")).distinct().collect().map(_.getString(0)).toSet
+    assert(gens == Set("base", "b0"))
+  }
+
+  test("appended generations are visible to later probes (df, stats and matches)") {
+    val path = tmpDir("bm25_vis")
+    InvertedIndex.build(fixture, path)
+    val q = Seq((7L, "blue")).toDF("query_id", "term")
+    assert(probed(path, q, 3).isEmpty) // 'blue' exists only in the batch
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+    assert(probed(path, q, 3).map(_._3) == Seq(101L))
+    // and the scores now reflect the grown corpus: parity vs from-scratch
+    val q2 = Seq((0L, "the"), (0L, "zebra0")).toDF("query_id", "term")
+    assert(probed(path, q2, 5) ==
+      brute(fixture.unionByName(batch), q2, 5))
+  }
+
+  test("tombstones hide matches immediately; compact drops postings and stats") {
+    val path = tmpDir("bm25_tomb")
+    InvertedIndex.build(fixture, path)
+    val q = Seq((0L, "zebra0")).toDF("query_id", "term")
+    assert(probed(path, q, 3).map(_._3) == Seq(0L))
+    InvertedIndex.markDeleted(spark, path, Seq(0L))
+    // hidden from matches NOW — but df/N/avgdl still count it (the
+    // Lucene deleted-doc contract), so scores equal the full-corpus ones
+    assert(probed(path, q, 3).isEmpty)
+    val qT = Seq((0L, "the")).toDF("query_id", "term")
+    assert(probed(path, qT, 8) ==
+      brute(fixture, qT, 8).filterNot(_._3 == 0L)
+        .map { case (a, _, c, d) => (a, c, d) }
+        .zipWithIndex.map { case ((a, c, d), i) => (a, i + 1, c, d) })
+    InvertedIndex.compact(spark, path)
+    val post = spark.read.parquet(InvertedIndex.postingsPath(path))
+    assert(post.where(col("doc_id") === 0L).count() == 0)
+    assert(post.select(col("gen")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("base"))
+    // stats snapped to the post-takedown corpus: parity vs from-scratch
+    // over the 7 live docs
+    assert(probed(path, qT, 8) ==
+      brute(fixture.where(col("doc_id") =!= 0L), qT, 8))
+  }
+
+  test("in-stream compact (keepBatch) folds verbatim and keeps the retry view") {
+    val path = tmpDir("bm25_keep")
+    InvertedIndex.build(fixture.where(col("doc_id") < 6), path)
+    InvertedIndex.probeAndAppend(spark, path,
+      fixture.where(col("doc_id") >= 6), Some(0L))
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(1L))
+    def viewNotB1(): Set[String] =
+      spark.read.parquet(InvertedIndex.postingsPath(path))
+        .where(col("gen") =!= "b1")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .collect().map(_.toString).toSet
+    def statsTotal(): (Long, Long) = {
+      val r = spark.read.parquet(InvertedIndex.statsPath(path))
+        .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = viewNotB1(); val st = statsTotal()
+    InvertedIndex.compact(spark, path, keepBatch = Some(1L))
+    assert(viewNotB1() == before)
+    assert(statsTotal() == st)
+    val gens = spark.read.parquet(InvertedIndex.postingsPath(path))
+      .select(col("gen")).distinct().collect().map(_.getString(0)).toSet
+    assert(gens == Set("base", "b1"))
+  }
+
+  test("probing a non-index path fails loudly") {
+    val path = tmpDir("bm25_nometa")
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.probe(spark, path,
+        Seq((0L, "x")).toDF("query_id", "term"), 3)
+    }
+    assert(e.getMessage.contains("_index_meta"))
+  }
+}
