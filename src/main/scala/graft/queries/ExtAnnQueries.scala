@@ -1661,6 +1661,122 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         coalesce(col("is_true"), lit(false)).as("is_true"))
       .orderBy(col("probe_id"), col("rn"))
   }
+  // ----------------------------------------------------------------- q177
+  /** MATRYOSHKA serving COMPOSED WITH A REAL SHORTLIST INDEX — q168's
+    * two-stage MRL contract upgraded from a flat prefix scan (its
+    * documented stand-in) to the IVF cell layout the fleet would run:
+    * the corpus's 16-dim PREFIXES are PERSISTED as their own
+    * cell-clustered table (the MRL column layout made literal — the
+    * shortlist stage reads a table 4× narrower than the embeddings),
+    * the coarse quantizer lives in PREFIX space (first 16 corpus
+    * vectors' prefixes, q54's deterministic convention; assignment/
+    * probe tie rules from the production [[IvfIndex]] helpers), each
+    * probe shortlists top-10 by prefix cosine inside its nprobe=2
+    * cells ONLY — the scan is cell-pruned at file/row-group level by
+    * the clustered layout, provably: the touched-cell list is pushed
+    * as a partition predicate — and the 10 survivors rerank by
+    * FULL-dimension cosine fetched per vec_id (|probes|·10 rows, the
+    * q126 rerank shape). Recall is AUDITED in the output against the
+    * exact full-dim top-3 (q168's truth), so composing the index can
+    * only lose recall measurably, never silently. */
+  private[queries] def q177(spark: SparkSession, dir: String): DataFrame = {
+    val PDIM = 16; val CELLS = 16; val NPROBE = 2; val SHORTLIST = 10; val K = 3
+    val tmp = graft.ops.Scratch.tempDir("graft_q177_")
+    try {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val pcents: Seq[Seq[Float]] = emb.where(col("vec_id") < CELLS)
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).take(PDIM).toSeq).toSeq
+      val path = s"$tmp/prefix"
+      graft.ops.Layout.clusteredWrite(
+        Tables.spread(emb)
+          .select(col("vec_id"), slice(col("embedding"), 1, PDIM).as("pemb"))
+          .withColumn("cell", graft.ops.IvfIndex.cellOf(spark, col("pemb"), pcents)),
+        path, files = 4, col("cell"))
+      val probes = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+          graft.ops.IvfIndex.topCellsOf(spark,
+            slice(col("embedding"), 1, PDIM), pcents, NPROBE).as("pcells"))
+        .persist()
+      try {
+        // the probes' touched cells (≤ CELLS ints) push into the prefix
+        // scan as a range-prunable predicate — the cell-clustered files
+        // make it a file/row-group prune, not just a row filter
+        val touched = probes.select(explode(col("pcells")).as("c"))
+          .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+        val pref = spark.read.parquet(path).where(col("cell").isin(touched: _*))
+        val wPref = Window.partitionBy(col("probe_id"))
+          .orderBy(col("pcos").desc, col("vec_id"))
+        val short = pref.crossJoin(broadcast(probes))
+          .where(array_contains(col("pcells"), col("cell")) &&
+            col("vec_id") =!= col("probe_id"))
+          .withColumn("pcos", CosineSimilarity.cosineSim(spark,
+            col("pemb"), slice(col("probe"), 1, PDIM)))
+          .withColumn("srn", row_number().over(wPref))
+          .where(col("srn") <= SHORTLIST)
+          .select(col("probe_id"), col("vec_id"), col("probe"))
+        val wFull = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val reranked = emb.join(broadcast(short), "vec_id")
+          .withColumn("cos",
+            CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+          .withColumn("rn", row_number().over(wFull)).where(col("rn") <= K)
+        val truth = emb.crossJoin(
+            broadcast(probes.select(col("probe_id"), col("probe"))))
+          .where(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos",
+            CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+          .withColumn("rn", row_number().over(wFull)).where(col("rn") <= K)
+          .select(col("probe_id"), col("vec_id"), lit(true).as("is_true"))
+        val out = reranked.join(truth, Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cos_sim"),
+            coalesce(col("is_true"), lit(false)).as("is_true"))
+        localizeRows(out, Seq("probe_id", "rn"))
+      } finally { probes.unpersist(); () }
+    } finally rmRecursive(tmp)
+  }
+  private[queries] val q177Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v[1:16] AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id,
+      |    (SELECT c_id FROM c ORDER BY list_cosine_similarity(v[1:16], cv) DESC, c_id DESC
+      |     LIMIT 1) AS cell
+      |  FROM e),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+      |pc AS (
+      |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY list_cosine_similarity(pv[1:16], cv) DESC, c_id DESC) AS rn
+      |  FROM p CROSS JOIN c),
+      |shortl AS (SELECT probe_id, vec_id FROM (
+      |  SELECT p.probe_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY p.probe_id
+      |      ORDER BY list_cosine_similarity(p.pv[1:16], e.v[1:16]) DESC,
+      |               e.vec_id) AS srn
+      |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+      |       JOIN asg a ON a.cell = pc.c_id
+      |       JOIN e ON e.vec_id = a.vec_id
+      |  WHERE e.vec_id <> p.probe_id) WHERE srn <= 10),
+      |rr AS (SELECT s.probe_id, s.vec_id,
+      |         list_cosine_similarity(e.v, p.pv) AS cos,
+      |         row_number() OVER (PARTITION BY s.probe_id
+      |           ORDER BY list_cosine_similarity(e.v, p.pv) DESC, s.vec_id) AS rn
+      |  FROM shortl s JOIN e ON e.vec_id = s.vec_id
+      |       JOIN p ON p.probe_id = s.probe_id),
+      |tr AS (SELECT probe_id, vec_id FROM (
+      |  SELECT p.probe_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY p.probe_id
+      |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, e.vec_id) AS rn
+      |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) WHERE rn <= 3)
+      |SELECT rr.probe_id, rr.rn, rr.vec_id AS neighbor_id,
+      |       round(rr.cos, 4) AS cos_sim,
+      |       tr.vec_id IS NOT NULL AS is_true
+      |FROM rr LEFT JOIN tr ON tr.probe_id = rr.probe_id AND tr.vec_id = rr.vec_id
+      |WHERE rr.rn <= 3
+      |ORDER BY rr.probe_id, rr.rn""".stripMargin
+
   private[queries] val q168Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),

@@ -154,7 +154,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q173_bm25_index_topk", q173, Some(q130Sql)),
     Decl("q174_bm25_index_incremental", q174, Some(q174Sql)),
     Decl("q175_stream_bm25_ingest", q175, Some(q175Sql)),
-    Decl("q176_bm25_takedown_compact", q176, Some(q176Sql)))
+    Decl("q176_bm25_takedown_compact", q176, Some(q176Sql)),
+    Decl("q177_matryoshka_ivf", q177, Some(q177Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -182,5 +183,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q166_stream_graph_ingest", "q167_graph_takedown_compact",
     "q172_stream_graph_autocompact", "q173_bm25_index_topk",
     "q174_bm25_index_incremental", "q175_stream_bm25_ingest",
-    "q176_bm25_takedown_compact")
+    "q176_bm25_takedown_compact", "q177_matryoshka_ivf")
 }
