@@ -36,6 +36,24 @@ private[ops] object GenTable {
     }).parquet(path)
   }
 
+  /** The generation partition values present on disk — ONE driver-side
+    * glob over the hive layout (no Spark job): `gen` is the leaf
+    * partition level, nested under `pk=*` for the bucketed tables
+    * (`nested = true`) or top-level otherwise. The in-stream compaction
+    * paths use this to SKIP a fold that would rewrite nothing (every
+    * generation is already `base` or the kept batch, and no tombstone is
+    * pending) — a verbatim no-op whose two table rewrites were the
+    * dominant fixed cost of a short-cadence `compactEvery`. */
+  def genNames(spark: SparkSession, table: String, nested: Boolean): Set[String] = {
+    val p = new HPath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val pat = if (nested) new HPath(table, "*/gen=*") else new HPath(table, "gen=*")
+      fs.globStatus(pat).map(_.getPath.getName.stripPrefix("gen=")).toSet
+    }
+  }
+
   /** Persist the layout contract next to the tables — probes ADOPT the
     * persisted values, so a drifted caller default cannot mis-prune. */
   def writeMeta(spark: SparkSession, metaFile: HPath,

@@ -399,8 +399,11 @@ object GraphIndex {
           .where(col("rrn") <= revCap)
           .select(col("neighbor_id").as("src"), col("probe_id").as("dst"),
             col("cos"))
-        writeEdgesGen(fwd.unionByName(rev), path, files, mode, gen)
-        writeNodesGen(b, path, files, mode, gen)
+        // independent targets (edges vs nodes), inputs settled (ann) or
+        // persisted (b) — append concurrently
+        Par.all(
+          () => writeEdgesGen(fwd.unionByName(rev), path, files, mode, gen),
+          () => writeNodesGen(b, path, files, mode, gen))
         result
       } finally { b.unpersist(); () }
     }
@@ -444,11 +447,19 @@ object GraphIndex {
   def compact(spark: SparkSession, path: String, maxDeg: Int = 8,
       files: Int = 4, keepBatch: Option[Long] = None): Unit =
     IndexLock.withWriter(path) {
-      val staged = s"$path.compacting"
-      Layout.healSwap(spark, staged, path)
       val keepGen = keepBatch.map(b => s"b$b")
       val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
       val tombs = TombstoneLog.read(spark, tombSnap, "vec_id")
+      // VERBATIM in-stream fold with nothing to fold (only `base` and
+      // the kept generation on disk, no tombstones) — a byte-identical
+      // rewrite, skipped (the LshIndex.compact rule). The offline form
+      // never skips: it owes the maxDeg re-prune.
+      if (keepGen.isDefined && tombs.isEmpty &&
+          (GenTable.genNames(spark, nodesPath(path), nested = false) ++
+            GenTable.genNames(spark, edgesPath(path), nested = false))
+            .subsetOf(Set("base") ++ keepGen)) return
+      val staged = s"$path.compacting"
+      Layout.healSwap(spark, staged, path)
       val nodesRaw = spark.read.parquet(nodesPath(path))
         .select(col("vec_id"), col("embedding"), col("gen"))
       val edgesRaw = spark.read.parquet(edgesPath(path))
@@ -473,14 +484,21 @@ object GraphIndex {
         .drop("gen")
       val foldEdges =
         if (keepGen.isDefined) foldEdgesRaw else topPerSrc(foldEdgesRaw, maxDeg)
-      writeNodesGen(foldNodes, staged, files, "overwrite", "base")
-      writeEdgesGen(foldEdges, staged, files, "overwrite", "base")
-      keepGen.foreach { g =>
-        writeNodesGen(nodesAll.where(col("gen") === g).drop("gen"),
-          staged, files, "append", g)
-        writeEdgesGen(edgesAll.where(col("gen") === g).drop("gen"),
-          staged, files, "append", g)
-      }
+      // nodes and edges are independent targets: fold them concurrently
+      // (Par) so the compaction pays one job-floor, not two
+      Par.all(
+        () => {
+          writeNodesGen(foldNodes, staged, files, "overwrite", "base")
+          keepGen.foreach(g => writeNodesGen(
+            nodesAll.where(col("gen") === g).drop("gen"), staged, files,
+            "append", g))
+        },
+        () => {
+          writeEdgesGen(foldEdges, staged, files, "overwrite", "base")
+          keepGen.foreach(g => writeEdgesGen(
+            edgesAll.where(col("gen") === g).drop("gen"), staged, files,
+            "append", g))
+        })
       Layout.swapInto(spark, staged, path)
       if (retained.nonEmpty) markDeleted(spark, path, retained)
       TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)

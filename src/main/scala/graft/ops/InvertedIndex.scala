@@ -266,8 +266,10 @@ object InvertedIndex {
             col("doc_id").as("match_id"), round(col("score"), 4).as("score_r")))
         val mode = if (batchId.isDefined) "replace-gen" else "append"
         val gen = genOf(batchId)
-        writePartitioned(post, path, layout, mode, gen)
-        writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen)
+        // independent targets (postings vs stats) — append concurrently
+        Par.all(
+          () => writePartitioned(post, path, layout, mode, gen),
+          () => writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen))
         result
       } finally { post.unpersist(); () }
     }
@@ -298,6 +300,13 @@ object InvertedIndex {
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
     val keepGen = keepBatch.map(b => s"b$b")
+    // VERBATIM in-stream fold with nothing to fold — skipped, the
+    // LshIndex.compact rule (the offline form never skips: it owes the
+    // stats recompute and tombstone clear)
+    if (keepGen.isDefined && tombs.isEmpty &&
+        (GenTable.genNames(spark, postingsPath(path), nested = true) ++
+          GenTable.genNames(spark, statsPath(path), nested = false))
+          .subsetOf(Set("base") ++ keepGen)) return
     val retained: Seq[Long] = (keepGen, tombs) match {
       case (Some(g), Some(t)) =>
         spark.read.parquet(postingsPath(path)).where(col("gen") === g)

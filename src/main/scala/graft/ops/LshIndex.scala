@@ -451,12 +451,15 @@ object LshIndex {
       // land in (and future probes prune to) the right directories.
       val mode = if (batchId.isDefined) "replace-gen" else "append"
       val gen = genOf(batchId)
-      writePartitioned(newBands.withColumn("__part", bandPk(layout)),
-        bandsPath(path), layout.bandFiles, mode, gen, col("band"), col("key"))
-      writePartitioned(
-        sig.select(col(id).as("doc_id"), col("sh"))
-          .withColumn("__part", sigPs(layout, col("doc_id"))),
-        sigsPath(path), layout.sigFiles, mode, gen, col("doc_id"))
+      // independent targets (bands vs sigs), shared input persisted
+      // (sig) or driver-local (newBands) — append concurrently
+      Par.all(
+        () => writePartitioned(newBands.withColumn("__part", bandPk(layout)),
+          bandsPath(path), layout.bandFiles, mode, gen, col("band"), col("key")),
+        () => writePartitioned(
+          sig.select(col(id).as("doc_id"), col("sh"))
+            .withColumn("__part", sigPs(layout, col("doc_id"))),
+          sigsPath(path), layout.sigFiles, mode, gen, col("doc_id")))
       result
     } finally probeCaches.foreach(_.unpersist())
   }
@@ -521,6 +524,17 @@ object LshIndex {
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
     val keepGen = keepBatch.map(b => s"b$b")
+    // The in-stream (keepBatch) fold is VERBATIM: when nothing but
+    // `base` and the kept generation exists and no tombstone is pending,
+    // the rewrite would reproduce the index byte-for-byte — skip it (a
+    // short `compactEvery` cadence otherwise pays two full table
+    // rewrites per firing for zero effect; one FS glob decides). The
+    // offline form never skips: it must clear tombstones and re-tighten
+    // file counts even when the generation set looks folded.
+    if (keepGen.isDefined && tombs.isEmpty &&
+        (GenTable.genNames(spark, bandsPath(path), nested = true) ++
+          GenTable.genNames(spark, sigsPath(path), nested = true))
+          .subsetOf(Set("base") ++ keepGen)) return
     // Tombstoned ids present in the kept generation — bounded by
     // min(|takedowns|, |batch|), collected BEFORE the rewrites below
     // physically drop them.
@@ -555,9 +569,12 @@ object LshIndex {
       }
       Layout.swapInto(spark, staged, tablePath)
     }
-    rewrite(bandsPath(path), cfg.bandFiles,
-      Seq("band", "key", "doc_id"), col("band"), col("key"))
-    rewrite(sigsPath(path), cfg.sigFiles, Seq("doc_id", "sh"), col("doc_id"))
+    // the two tables are independent targets: their fold jobs run
+    // concurrently (Par) so the compaction pays one job-floor, not two
+    Par.all(
+      () => rewrite(bandsPath(path), cfg.bandFiles,
+        Seq("band", "key", "doc_id"), col("band"), col("key")),
+      () => rewrite(sigsPath(path), cfg.sigFiles, Seq("doc_id", "sh"), col("doc_id")))
     // Retain kept-generation tombstones FIRST (append — not in the
     // snapshot, so the delete below can't touch them), then clear
     // exactly the files this compaction applied.

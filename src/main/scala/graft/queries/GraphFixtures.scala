@@ -4,34 +4,26 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.ops.{Caches, GraphIndex, Scratch}
+import graft.ops.{Caches, GraphIndex, InvertedIndex, Scratch}
 import graft.sources.Tables
 
-/** Per-JVM memo for the graph family's NN-Descent base artifacts — a
-  * MEASUREMENT-HARNESS amortization only (the r15 verdict's top ask):
-  * the five graph gates (q148/q163 over the full embedding set;
-  * q165/q166/q167/q172 over the vec_id % 4 <> 0 base split) each need
-  * the SAME deterministic base graph, and production builds it once,
-  * but the gates — each self-contained in its own scratch dir — were
-  * paying the full NN-Descent build per query (~5 s × 5 at sf0.1, the
-  * closing bench's largest avoidable block). Here the build runs ONCE
-  * per (canonical sf dir, geometry) per JVM:
+/** Per-JVM memo for DETERMINISTIC index-build artifacts the lifecycle
+  * gates share — a MEASUREMENT-HARNESS amortization only (the r15
+  * verdict's top ask): each gate is self-contained in its own scratch
+  * dir, but several gates of one family need the SAME base index
+  * (production builds it once), and rebuilding it per query was the
+  * closing bench's largest avoidable block. [[cloneInto]] builds once
+  * per key per JVM and FILE-CLONES into each query's private scratch —
+  * so every gate still owns a mutable copy and exercises its full
+  * append/stream/takedown/compact path against real storage; only the
+  * shared deterministic build is amortized. [[sharedDir]] is the
+  * read-only form (probe-only gates need no copy).
   *
-  *  - [[baseIndexInto]] builds the persisted base index
-  *    ([[GraphIndex.build]], the family geometry) into a session-scoped
-  *    scratch dir on first use, then FILE-CLONES it into each query's
-  *    own temp dir — so every gate still owns a private mutable copy
-  *    and exercises its full insert/stream/takedown/compact path against
-  *    real storage; only the shared deterministic build is amortized.
-  *  - [[fullNnEdges]] memoizes the full-set NN-Descent edge list
-  *    (bounded collect, n·k rows by construction) and replays it as a
-  *    fresh LocalRelation per call — q148 audits it, q163 traverses it.
-  *
-  * Correctness is untouched: NN-Descent is deterministic (every tie
-  * totally ordered), so the cached build is bit-identical to a per-query
-  * rebuild, and the oracles replay the same closed form either way.
-  * Nothing in ops/ knows about this memo — a production pipeline calls
-  * [[GraphIndex.build]] directly on durable storage. */
+  * Correctness is untouched: every memoized build is deterministic
+  * (ties totally ordered), so the cached artifact is bit-identical to a
+  * per-query rebuild, and the oracles replay the same closed form
+  * either way. Nothing in ops/ knows about this memo — production
+  * pipelines call the build APIs directly on durable storage. */
 private[queries] object GraphFixtures {
 
   private val indexCache = new ConcurrentHashMap[String, String]()
@@ -40,7 +32,26 @@ private[queries] object GraphFixtures {
   private def canon(dir: String): String =
     new java.io.File(dir).getCanonicalPath
 
-  /** The family's base split — embeddings NOT reserved as ingest
+  /** The memoized artifact for `key`, built on first use into a
+    * session-scoped scratch dir (racing first calls serialize on
+    * computeIfAbsent). Returns the shared READ-ONLY path. */
+  def sharedDir(key: String)(build: String => Unit): String =
+    indexCache.computeIfAbsent(key, _ => {
+      val d = Scratch.tempDir("graft_idxfix_")
+      build(s"$d/idx")
+      registerCleanup(d)
+      s"$d/idx"
+    })
+
+  /** [[sharedDir]] + file-clone into `destPath` — for gates that MUTATE
+    * the index (append/tombstone/compact). */
+  def cloneInto(key: String, destPath: String)(build: String => Unit): Unit =
+    copyTree(new java.io.File(sharedDir(key)(build)),
+      new java.io.File(destPath))
+
+  // ----------------------------------------------------- graph family
+
+  /** The graph family's base split — embeddings NOT reserved as ingest
     * batches (q165–q172's vec_id % 4 <> 0 contract). */
   private def baseEmb(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -48,21 +59,11 @@ private[queries] object GraphFixtures {
     emb.where(pmod(col("vec_id"), lit(4)) =!= 0)
   }
 
-  /** Clone the (memoized) persisted base index into `destPath` — the
-    * caller owns the copy and may append/tombstone/compact it freely.
-    * First caller per (dir, k, maxDeg) pays the NN-Descent build;
-    * ConcurrentHashMap.computeIfAbsent serializes racing first calls. */
+  /** Clone the (memoized) persisted base graph index into `destPath`. */
   def baseIndexInto(spark: SparkSession, dir: String, destPath: String,
-      k: Int, maxDeg: Int): Unit = {
-    val key = s"${canon(dir)}|k=$k|maxDeg=$maxDeg"
-    val src = indexCache.computeIfAbsent(key, _ => {
-      val d = Scratch.tempDir("graft_basegraph_")
-      GraphIndex.build(baseEmb(spark, dir), s"$d/g", k = k, maxDeg = maxDeg)
-      registerCleanup(d)
-      s"$d/g"
-    })
-    copyTree(new java.io.File(src), new java.io.File(destPath))
-  }
+      k: Int, maxDeg: Int): Unit =
+    cloneInto(s"graph|${canon(dir)}|k=$k|maxDeg=$maxDeg", destPath)(p =>
+      GraphIndex.build(baseEmb(spark, dir), p, k = k, maxDeg = maxDeg))
 
   /** The full-set two-round NN-Descent edge list (k = 4) — q148's build
     * and q163's traversal substrate. Memoized as collected rows (n·k by
@@ -85,6 +86,25 @@ private[queries] object GraphFixtures {
     edgeCache.putIfAbsent(key, (g.schema, rows))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), g.schema)
   }
+
+  // ------------------------------------------------------ bm25 family
+
+  /** Clone the (memoized) BM25 inverted index over the doc_id % 4 <> 0
+    * base split into `destPath` (q174/q175/q176's shared build). */
+  def bm25BaseInto(spark: SparkSession, dir: String, destPath: String): Unit =
+    cloneInto(s"bm25base|${canon(dir)}", destPath) { p =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      InvertedIndex.build(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), p)
+    }
+
+  /** The memoized FULL-corpus BM25 index (q173 probes it read-only). */
+  def bm25FullDir(spark: SparkSession, dir: String): String =
+    sharedDir(s"bm25full|${canon(dir)}") { p =>
+      InvertedIndex.build(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
+    }
+
+  // ------------------------------------------------------------ util
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
