@@ -852,6 +852,30 @@ object Multimodal {
     }
   }
 
+  /** One parsed ADTS stream as a row ([[AdtsCodec]]). */
+  case class AdtsMetaRow(doc_id: Long, n_frames: Int, profile: Int,
+      sample_rate: Int, channels: Int, audio_bytes: Long, duration_ms: Long)
+
+  /** Batched REAL ADTS transport walk: every payload's frame headers
+    * through [[AdtsCodec.parse]] — the raw-AAC ingest surface next to
+    * MP3's ([[mp3MetaBatched]]); framing is byte-exact, the AAC raw
+    * data block stays the documented entropy-codec seam. Same batched
+    * mapPartitions shape: audio blobs never cross a shuffle. */
+  def adtsMetaBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[AdtsMetaRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(AdtsCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: adtsMetaBatched expects an AAC mime, " +
+            s"got ${r.mime}")
+        val m = AdtsCodec.parse(r.doc_id, r.content)
+        AdtsMetaRow(r.doc_id, m.nFrames, m.profile, m.sampleRate,
+          m.channels, m.audioBytes, m.durationMs)
+      })
+    }
+  }
+
   /** One WebVTT cue as a row ([[VttCodec]]). */
   case class VttCueRow(doc_id: Long, cue_idx: Int, start_ms: Long,
       end_ms: Long, cue_text: String)

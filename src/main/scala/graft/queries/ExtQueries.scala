@@ -155,7 +155,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q174_bm25_index_incremental", q174, Some(q174Sql)),
     Decl("q175_stream_bm25_ingest", q175, Some(q175Sql)),
     Decl("q176_bm25_takedown_compact", q176, Some(q176Sql)),
-    Decl("q177_matryoshka_ivf", q177, Some(q177Sql)))
+    Decl("q177_matryoshka_ivf", q177, Some(q177Sql)),
+    Decl("q178_adts_frame_walk", q178, Some(q178Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

@@ -1,0 +1,56 @@
+package graft
+
+import graft.multimodal.AdtsCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADTS transport walk: header roundtrip, tiling invariant, duration
+  * arithmetic, and loud refusal of malformed streams. */
+class AdtsCodecSpec extends AnyFunSuite {
+
+  test("encode/parse roundtrip with varying frame sizes") {
+    val bytes = AdtsCodec.encode(sampleRateIdx = 4, channels = 2,
+      nFrames = 5, payloadLen = i => 20 + i * 3)
+    val m = AdtsCodec.parse(1L, bytes)
+    assert(m.nFrames == 5)
+    assert(m.profile == 1) // AAC-LC
+    assert(m.sampleRate == 44100)
+    assert(m.channels == 2)
+    assert(m.audioBytes == (0 until 5).map(20 + _ * 3).sum)
+    // tiling invariant: payload + headers == stream length
+    assert(m.audioBytes + 5 * AdtsCodec.HeaderBytes == bytes.length)
+    assert(m.durationMs == 5L * 1024 * 1000 / 44100)
+  }
+
+  test("every published sampling frequency index decodes") {
+    for (s <- 0 to 12) {
+      val m = AdtsCodec.parse(2L,
+        AdtsCodec.encode(s, channels = 1, nFrames = 1, payloadLen = _ => 9))
+      assert(m.sampleRate == AdtsCodec.SampleRateHz(s))
+    }
+  }
+
+  test("malformed streams fail loudly with the doc id") {
+    def bad(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](AdtsCodec.parse(9L, bytes)).getMessage
+    val ok = AdtsCodec.encode(4, 2, 2, _ => 10)
+    assert(bad(Array[Byte](0x12, 0x34)).contains("9"))
+    assert(bad(ok.take(ok.length - 3)).contains("overruns"))
+    val badSync = ok.clone(); badSync(0) = 0x00
+    assert(bad(badSync).contains("sync"))
+    val crc = ok.clone(); crc(1) = (crc(1) & ~0x01).toByte
+    assert(bad(crc).contains("CRC"))
+    val layer = ok.clone(); layer(1) = (layer(1) | 0x02).toByte
+    assert(bad(layer).contains("layer"))
+    val sfi = ok.clone(); sfi(2) = ((sfi(2) & ~0x3c) | (13 << 2)).toByte
+    assert(bad(sfi).contains("reserved sampling"))
+    assert(bad(Array.empty[Byte]).contains("empty"))
+  }
+
+  test("mid-stream parameter changes are rejected") {
+    val a = AdtsCodec.encode(4, 2, 1, _ => 10)
+    val b = AdtsCodec.encode(5, 2, 1, _ => 10)
+    val msg = intercept[IllegalArgumentException](
+      AdtsCodec.parse(3L, a ++ b)).getMessage
+    assert(msg.contains("parameter change"))
+  }
+}
