@@ -311,11 +311,16 @@ object IvfIndex {
     * batch data) cannot resurrect a taken-down vector. */
   def compactCorpus(spark: SparkSession, path: String, files: Int = 4,
       keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
-    val staged = s"$path.compacting"
-    Layout.healSwap(spark, staged, path)
     val keepGen = keepBatch.map(b => s"b$b")
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "vec_id")
+    // VERBATIM in-stream fold with nothing to fold — skipped, the
+    // LshIndex.compact rule (the offline form never skips)
+    if (keepGen.isDefined && tombs.isEmpty &&
+        GenTable.genNames(spark, path, nested = false)
+          .subsetOf(Set("base") ++ keepGen)) return
+    val staged = s"$path.compacting"
+    Layout.healSwap(spark, staged, path)
     val raw = spark.read.parquet(path)
       .select(col("vec_id"), col("embedding"), col("cell"), col("gen"))
     // Tombstoned ids present in the kept generation, collected before

@@ -295,9 +295,16 @@ object PqIndex {
     * carries no text/floats, so a rewrite moves 4 ints per vector. */
   def compact(spark: SparkSession, path: String, files: Int = 4,
       keepBatch: Option[Long] = None): Unit = IndexLock.withWriter(path) {
+    val keepGen = keepBatch.map(b => s"b$b")
+    // In-stream fold with no delta generation besides the kept batch:
+    // base is already clustered (build and every prior fold wrote it
+    // clustered), so the rewrite would be byte-identical — skipped, the
+    // LshIndex.compact rule (the offline form never skips)
+    if (keepGen.isDefined &&
+        GenTable.genNames(spark, path, nested = false)
+          .subsetOf(Set("base") ++ keepGen)) return
     val staged = s"$path.compacting"
     Layout.healSwap(spark, staged, path)
-    val keepGen = keepBatch.map(b => s"b$b")
     val all = spark.read.parquet(path)
     val dataCols = all.columns.filter(_ != "gen").map(col)
     // the compaction is WHERE clustering happens (the LSM pattern):

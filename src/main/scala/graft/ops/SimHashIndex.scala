@@ -245,6 +245,11 @@ object SimHashIndex {
     val tablePath = bandsPath(path)
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
+    // VERBATIM in-stream fold with nothing to fold — skipped, the
+    // LshIndex.compact rule (the offline form never skips)
+    if (keepGen.isDefined && tombs.isEmpty &&
+        GenTable.genNames(spark, tablePath, nested = true)
+          .subsetOf(Set("base") ++ keepGen)) return
     val all = spark.read.parquet(tablePath)
     val retained: Seq[Long] = (keepGen, tombs) match {
       case (Some(g), Some(t)) =>
