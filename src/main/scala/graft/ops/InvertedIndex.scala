@@ -67,6 +67,15 @@ object InvertedIndex {
 
   case class Config(indexPartitions: Int = 32, postFiles: Int = 8)
 
+  /** Default impact-ordering truncation for the INGEST probe (see
+    * [[probe]]'s `maxPostings`): each query term scores against its
+    * top-256 postings by (tf desc, doc_id). Bounds a doc-batch probe's
+    * scoring-join volume at |batch|·queryTerms·256 — corpus-independent
+    * — where the untruncated join degenerates to |batch|·df per term
+    * (quadratic in corpus for common terms once |batch| ∝ corpus; the
+    * r16 sf1 sweep measured exactly that blowup). */
+  val DefaultMaxPostings = 256
+
   def postingsPath(path: String): String = s"$path/postings"
   def statsPath(path: String): String = s"$path/docstats"
   private def tombsPath(path: String) = s"$path/tombstones"
@@ -155,10 +164,23 @@ object InvertedIndex {
     * pruned scan; N/avgdl from the generation stats rows. Tombstoned
     * docs never appear in results (they still count toward df/N/avgdl —
     * see the object scaladoc for why that is the Lucene contract).
-    * `excludeGen` hides one generation (the retry contract). */
+    * `excludeGen` hides one generation (the retry contract).
+    *
+    * `maxPostings = Some(m)` applies IMPACT-ORDERED truncation (the
+    * public Anh–Moffat impact-ordering / Lucene max-score family): each
+    * term SCORES against only its top-`m` postings by (tf desc,
+    * doc_id), while idf keeps the TRUE df — so a common term's
+    * contribution is both honest (its idf is tiny) and bounded (its
+    * join fan-out is ≤ m rows instead of ≤ corpus). Mandatory for
+    * probes whose query count scales with the corpus (the ingest path
+    * defaults to [[DefaultMaxPostings]]); a production index
+    * materializes the impact order at build (postings stored
+    * tf-descending) — the probe-side window is the gate-scale stand-in,
+    * one bounded per-term reduce over the already-pruned scan. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, excludeGen: Option[String] = None,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      maxPostings: Option[Int] = None): DataFrame = {
     val layout = adoptMeta(spark, path, cfg)
     val qcols = queries.select(col("query_id"), col("term"))
     // touched pk values + the term semi-join list from ONE bounded
@@ -195,7 +217,15 @@ object InvertedIndex {
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tfn = (col("tf") * 2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val scored = post.join(broadcast(q), "term")
+    // impact-ordered truncation: df above stays the TRUE df, only the
+    // SCORED postings cut to the per-term top-m (see the scaladoc)
+    val scoredPost = maxPostings.fold(post) { m =>
+      val wImp = Window.partitionBy(col("term"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      post.withColumn("prn", row_number().over(wImp))
+        .where(col("prn") <= m).drop("prn")
+    }
+    val scored = scoredPost.join(broadcast(q), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("s", idf * tfn)
@@ -222,9 +252,10 @@ object InvertedIndex {
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
       batchId: Option[Long], k: Int = 3, queryTerms: Int = 2,
       cfg: Config = Config(), id: String = "doc_id",
-      text: String = "text"): DataFrame =
+      text: String = "text",
+      maxPostings: Option[Int] = Some(DefaultMaxPostings)): DataFrame =
     probeAppendCore(spark, path, batch, batchId, k, queryTerms, cfg, id,
-      text, log => Caches.localize(log, maxRows = 1 << 20)
+      text, maxPostings, log => Caches.localize(log, maxRows = 1 << 20)
         .getOrElse(log.localCheckpoint()))
 
   /** [[probeAndAppend]] with the match log materialized DIRECTLY into a
@@ -234,9 +265,10 @@ object InvertedIndex {
   def probeAndAppendToLog(spark: SparkSession, path: String,
       batch: DataFrame, matchesDir: String, batchId: Long, k: Int = 3,
       queryTerms: Int = 2, cfg: Config = Config(), id: String = "doc_id",
-      text: String = "text"): Unit = {
+      text: String = "text",
+      maxPostings: Option[Int] = Some(DefaultMaxPostings)): Unit = {
     probeAppendCore(spark, path, batch, Some(batchId), k, queryTerms, cfg,
-      id, text, { log =>
+      id, text, maxPostings, { log =>
         log.withColumn("batch_id", lit(batchId))
           .write.partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
@@ -248,7 +280,7 @@ object InvertedIndex {
 
   private def probeAppendCore(spark: SparkSession, path: String,
       batch: DataFrame, batchId: Option[Long], k: Int, queryTerms: Int,
-      cfg: Config, id: String, text: String,
+      cfg: Config, id: String, text: String, maxPostings: Option[Int],
       materialize: DataFrame => DataFrame): DataFrame =
     IndexLock.withWriter(path) {
       val layout = adoptMeta(spark, path, cfg)
@@ -260,7 +292,8 @@ object InvertedIndex {
           .where(col("qrn") <= queryTerms)
           .select(col("doc_id").as("query_id"), col("term"))
         val ann = probe(spark, path, q, k,
-          excludeGen = batchId.map(b => genOf(Some(b))), cfg = layout)
+          excludeGen = batchId.map(b => genOf(Some(b))), cfg = layout,
+          maxPostings = maxPostings)
         val result = materialize(
           ann.select(col("query_id").as("probe_id"), col("rn"),
             col("doc_id").as("match_id"), round(col("score"), 4).as("score_r")))

@@ -27,24 +27,37 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
     * (query_id, doc_id, score) — the relational replay of
     * [[InvertedIndex.probe]]: tf with doc length, df from the tf table,
     * (N, avgdl) corpus stats, the exact q130 idf·tfn product, summed
-    * per (query, doc). `tf` is MATERIALIZED (df and the scoring join
+    * per (query, doc). `cap = Some(m)` replays the probe's
+    * impact-ordered truncation: the SCORING join reads each term's
+    * top-m postings by (tf desc, doc_id) while df/idf keep the true
+    * document frequency — bit-for-bit the [[InvertedIndex.probe]]
+    * `maxPostings` rule. `tf` is MATERIALIZED (df and the scoring join
     * both read it — DuckDB inlines CTEs, the q165 precedent). */
-  private def bm25Ctes(pfx: String, docsCte: String, qCte: String): String =
+  private def bm25Ctes(pfx: String, docsCte: String, qCte: String,
+      cap: Option[Int] = None): String = {
+    val scoredSrc = cap.fold(s"${pfx}tf")(_ => s"${pfx}icap")
+    val capCte = cap.fold("")(m =>
+      s"""
+         |${pfx}icap AS (SELECT doc_id, term, tf, dl FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY term
+         |         ORDER BY tf DESC, doc_id) AS prn FROM ${pfx}tf)
+         |      WHERE prn <= $m),""".stripMargin)
     s"""${pfx}tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |        unnest(string_split(text, ' ')) AS term FROM $docsCte),
        |${pfx}tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
        |       FROM ${pfx}tok GROUP BY 1, 2),
-       |${pfx}df AS (SELECT term, count(*) AS df FROM ${pfx}tf GROUP BY 1),
+       |${pfx}df AS (SELECT term, count(*) AS df FROM ${pfx}tf GROUP BY 1),$capCte
        |${pfx}st AS (SELECT count(*) AS n,
        |        avg(len(string_split(text, ' '))) AS avgdl FROM $docsCte),
        |${pfx}sc AS (SELECT q.query_id, t.doc_id,
        |        ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
        |        ((t.tf * 2.2) /
        |         (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS sv
-       |   FROM $qCte q JOIN ${pfx}tf t ON t.term = q.term
+       |   FROM $qCte q JOIN $scoredSrc t ON t.term = q.term
        |        JOIN ${pfx}df d ON d.term = q.term CROSS JOIN ${pfx}st s),
        |${pfx}agg AS (SELECT query_id, doc_id, sum(sv) AS score
        |       FROM ${pfx}sc GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The per-batch-doc distilled query: top-2 terms by (tf desc, term) —
     * ends in `$out` (query_id, term). */
@@ -128,7 +141,7 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
        |        WHERE doc_id % 4 <> 0),
        |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
        |${distillCtes("i", "bat", "q")},
-       |${bm25Ctes("i", "base", "q")}
+       |${bm25Ctes("i", "base", "q", cap = Some(InvertedIndex.DefaultMaxPostings))}
        |${topKSel("i")}
        |ORDER BY probe_id, rn""".stripMargin
 
@@ -188,11 +201,11 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
        |b0 AS (SELECT doc_id, text FROM s WHERE b = 0),
        |b1 AS (SELECT doc_id, text FROM s WHERE b = 1),
        |${distillCtes("x", "b0", "q0")},
-       |${bm25Ctes("x", "base", "q0")},
+       |${bm25Ctes("x", "base", "q0", cap = Some(InvertedIndex.DefaultMaxPostings))},
        |d1 AS MATERIALIZED (SELECT doc_id, text FROM base
        |       UNION ALL SELECT doc_id, text FROM b0),
        |${distillCtes("y", "b1", "q1")},
-       |${bm25Ctes("y", "d1", "q1")}
+       |${bm25Ctes("y", "d1", "q1", cap = Some(InvertedIndex.DefaultMaxPostings))}
        |SELECT * FROM (${topKSel("x")} UNION ALL ${topKSel("y")})
        |ORDER BY probe_id, rn""".stripMargin
 

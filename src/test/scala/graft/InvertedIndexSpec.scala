@@ -149,6 +149,26 @@ class InvertedIndexSpec extends SparkSpecBase {
     assert(gens == Set("base", "b1"))
   }
 
+  test("impact truncation scores only each term's top-m postings; df stays true") {
+    val path = tmpDir("bm25_impact")
+    val docs = Seq(
+      (0L, "common common common common"),
+      (1L, "common common common pad"),
+      (2L, "common common pad pad"),
+      (3L, "common pad pad pad")).toDF("doc_id", "text")
+    InvertedIndex.build(docs, path)
+    val q = Seq((0L, "common")).toDF("query_id", "term")
+    val full = probed(path, q, 4)
+    assert(full.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    val capped = InvertedIndex.probe(spark, path, q, 4, maxPostings = Some(2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+    // only the top-2 postings by tf survive the scoring join…
+    assert(capped.map(_._3).toSet == Set(0L, 1L))
+    // …and their scores are UNCHANGED (idf kept the true df = 4)
+    assert(capped == full.filter(t => t._3 == 0L || t._3 == 1L))
+  }
+
   test("probing a non-index path fails loudly") {
     val path = tmpDir("bm25_nometa")
     val e = intercept[IllegalStateException] {
