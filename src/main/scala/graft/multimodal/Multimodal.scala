@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * BGR24 DIB and COMPRESSED Motion-JPEG (each MJPG chunk is a
   * standalone JPEG the JDK's `javax.imageio` decodes). MP4/ISO-BMFF
   * containers get REAL per-track METADATA decode too ([[Mp4Codec]]'s
-  * box-tree walker; mdat sample bytes never read). What remains
-  * STUBBED: SAMPLE decode for inter-frame codecs (H.264 etc.) and the
+  * box-tree walker; mdat sample bytes never read). Compressed-stream
+  * TRANSPORT layers are real too: raw AAC's ADTS frame walk
+  * ([[AdtsCodec]]) and H.264's Annex-B NAL walk with bit-exact
+  * exp-Golomb SPS parse ([[H264Codec]]) — what remains STUBBED is the
+  * entropy-coded payload itself (AAC raw data blocks, H.264 slice
+  * data — SAMPLE decode for inter-frame codecs) and the
   * external embedding-model call for text/unknown payloads — those
   * genuinely need libraries this container doesn't have — behind
   * [[StubCodec]]-style deterministic fakes; [[decodeBatched]]
@@ -872,6 +876,78 @@ object Multimodal {
         val m = AdtsCodec.parse(r.doc_id, r.content)
         AdtsMetaRow(r.doc_id, m.nFrames, m.profile, m.sampleRate,
           m.channels, m.audioBytes, m.durationMs)
+      })
+    }
+  }
+
+  /** One parsed H.264 Annex-B stream as a row ([[H264Codec]]). */
+  case class H264MetaRow(doc_id: Long, width: Int, height: Int,
+      profile: Int, level: Int, max_frame_num: Int, chroma_format: Int,
+      n_idr: Int, n_nonidr: Int, slice_rbsp_bytes: Long,
+      slice_rbsp_sum: Long)
+
+  /** Batched REAL H.264 NAL transport walk: every payload's Annex-B
+    * start codes, NAL headers, emulation-prevention layer and
+    * exp-Golomb SPS through [[H264Codec.parse]] — the compressed-video
+    * ingest surface next to raw AAC's ([[adtsMetaBatched]]); the NAL
+    * framing and SPS geometry are bit-exact, the slice entropy data
+    * stays the documented codec seam. Same batched mapPartitions
+    * shape: video blobs never cross a shuffle. */
+  def h264MetaBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[H264MetaRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(H264Codec.Mimes(r.mime),
+          s"doc ${r.doc_id}: h264MetaBatched expects an H.264 mime, " +
+            s"got ${r.mime}")
+        val m = H264Codec.parse(r.doc_id, r.content)
+        H264MetaRow(r.doc_id, m.width, m.height, m.profile, m.level,
+          m.maxFrameNum, m.chromaFormat, m.nIdr, m.nNonIdr,
+          m.sliceRbspBytes, m.sliceRbspSum)
+      })
+    }
+  }
+
+  /** One demux→reassemble→NAL-walk chain result as a row: transport
+    * facts from [[TsCodec]], stream facts from [[H264Codec]]. */
+  case class TsH264Row(doc_id: Long, n_ts_packets: Int,
+      payload_bytes: Long, width: Int, height: Int, profile: Int,
+      level: Int, max_frame_num: Int, n_idr: Int, n_nonidr: Int,
+      slice_rbsp_bytes: Long, slice_rbsp_sum: Long)
+
+  /** Batched REAL broadcast-video ingest chain: demux the transport
+    * stream ([[TsCodec.parse]] — PSI + packet stats), locate the H.264
+    * PID from the PMT's stream_type registry (0x1B), reassemble its
+    * payload under strict continuity, strip the PES header, and walk
+    * the recovered Annex-B elementary stream ([[H264Codec.parse]]) —
+    * the full path an HLS segment takes from storage to per-stream
+    * metadata. Every stage validates; corrupt transport fails loudly
+    * with the doc id. Same batched mapPartitions shape: segment blobs
+    * never cross a shuffle. */
+  def tsH264ChainBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[TsH264Row] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        require(TsCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: tsH264ChainBatched expects an MPEG-TS " +
+            s"mime, got ${r.mime}")
+        val d = TsCodec.parse(r.doc_id, r.content)
+        val h264 = d.streams.filter(_.streamType == 0x1b)
+        require(h264.size == 1,
+          s"doc ${r.doc_id}: expected exactly one H.264 PID in the " +
+            s"PMT, found ${h264.size}")
+        val st = h264.head
+        require(st.ccErrors == 0,
+          s"doc ${r.doc_id}: ${st.ccErrors} continuity errors on the " +
+            "video PID — refusing to parse a torn stream")
+        val es = TsCodec.pesUnwrap(r.doc_id,
+          TsCodec.reassemble(r.doc_id, r.content, st.pid))
+        val m = H264Codec.parse(r.doc_id, es)
+        TsH264Row(r.doc_id, d.nPackets, st.payloadBytes, m.width,
+          m.height, m.profile, m.level, m.maxFrameNum, m.nIdr,
+          m.nNonIdr, m.sliceRbspBytes, m.sliceRbspSum)
       })
     }
   }

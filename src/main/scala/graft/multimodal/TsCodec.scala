@@ -17,9 +17,18 @@ package graft.multimodal
   *    validated against their CRC32/MPEG checksums (poly 0x04C11DB7,
   *    init 0xFFFFFFFF, unreflected — table below).
   *
-  * The elementary-stream PAYLOAD bytes (H.264 NALs, AAC ADTS frames)
-  * are counted, never decoded — that is the same documented
-  * inter-frame/entropy-codec seam as [[Multimodal]]'s H.264/AAC stubs.
+  *  - the PES layer + payload path: [[muxPayload]] tiles one real PES
+  *    packet across 184-byte bodies (final packet padded with
+  *    adaptation-field stuffing, the real muxer discipline, §2.4.3.5),
+  *    and [[reassemble]]/[[pesUnwrap]] invert it byte-exactly under
+  *    strict continuity — the demux side of an HLS/broadcast video
+  *    ingest, chained into [[H264Codec]]'s NAL walk by q180.
+  *
+  * [[parse]]'s stats walk counts elementary-stream payload bytes
+  * without decoding them; what stays opaque end-to-end is the slice /
+  * raw-data-block ENTROPY payload inside the reassembled elementary
+  * stream — the same documented codec seam as [[Multimodal]]'s
+  * H.264/AAC sample-decode stubs.
   * Like [[AviCodec]]/[[Mp4Codec]]/[[Y4mCodec]], malformed bytes throw
   * `IllegalArgumentException` naming the doc id (never hang, never
   * return garbage): every adaptation length is bounds-checked, every
@@ -81,6 +90,66 @@ object TsCodec {
 
   // ------------------------------------------------------------- writer
 
+  /** PSI section bytes (table header through CRC), wrapped into one
+    * packet: pointer_field 0x00, section, 0xFF stuffing. */
+  private def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] = {
+    val p = new Array[Byte](PacketSize)
+    java.util.Arrays.fill(p, 0xff.toByte)
+    p(0) = SyncByte.toByte
+    p(1) = (0x40 | (pid >> 8)).toByte // PUSI set
+    p(2) = (pid & 0xff).toByte
+    p(3) = 0x10 // payload only, CC 0
+    p(4) = 0 // pointer_field
+    require(5 + section.length <= PacketSize,
+      s"PSI section for PID $pid does not fit one packet")
+    System.arraycopy(section, 0, p, 5, section.length)
+    p
+  }
+
+  private def section(tableId: Int, tableIdExt: Int,
+      data: Array[Byte]): Array[Byte] = {
+    // section_length counts from right after its own field to the end
+    // of the CRC: 5 fixed header bytes + data + 4 CRC.
+    val secLen = 5 + data.length + 4
+    val s = new Array[Byte](3 + secLen)
+    s(0) = tableId.toByte
+    s(1) = (0xb0 | (secLen >> 8)).toByte // syntax=1, reserved bits set
+    s(2) = (secLen & 0xff).toByte
+    s(3) = (tableIdExt >> 8).toByte
+    s(4) = (tableIdExt & 0xff).toByte
+    s(5) = 0xc1.toByte // version 0, current_next=1
+    s(6) = 0 // section_number
+    s(7) = 0 // last_section_number
+    System.arraycopy(data, 0, s, 8, data.length)
+    val crc = crc32Mpeg(s, 0, 8 + data.length)
+    s(8 + data.length) = (crc >>> 24).toByte
+    s(9 + data.length) = ((crc >> 16) & 0xff).toByte
+    s(10 + data.length) = ((crc >> 8) & 0xff).toByte
+    s(11 + data.length) = (crc & 0xff).toByte
+    s
+  }
+
+  /** PAT packet: one program → PMT PID. */
+  private def patPacket(programNumber: Int, pmtPid: Int): Array[Byte] =
+    psiPacket(0, section(0x00, 1, Array(
+      (programNumber >> 8).toByte, (programNumber & 0xff).toByte,
+      (0xe0 | (pmtPid >> 8)).toByte, (pmtPid & 0xff).toByte)))
+
+  /** PMT packet: PCR PID, empty program_info, one loop entry per
+    * (pid, streamType). */
+  private def pmtPacket(programNumber: Int, pmtPid: Int, pcrPid: Int,
+      streams: Seq[(Int, Int)]): Array[Byte] = {
+    val pmtData = new java.io.ByteArrayOutputStream()
+    pmtData.write(0xe0 | (pcrPid >> 8)); pmtData.write(pcrPid & 0xff)
+    pmtData.write(0xf0); pmtData.write(0) // program_info_length 0
+    streams.foreach { case (pid, st) =>
+      pmtData.write(st)
+      pmtData.write(0xe0 | (pid >> 8)); pmtData.write(pid & 0xff)
+      pmtData.write(0xf0); pmtData.write(0) // ES_info_length 0
+    }
+    psiPacket(pmtPid, section(0x02, programNumber, pmtData.toByteArray))
+  }
+
   /** Write one single-program transport stream: a PAT packet (PID 0),
     * a PMT packet, then each stream's packets in spec order with
     * continuity counters 0,1,2,… mod 16. Payload fill bytes are a
@@ -99,61 +168,9 @@ object TsCodec {
     }
     val out = new java.io.ByteArrayOutputStream(
       PacketSize * (2 + streams.map(_.nPackets).sum))
-
-    // PSI section bytes (table header through CRC), wrapped into one
-    // packet each: pointer_field 0x00, section, 0xFF stuffing.
-    def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] = {
-      val p = new Array[Byte](PacketSize)
-      java.util.Arrays.fill(p, 0xff.toByte)
-      p(0) = SyncByte.toByte
-      p(1) = (0x40 | (pid >> 8)).toByte // PUSI set
-      p(2) = (pid & 0xff).toByte
-      p(3) = 0x10 // payload only, CC 0
-      p(4) = 0 // pointer_field
-      require(5 + section.length <= PacketSize,
-        s"PSI section for PID $pid does not fit one packet")
-      System.arraycopy(section, 0, p, 5, section.length)
-      p
-    }
-
-    def section(tableId: Int, tableIdExt: Int, data: Array[Byte]): Array[Byte] = {
-      // section_length counts from right after its own field to the end
-      // of the CRC: 5 fixed header bytes + data + 4 CRC.
-      val secLen = 5 + data.length + 4
-      val s = new Array[Byte](3 + secLen)
-      s(0) = tableId.toByte
-      s(1) = (0xb0 | (secLen >> 8)).toByte // syntax=1, reserved bits set
-      s(2) = (secLen & 0xff).toByte
-      s(3) = (tableIdExt >> 8).toByte
-      s(4) = (tableIdExt & 0xff).toByte
-      s(5) = 0xc1.toByte // version 0, current_next=1
-      s(6) = 0 // section_number
-      s(7) = 0 // last_section_number
-      System.arraycopy(data, 0, s, 8, data.length)
-      val crc = crc32Mpeg(s, 0, 8 + data.length)
-      s(8 + data.length) = (crc >>> 24).toByte
-      s(9 + data.length) = ((crc >> 16) & 0xff).toByte
-      s(10 + data.length) = ((crc >> 8) & 0xff).toByte
-      s(11 + data.length) = (crc & 0xff).toByte
-      s
-    }
-
-    // PAT: one program → PMT PID.
-    out.write(psiPacket(0, section(0x00, 1, Array(
-      (programNumber >> 8).toByte, (programNumber & 0xff).toByte,
-      (0xe0 | (pmtPid >> 8)).toByte, (pmtPid & 0xff).toByte))))
-
-    // PMT: PCR PID, empty program_info, one loop entry per stream.
-    val pmtData = new java.io.ByteArrayOutputStream()
-    pmtData.write(0xe0 | (pcrPid >> 8)); pmtData.write(pcrPid & 0xff)
-    pmtData.write(0xf0); pmtData.write(0) // program_info_length 0
-    streams.foreach { s =>
-      pmtData.write(s.streamType)
-      pmtData.write(0xe0 | (s.pid >> 8)); pmtData.write(s.pid & 0xff)
-      pmtData.write(0xf0); pmtData.write(0) // ES_info_length 0
-    }
-    out.write(psiPacket(pmtPid, section(0x02, programNumber,
-      pmtData.toByteArray)))
+    out.write(patPacket(programNumber, pmtPid))
+    out.write(pmtPacket(programNumber, pmtPid, pcrPid,
+      streams.map(s => (s.pid, s.streamType))))
 
     // Elementary-stream packets.
     streams.foreach { s =>
@@ -183,6 +200,155 @@ object TsCodec {
         j += 1
       }
     }
+    out.toByteArray
+  }
+
+  // ----------------------------------------------- PES + real-payload mux
+
+  val PesHeaderBytes = 9
+
+  /** Wrap an elementary stream in one PES packet (§2.4.3.6-7): start
+    * code prefix, stream_id, PES_packet_length 0 (the unbounded form
+    * every broadcast video PES uses — video frames routinely exceed
+    * the 16-bit length field), the '10' marker byte, no optional
+    * fields. */
+  def pesWrap(streamId: Int, es: Array[Byte]): Array[Byte] = {
+    require(streamId >= 0xc0 && streamId <= 0xef,
+      s"stream_id 0x${streamId.toHexString} outside the audio/video range")
+    require(es.nonEmpty, "empty elementary stream")
+    val out = new Array[Byte](PesHeaderBytes + es.length)
+    out(2) = 1 // 00 00 01 start code prefix
+    out(3) = streamId.toByte
+    // bytes 4-5: PES_packet_length 0 = unbounded
+    out(6) = 0x80.toByte // '10' marker, nothing scrambled/prioritized
+    // byte 7: no PTS/DTS/ESCR/rate/... flags; byte 8: header_data_length 0
+    System.arraycopy(es, 0, out, PesHeaderBytes, es.length)
+    out
+  }
+
+  /** Validate + strip one PES header, returning the elementary stream.
+    * Bounded-length PES (nonzero PES_packet_length) must match the
+    * buffer exactly; optional header fields are skipped via
+    * PES_header_data_length (parsed, not assumed zero). */
+  def pesUnwrap(docId: Long, pes: Array[Byte]): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: $msg")
+    if (pes.length < PesHeaderBytes) fail("PES shorter than its header")
+    if (pes(0) != 0 || pes(1) != 0 || pes(2) != 1)
+      fail("bad PES start code prefix")
+    val sid = pes(3) & 0xff
+    if (sid < 0xc0 || sid > 0xef)
+      fail(s"PES stream_id 0x${sid.toHexString} outside audio/video range")
+    val plen = ((pes(4) & 0xff) << 8) | (pes(5) & 0xff)
+    if (plen != 0 && plen != pes.length - 6)
+      fail(s"bounded PES length $plen does not match payload ${pes.length - 6}")
+    if ((pes(6) & 0xc0) != 0x80) fail("PES marker bits are not '10'")
+    val hdl = pes(8) & 0xff
+    if (PesHeaderBytes + hdl > pes.length)
+      fail("PES optional-header length overruns the packet")
+    java.util.Arrays.copyOfRange(pes, PesHeaderBytes + hdl, pes.length)
+  }
+
+  /** Mux ONE real payload (normally a PES packet) onto `pid`: PAT +
+    * PMT, then the payload tiled across 184-byte packet bodies with
+    * continuity counters 0,1,2,… — the final partial packet padded the
+    * way real muxers pad, with adaptation-field stuffing (§2.4.3.5),
+    * so the demuxed payload-byte count is EXACT, not rounded up. The
+    * first packet carries PUSI; [[reassemble]] + [[pesUnwrap]] invert
+    * this losslessly. */
+  def muxPayload(programNumber: Int, pmtPid: Int, pcrPid: Int, pid: Int,
+      streamType: Int, payload: Array[Byte]): Array[Byte] = {
+    require(pmtPid >= 0x0010 && pmtPid <= 0x1ffe, s"bad PMT PID $pmtPid")
+    require(pid >= 0x0020 && pid <= 0x1ffe && pid != pmtPid,
+      s"bad ES PID $pid")
+    require(payload.nonEmpty, "nothing to mux")
+    val nEs = (payload.length + 183) / 184
+    val out = new java.io.ByteArrayOutputStream(PacketSize * (2 + nEs))
+    out.write(patPacket(programNumber, pmtPid))
+    out.write(pmtPacket(programNumber, pmtPid, pcrPid,
+      Seq((pid, streamType))))
+    var off = 0
+    var cc = 0
+    while (off < payload.length) {
+      val remaining = payload.length - off
+      val p = new Array[Byte](PacketSize)
+      p(0) = SyncByte.toByte
+      p(1) = ((if (off == 0) 0x40 else 0x00) | (pid >> 8)).toByte
+      p(2) = (pid & 0xff).toByte
+      val take = if (remaining >= 184) {
+        p(3) = (0x10 | cc).toByte // payload only
+        System.arraycopy(payload, off, p, 4, 184)
+        184
+      } else {
+        // adaptation-field stuffing fills the gap: length byte, flags
+        // 0x00, then 0xFF stuffing — the payload keeps its exact size.
+        val aLen = 183 - remaining
+        p(3) = (0x30 | cc).toByte
+        p(4) = aLen.toByte
+        if (aLen >= 1) {
+          p(5) = 0 // adaptation flags: nothing signalled
+          java.util.Arrays.fill(p, 6, 5 + aLen, 0xff.toByte)
+        }
+        System.arraycopy(payload, off, p, 5 + aLen, remaining)
+        remaining
+      }
+      off += take
+      cc = (cc + 1) & 0xf
+      out.write(p)
+    }
+    out.toByteArray
+  }
+
+  /** Reassemble `pid`'s payload bytes from a transport stream: filter
+    * to the PID, enforce strict continuity (a dropped packet fails the
+    * chain loudly — silently concatenating around a gap would corrupt
+    * the elementary stream), strip adaptation fields, concatenate.
+    * Single-PES scope: the first payload packet must carry PUSI and no
+    * later one may. */
+  def reassemble(docId: Long, bytes: Array[Byte], pid: Int): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: $msg")
+    if (bytes.length == 0 || bytes.length % PacketSize != 0)
+      fail(s"TS length ${bytes.length} is not a multiple of 188")
+    val out = new java.io.ByteArrayOutputStream()
+    var lastCc = -1
+    var sawFirst = false
+    var k = 0
+    val n = bytes.length / PacketSize
+    while (k < n) {
+      val o = k * PacketSize
+      if ((bytes(o) & 0xff) != SyncByte)
+        fail(s"packet $k missing 0x47 sync byte")
+      val p = ((bytes(o + 1) & 0x1f) << 8) | (bytes(o + 2) & 0xff)
+      if (p == pid) {
+        val pusi = (bytes(o + 1) & 0x40) != 0
+        val afc = (bytes(o + 3) >> 4) & 0x3
+        val cc = bytes(o + 3) & 0xf
+        if (afc == 0) fail(s"packet $k has reserved AFC 00")
+        var body = o + 4
+        if ((afc & 0x2) != 0) {
+          val aLen = bytes(o + 4) & 0xff
+          if (aLen > (if (afc == 0x2) 183 else 182))
+            fail(s"packet $k adaptation length $aLen out of range")
+          body = o + 5 + aLen
+        }
+        if ((afc & 0x1) != 0) {
+          if (lastCc >= 0 && ((lastCc + 1) & 0xf) != cc)
+            fail(s"continuity break on PID $pid at packet $k — " +
+              "refusing to reassemble around lost packets")
+          lastCc = cc
+          if (!sawFirst) {
+            if (!pusi) fail(s"PID $pid payload starts without PUSI")
+            sawFirst = true
+          } else if (pusi)
+            fail(s"second PUSI on PID $pid at packet $k — multi-PES " +
+              "payloads are out of this reassembler's scope")
+          out.write(bytes, body, o + PacketSize - body)
+        }
+      }
+      k += 1
+    }
+    if (!sawFirst) fail(s"no payload packets for PID $pid")
     out.toByteArray
   }
 

@@ -156,7 +156,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q175_stream_bm25_ingest", q175, Some(q175Sql)),
     Decl("q176_bm25_takedown_compact", q176, Some(q176Sql)),
     Decl("q177_matryoshka_ivf", q177, Some(q177Sql)),
-    Decl("q178_adts_frame_walk", q178, Some(q178Sql)))
+    Decl("q178_adts_frame_walk", q178, Some(q178Sql)),
+    Decl("q179_h264_nal_walk", q179, Some(q179Sql)),
+    Decl("q180_ts_h264_chain", q180, Some(q180Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

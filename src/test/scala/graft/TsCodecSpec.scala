@@ -85,4 +85,99 @@ class TsCodecSpec extends SparkSpecBase {
     assert(rows(1).pid == 301 && rows(1).stream_type == 0x0f &&
       rows(1).payload_bytes == 2L * 184 && rows(1).cc_ok)
   }
+
+  // ------------------------- PES + real-payload mux + reassembly chain
+
+  test("muxPayload/reassemble/pesUnwrap invert losslessly at every " +
+      "stuffing boundary") {
+    // payload sizes straddling the 184-byte tiling: exact multiple,
+    // one short (adaptation length 0 — just the length byte), one long,
+    // and a sub-packet payload (heavy stuffing).
+    for (size <- Seq(368, 367, 369, 50, 184, 185)) {
+      val es = Array.tabulate[Byte](size)(j => ((j % 233) + 11).toByte)
+      val ts = TsCodec.muxPayload(7, 0x30, 0x101, 0x101, 0x1b,
+        TsCodec.pesWrap(0xe0, es))
+      assert(ts.length % 188 == 0)
+      val pes = TsCodec.reassemble(1L, ts, 0x101)
+      assert(pes.length == TsCodec.PesHeaderBytes + size,
+        s"size $size: stuffing leaked into the payload")
+      assert(TsCodec.pesUnwrap(1L, pes).toSeq == es.toSeq, s"size $size")
+      // and the stats walk agrees with the reassembled byte count
+      val d = TsCodec.parse(1L, ts)
+      val st = d.streams.find(_.pid == 0x101).get
+      assert(st.payloadBytes == pes.length && st.ccErrors == 0 &&
+        st.nPusi == 1)
+    }
+  }
+
+  test("reassemble refuses torn streams and multi-PES payloads") {
+    val es = Array.tabulate[Byte](500)(j => ((j % 200) + 20).toByte)
+    val ts = TsCodec.muxPayload(7, 0x30, 0x101, 0x101, 0x1b,
+      TsCodec.pesWrap(0xe0, es))
+    // drop the middle ES packet (PAT, PMT, e0, e1, e2): CC break
+    val torn = ts.take(188 * 3) ++ ts.drop(188 * 4)
+    val e1 = intercept[IllegalArgumentException](
+      TsCodec.reassemble(4L, torn, 0x101))
+    assert(e1.getMessage.contains("continuity break"))
+    // set PUSI on a mid-stream packet: multi-PES out of scope
+    val multi = ts.clone()
+    multi(188 * 3 + 1) = (multi(188 * 3 + 1) | 0x40).toByte
+    val e2 = intercept[IllegalArgumentException](
+      TsCodec.reassemble(4L, multi, 0x101))
+    assert(e2.getMessage.contains("second PUSI"))
+    // absent PID
+    val e3 = intercept[IllegalArgumentException](
+      TsCodec.reassemble(4L, ts, 0x102))
+    assert(e3.getMessage.contains("no payload packets"))
+  }
+
+  test("pesUnwrap validates the header it strips") {
+    val es = Array[Byte](1, 2, 3)
+    val good = TsCodec.pesWrap(0xe0, es)
+    assert(TsCodec.pesUnwrap(2L, good).toSeq == es.toSeq)
+    // corrupt start code
+    val bad = good.clone(); bad(2) = 9
+    assert(intercept[IllegalArgumentException](
+      TsCodec.pesUnwrap(2L, bad)).getMessage.contains("start code"))
+    // bounded length that disagrees with the buffer
+    val bounded = good.clone(); bounded(5) = 99
+    assert(intercept[IllegalArgumentException](
+      TsCodec.pesUnwrap(2L, bounded)).getMessage.contains("bounded PES"))
+    // stream_id outside audio/video
+    val sid = good.clone(); sid(3) = 0xbf.toByte
+    assert(intercept[IllegalArgumentException](
+      TsCodec.pesUnwrap(2L, sid)).getMessage.contains("stream_id"))
+  }
+
+  test("TS→H.264 chain recovers the elementary stream bit-exactly " +
+      "and the oracle's SPS size arithmetic matches the writer") {
+    import graft.multimodal.H264Codec
+    for ((wMbs, hU, prof, log2v) <- Seq((80, 45, 77, 2), (120, 68, 100, 3),
+        (1, 1, 66, 0))) {
+      val es = H264Codec.encode(wMbs, hU, prof, 40, log2v,
+        nFrames = 4, idrEvery = 2, payloadLen = i => 20 + i,
+        payloadByte = (i, j) => ((i * 31 + j) % 251) + 4)
+      val ts = TsCodec.muxPayload(1, 0x30, 0x101, 0x101, 0x1b,
+        TsCodec.pesWrap(0xe0, es))
+      val back = TsCodec.pesUnwrap(3L, TsCodec.reassemble(3L, ts, 0x101))
+      assert(back.toSeq == es.toSeq)
+      val m = H264Codec.parse(3L, back)
+      assert(m.width == wMbs * 16 && m.height == hU * 16 &&
+        m.profile == prof)
+      // q180's closed-form wire-length model (escape-free payloads):
+      // es = (5 + spsBytes) + 7 + Σ(startCode + 1 + plen)
+      def ueBits(v: Int) = 2 * (32 - Integer.numberOfLeadingZeros(v + 1)) - 1
+      val spsBits = 34 + (if (H264Codec.HighProfiles(prof)) 7 else 0) +
+        ueBits(log2v) + ueBits(wMbs - 1) + ueBits(hU - 1) + 3
+      // ueBits already counts 2·len−1; the formula in q180Sql uses
+      // 2·Σlen − 3 + 37 — equivalent: check directly against bytes.
+      val spsBytes = (spsBits + 7) / 8
+      val slices = (0 until 4).map(i =>
+        (if (i % 2 == 0) 4 else 3) + 1 + (20 + i)).sum
+      assert(es.length == 5 + spsBytes + 7 + slices,
+        s"geom ($wMbs,$hU,$prof,$log2v): SPS size model diverges from " +
+          "the writer")
+      assert(ts.length == 188 * (2 + (es.length + 9 + 183) / 184))
+    }
+  }
 }
