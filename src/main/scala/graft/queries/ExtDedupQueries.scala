@@ -118,7 +118,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isBatch = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.buildSized(docs.where(!isBatch), tmp)
+      GraphFixtures.lshBaseInto(spark, dir, tmp)
       val pairs = LshIndex.probeAndAppend(spark, tmp, docs.where(isBatch))
       // probeAndAppend localizes unless the pair list is improbably huge;
       // in that fallback its (cached) plan still reads the scratch index
@@ -176,7 +176,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
+      GraphFixtures.lshBaseInto(spark, dir, s"$tmp/idx")
       // The stream feed: batch docs in doc_id order, 3 micro-batches (the
       // harness chunking used by every streaming oracle query).
       val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
@@ -330,7 +330,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.buildSized(docs.where(!isStream), s"$tmp/idx")
+      GraphFixtures.lshBaseInto(spark, dir, s"$tmp/idx")
       val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray
@@ -383,7 +383,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isBatch = pmod(col("doc_id"), lit(4)) === 0
-      LshIndex.buildSized(docs.where(!isBatch), tmp)
+      GraphFixtures.lshBaseInto(spark, dir, tmp)
       // the takedown list: ids only, bounded by the deletion set (the
       // API shape a takedown queue produces — never the corpus itself)
       val deleted = docs.where(pmod(col("doc_id"), lit(16)) === 9)

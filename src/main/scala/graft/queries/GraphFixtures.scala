@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.ops.{Caches, GraphIndex, InvertedIndex, Scratch}
+import graft.ops.{Caches, GraphIndex, InvertedIndex, LshIndex, Scratch}
 import graft.sources.Tables
 
 /** Per-JVM memo for DETERMINISTIC index-build artifacts the lifecycle
@@ -102,6 +102,18 @@ private[queries] object GraphFixtures {
     sharedDir(s"bm25full|${canon(dir)}") { p =>
       InvertedIndex.build(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
+    }
+
+  // ------------------------------------------------------- lsh family
+
+  /** Clone the (memoized) persisted LSH index over the doc_id % 4 <> 0
+    * base split into `destPath` — the identical build five lifecycle
+    * gates perform (q62 incremental, q92/q106 streaming, q100 replay,
+    * q101 takedown); each still mutates its own clone. */
+  def lshBaseInto(spark: SparkSession, dir: String, destPath: String): Unit =
+    cloneInto(s"lshbase|${canon(dir)}", destPath) { p =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      LshIndex.buildSized(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), p)
     }
 
   // ------------------------------------------------------------ util
