@@ -341,4 +341,41 @@ class PropertySpec extends SparkSpecBase {
     }, trials = 25)
     check(Prop.forAll(asciiGen) { s => run(s) == s }, trials = 15)
   }
+
+  test("H.264 emulation prevention: escape/unescape invert on arbitrary " +
+    "bytes and the wire form never contains a start code") {
+    import graft.multimodal.H264Codec
+    // bias toward zeros and small values — the bytes that trigger the
+    // escape path — plus uniform noise
+    val byteGen = Gen.frequency(
+      4 -> Gen.const(0), 2 -> Gen.choose(0, 3), 3 -> Gen.choose(0, 255))
+    val bufGen = Gen.nonEmptyListOf(byteGen).map(_.map(_.toByte).toArray)
+    check(Prop.forAll(bufGen) { rbsp =>
+      val wire = H264Codec.escape(rbsp)
+      val noStartCode = !wire.toSeq.sliding(3).exists(w =>
+        w == Seq[Byte](0, 0, 0) || w == Seq[Byte](0, 0, 1) ||
+          w == Seq[Byte](0, 0, 2))
+      val back = H264Codec.unescape(1L, wire, 0, wire.length)
+      noStartCode && back.toSeq == rbsp.toSeq
+    }, trials = 60)
+  }
+
+  test("TS mux/reassemble/PES are lossless for arbitrary payload sizes " +
+    "and contents") {
+    import graft.multimodal.TsCodec
+    val esGen = for {
+      n <- Gen.choose(1, 1200)
+      // last byte unconstrained — TS carries opaque bytes, the H.264
+      // trailing-zero rule is the NAL layer's, not the transport's
+      bytes <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bytes.map(_.toByte).toArray
+    check(Prop.forAll(esGen, Gen.choose(0xc0, 0xef)) { (es, sid) =>
+      val ts = TsCodec.muxPayload(3, 0x30, 0x151, 0x151, 0x1b,
+        TsCodec.pesWrap(sid, es))
+      val pes = TsCodec.reassemble(7L, ts, 0x151)
+      ts.length % TsCodec.PacketSize == 0 &&
+        TsCodec.pesUnwrap(7L, pes).toSeq == es.toSeq &&
+        TsCodec.parse(7L, ts).streams.head.payloadBytes == pes.length
+    }, trials = 40)
+  }
 }
