@@ -226,6 +226,57 @@ object TsCodec {
     out
   }
 
+  /** [[pesWrap]] with a presentation timestamp: the PTS_DTS_flags '10'
+    * form, the 33-bit 90 kHz clock packed across 5 bytes with the
+    * spec's marker bits ('0010' + pts[32:30] + 1 + pts[29:15] + 1 +
+    * pts[14:0] + 1, §2.4.3.7) — what real HLS segments carry so
+    * players can align audio and video. [[pesUnwrap]] skips it via
+    * PES_header_data_length; [[pesPts]] recovers it. */
+  def pesWrapPts(streamId: Int, pts90kHz: Long, es: Array[Byte]): Array[Byte] = {
+    require(pts90kHz >= 0 && pts90kHz < (1L << 33),
+      s"PTS $pts90kHz outside the 33-bit clock")
+    val base = pesWrap(streamId, es)
+    val out = new Array[Byte](base.length + 5)
+    System.arraycopy(base, 0, out, 0, PesHeaderBytes)
+    out(7) = 0x80.toByte // PTS_DTS_flags = '10'
+    out(8) = 5 // PES_header_data_length
+    val p = pts90kHz
+    out(9) = (0x21 | (((p >> 30) & 0x7) << 1)).toByte // '0010' pts32_30 1
+    out(10) = ((p >> 22) & 0xff).toByte // pts29_22
+    out(11) = (0x01 | (((p >> 15) & 0x7f) << 1)).toByte // pts21_15 1
+    out(12) = ((p >> 7) & 0xff).toByte // pts14_7
+    out(13) = (0x01 | ((p & 0x7f) << 1)).toByte // pts6_0 1
+    System.arraycopy(base, PesHeaderBytes, out, PesHeaderBytes + 5,
+      base.length - PesHeaderBytes)
+    out
+  }
+
+  /** The PTS of one PES packet, or None when PTS_DTS_flags signal none.
+    * Marker bits and the '0010'/'0011' prefix are validated — a PES
+    * whose flags promise a PTS but whose marker bits are wrong fails
+    * loudly (clock corruption must not parse as a valid timestamp). */
+  def pesPts(docId: Long, pes: Array[Byte]): Option[Long] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: $msg")
+    if (pes.length < PesHeaderBytes) fail("PES shorter than its header")
+    val flags = (pes(7) >> 6) & 0x3
+    if (flags == 0) return None
+    if (flags == 1) fail("PTS_DTS_flags '01' is forbidden (§2.4.3.7)")
+    if (pes.length < PesHeaderBytes + 5 || (pes(8) & 0xff) < 5)
+      fail("PES promises a PTS but its optional header cannot hold one")
+    val prefix = (pes(9) >> 4) & 0xf
+    if (prefix != (if (flags == 3) 0x3 else 0x2))
+      fail(s"PTS prefix nibble 0x${prefix.toHexString} does not match " +
+        "PTS_DTS_flags")
+    if ((pes(9) & 1) != 1 || (pes(11) & 1) != 1 || (pes(13) & 1) != 1)
+      fail("PTS marker bits corrupt")
+    Some((((pes(9).toLong >> 1) & 0x7) << 30) |
+      ((pes(10).toLong & 0xff) << 22) |
+      (((pes(11).toLong >> 1) & 0x7f) << 15) |
+      ((pes(12).toLong & 0xff) << 7) |
+      ((pes(13).toLong >> 1) & 0x7f))
+  }
+
   /** Validate + strip one PES header, returning the elementary stream.
     * Bounded-length PES (nonzero PES_packet_length) must match the
     * buffer exactly; optional header fields are skipped via

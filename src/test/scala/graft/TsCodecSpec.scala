@@ -149,6 +149,30 @@ class TsCodecSpec extends SparkSpecBase {
       TsCodec.pesUnwrap(2L, sid)).getMessage.contains("stream_id"))
   }
 
+  test("PES PTS: 33-bit clock round-trips through mux/reassemble and " +
+      "marker corruption fails loudly") {
+    val es = Array[Byte](10, 20, 30, 40)
+    for (pts <- Seq(0L, 1L, 90000L, 0x123456789L, (1L << 33) - 1)) {
+      val pes = TsCodec.pesWrapPts(0xe0, pts, es)
+      assert(TsCodec.pesPts(1L, pes).contains(pts), s"pts $pts")
+      assert(TsCodec.pesUnwrap(1L, pes).toSeq == es.toSeq, s"pts $pts")
+      // survives the transport layer
+      val ts = TsCodec.muxPayload(1, 0x30, 0x101, 0x101, 0x1b, pes)
+      val back = TsCodec.reassemble(1L, ts, 0x101)
+      assert(TsCodec.pesPts(1L, back).contains(pts))
+    }
+    // a PTS-less PES reports None
+    assert(TsCodec.pesPts(1L, TsCodec.pesWrap(0xe0, es)).isEmpty)
+    // flip a marker bit: must fail, not mis-decode
+    val bad = TsCodec.pesWrapPts(0xe0, 90000L, es)
+    bad(11) = (bad(11) & ~1).toByte
+    assert(intercept[IllegalArgumentException](
+      TsCodec.pesPts(1L, bad)).getMessage.contains("marker"))
+    // out-of-range clock refused at write time
+    intercept[IllegalArgumentException](
+      TsCodec.pesWrapPts(0xe0, 1L << 33, es))
+  }
+
   test("TS→H.264 chain recovers the elementary stream bit-exactly " +
       "and the oracle's SPS size arithmetic matches the writer") {
     import graft.multimodal.H264Codec
