@@ -93,6 +93,8 @@ object AdtsCodec {
       def u(i: Int) = bytes(o + i) & 0xff
       if (u(0) != 0xff || (u(1) & 0xf0) != 0xf0) fail(s"bad ADTS sync at $o")
       if ((u(1) & 0x06) != 0) fail(s"nonzero layer bits at $o")
+      if ((u(1) & 0x08) != 0) fail(s"MPEG-2 (ID=1) ADTS frame at $o — " +
+        "this walker parses the MPEG-4 (ID=0) streams its writer emits")
       if ((u(1) & 0x01) == 0)
         fail(s"CRC-protected ADTS frame at $o — not produced by this " +
           "codec's writer")

@@ -444,9 +444,15 @@ object TsCodec {
       if (pid == 0) { // ---- PAT
         require(pusi, s"doc $docId: multi-packet PAT unsupported here")
         val sec = sectionAt(docId, k, bytes, body, expectTableId = 0x00)
-        // one 4-byte program entry after the 8-byte section header
+        // EXACTLY one 4-byte program entry after the 8-byte section
+        // header: a multi-program PAT is out of this codec family's
+        // scope and must fail loudly (a silently-ignored second program
+        // would leave its PMT PID misclassified as an un-PMT'd ES PID)
         require(sec.dataLen >= 4,
           s"doc $docId: PAT carries no program entry")
+        require(sec.dataLen == 4,
+          s"doc $docId: multi-program PAT (${sec.dataLen / 4} entries) — " +
+            "single-program TS only; out of scope")
         programNumber = ((bytes(sec.data) & 0xff) << 8) |
           (bytes(sec.data + 1) & 0xff)
         pmtPid = ((bytes(sec.data + 2) & 0x1f) << 8) |

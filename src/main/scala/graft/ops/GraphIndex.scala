@@ -454,6 +454,11 @@ object GraphIndex {
       // the kept generation on disk, no tombstones) — a byte-identical
       // rewrite, skipped (the LshIndex.compact rule). The offline form
       // never skips: it owes the maxDeg re-prune.
+      // Heal a half-committed prior swap BEFORE the skip — a missing
+      // live dir globs as the empty generation set and the skip would
+      // silently no-op instead of restoring (r16 advice).
+      Layout.healRestore(spark, nodesPath(path))
+      Layout.healRestore(spark, edgesPath(path))
       if (keepGen.isDefined && tombs.isEmpty &&
           (GenTable.genNames(spark, nodesPath(path), nested = false) ++
             GenTable.genNames(spark, edgesPath(path), nested = false))

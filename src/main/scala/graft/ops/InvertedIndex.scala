@@ -333,6 +333,13 @@ object InvertedIndex {
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
     val keepGen = keepBatch.map(b => s"b$b")
+    // Heal a half-committed prior swap BEFORE the skip decides anything:
+    // after a crash between swapInto's renames the live dir is missing
+    // (it lives in `.old`), genNames on the missing path returns the
+    // empty set — a subset of any set — and the skip would silently
+    // no-op instead of restoring the table (r16 advice).
+    Layout.healRestore(spark, postingsPath(path))
+    Layout.healRestore(spark, statsPath(path))
     // VERBATIM in-stream fold with nothing to fold — skipped, the
     // LshIndex.compact rule (the offline form never skips: it owes the
     // stats recompute and tombstone clear)

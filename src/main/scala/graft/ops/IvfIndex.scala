@@ -314,6 +314,10 @@ object IvfIndex {
     val keepGen = keepBatch.map(b => s"b$b")
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "vec_id")
+    // Heal a half-committed prior swap BEFORE the skip — a missing
+    // live dir globs as the empty generation set and the skip would
+    // silently no-op instead of restoring (r16 advice).
+    Layout.healRestore(spark, path)
     // VERBATIM in-stream fold with nothing to fold — skipped, the
     // LshIndex.compact rule (the offline form never skips)
     if (keepGen.isDefined && tombs.isEmpty &&

@@ -531,6 +531,12 @@ object LshIndex {
     // rewrites per firing for zero effect; one FS glob decides). The
     // offline form never skips: it must clear tombstones and re-tighten
     // file counts even when the generation set looks folded.
+    // Heal a half-committed prior swap BEFORE the skip: a crashed
+    // swapInto leaves the live dir in `.old`, genNames on the missing
+    // path is the empty set (subset of anything), and the skip would
+    // silently no-op instead of restoring (r16 advice).
+    Layout.healRestore(spark, bandsPath(path))
+    Layout.healRestore(spark, sigsPath(path))
     if (keepGen.isDefined && tombs.isEmpty &&
         (GenTable.genNames(spark, bandsPath(path), nested = true) ++
           GenTable.genNames(spark, sigsPath(path), nested = true))

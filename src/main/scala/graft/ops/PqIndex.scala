@@ -300,6 +300,10 @@ object PqIndex {
     // base is already clustered (build and every prior fold wrote it
     // clustered), so the rewrite would be byte-identical — skipped, the
     // LshIndex.compact rule (the offline form never skips)
+    // Heal a half-committed prior swap BEFORE the skip — a missing
+    // live dir globs as the empty generation set and the skip would
+    // silently no-op instead of restoring (r16 advice).
+    Layout.healRestore(spark, path)
     if (keepGen.isDefined &&
         GenTable.genNames(spark, path, nested = false)
           .subsetOf(Set("base") ++ keepGen)) return

@@ -245,6 +245,10 @@ object SimHashIndex {
     val tablePath = bandsPath(path)
     val tombSnap = TombstoneLog.snapshot(spark, tombsPath(path))
     val tombs = TombstoneLog.read(spark, tombSnap, "doc_id")
+    // Heal a half-committed prior swap BEFORE the skip — a missing
+    // live dir globs as the empty generation set and the skip would
+    // silently no-op instead of restoring (r16 advice).
+    Layout.healRestore(spark, tablePath)
     // VERBATIM in-stream fold with nothing to fold — skipped, the
     // LshIndex.compact rule (the offline form never skips)
     if (keepGen.isDefined && tombs.isEmpty &&

@@ -158,7 +158,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q177_matryoshka_ivf", q177, Some(q177Sql)),
     Decl("q178_adts_frame_walk", q178, Some(q178Sql)),
     Decl("q179_h264_nal_walk", q179, Some(q179Sql)),
-    Decl("q180_ts_h264_chain", q180, Some(q180Sql)))
+    Decl("q180_ts_h264_chain", q180, Some(q180Sql)),
+    Decl("q181_hybrid_rrf_fusion", q181, Some(q181Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -186,5 +187,6 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q166_stream_graph_ingest", "q167_graph_takedown_compact",
     "q172_stream_graph_autocompact", "q173_bm25_index_topk",
     "q174_bm25_index_incremental", "q175_stream_bm25_ingest",
-    "q176_bm25_takedown_compact", "q177_matryoshka_ivf")
+    "q176_bm25_takedown_compact", "q177_matryoshka_ivf",
+    "q181_hybrid_rrf_fusion")
 }

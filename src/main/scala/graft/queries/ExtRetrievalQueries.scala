@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.InvertedIndex
+import graft.ops.{InvertedIndex, IvfIndex, TextOps}
+import graft.functions.CosineSimilarity
 import graft.sources.Tables
 
 /** Persisted BM25 inverted-index lifecycle (ops/InvertedIndex): build +
@@ -245,6 +246,144 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
       localizeRows(res, Seq("query_id", "rn"))
     } finally rmRecursive(tmp)
   }
+  // ----------------------------------------------------------------- q181
+  /** HYBRID retrieval: BM25 ⊕ dense ANN with RECIPROCAL-RANK FUSION —
+    * the composition both persisted retrieval indexes exist for. The
+    * same five probe items (doc_id = vec_id ∈ [16, 21) — the documents
+    * and embeddings tables share the id space; q54's probe convention)
+    * run BOTH retrieval legs:
+    *
+    *   - SPARSE: each probe doc distills its top-2 terms (tf desc, term
+    *     — the ingest-path discipline) and ranks the PERSISTED full-
+    *     corpus inverted index through [[InvertedIndex.probe]] (q173's
+    *     pk-pruned path; k+1 then self-dropped and re-ranked, so the
+    *     list is the top-`SideK` OTHER documents by BM25);
+    *   - DENSE: each probe embedding searches its `nprobe=2` nearest
+    *     cells of the PERSISTED cell-clustered IVF corpus under the
+    *     persisted first-16 quantizer (q65/q97's probe semantics:
+    *     touched-cell predicate pushed to the corpus scan, probes
+    *     broadcast, cosine desc / vec_id tie rule, self excluded);
+    *
+    * then fuses per (query, doc) with reciprocal-rank fusion
+    * (Cormack–Clarke–Büttcher, SIGIR'09: score = Σ_legs 1/(60 + rank),
+    * a leg contributing only where the doc made its top-`SideK`) and
+    * emits the fused top-`FuseK` with both per-leg ranks (0 = absent
+    * from that leg). RRF depends on the RANKS only — integer arithmetic
+    * in double — so the fused scores are bit-stable wherever the two
+    * legs' rankings are, which q173/q54 already pin. The oracle replays
+    * BOTH chains relationally (q130's BM25 CTEs + q54's cosine/cell
+    * chain) and the fusion formula. Scale shape: each leg is the
+    * already-audited bounded probe (pk-pruned postings / cell-pruned
+    * corpus); the fusion joins two ≤ |queries|·SideK rank lists —
+    * probe-batch-sized, never corpus-sized. */
+  private[queries] def q181(spark: SparkSession, dir: String): DataFrame = {
+    val SideK = 10; val FuseK = 5; val RrfC = 60; val NProbe = 2
+    // ---- sparse leg: distilled 2-term queries through the postings
+    val bmPath = GraphFixtures.bm25FullDir(spark, dir)
+    val ptf = Tables.documents(spark, dir)
+      .where(col("doc_id") >= 16 && col("doc_id") < 21)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    val qt = ptf.withColumn("qrn", row_number().over(wq))
+      .where(col("qrn") <= Bm25QueryTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bm = InvertedIndex.probe(spark, bmPath, qt, k = SideK + 1)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("brn", row_number().over(wb)).where(col("brn") <= SideK)
+      .select(col("query_id"), col("doc_id"), col("brn"))
+    // ---- dense leg: persisted quantizer + cell-clustered corpus
+    val ivfDir = GraphFixtures.ivfFullDir(spark, dir)
+    val cents = IvfIndex.loadCentroids(spark, s"$ivfDir/centroids")
+    val probes = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= 16 && col("vec_id") < 21)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      .withColumn("pcells",
+        IvfIndex.topCellsOf(spark, col("probe"), cents, NProbe))
+    val touched = probes.select(explode(col("pcells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val wd = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val dn = spark.read.parquet(s"$ivfDir/corpus")
+      .where(col("cell").isin(touched: _*))
+      .crossJoin(broadcast(probes))
+      .where(array_contains(col("pcells"), col("cell")) &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
+      .withColumn("drn", row_number().over(wd)).where(col("drn") <= SideK)
+      .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("drn"))
+    // ---- fuse: RRF over the two rank lists (leg absent → no addend)
+    val fused = bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("brn") + RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("drn") + RrfC), lit(0.0)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val out = fused.withColumn("frn", row_number().over(wf))
+      .where(col("frn") <= FuseK)
+      .select(col("query_id"), col("frn"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_r"),
+        coalesce(col("brn"), lit(0)).as("bm25_rn"),
+        coalesce(col("drn"), lit(0)).as("dense_rn"))
+    localizeRows(out, Seq("query_id", "frn"))
+  }
+  private[queries] lazy val q181Sql =
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       |pdocs AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 16 AND doc_id < 21),
+       |${distillCtes("h", "pdocs", "q")},
+       |${bm25Ctes("h", "docs", "q")},
+       |bmr AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc_id) AS brn
+       |      FROM hagg WHERE doc_id <> query_id QUALIFY brn <= 10),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |c AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv FROM e
+       |      WHERE vec_id < 16),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    (SELECT c_id FROM c
+       |     ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+       |     LIMIT 1) AS cell
+       |  FROM e),
+       |p AS MATERIALIZED (SELECT vec_id AS probe_id, v AS pv FROM e
+       |      WHERE vec_id >= 16 AND vec_id < 21),
+       |pc AS (
+       |  SELECT probe_id, c_id, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY list_cosine_similarity(pv, cv) DESC, c_id DESC) AS rn
+       |  FROM p CROSS JOIN c),
+       |dcand AS (
+       |  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+       |  FROM p JOIN pc ON pc.probe_id = p.probe_id AND pc.rn <= 2
+       |       JOIN asg a ON a.cell = pc.c_id
+       |       JOIN e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> p.probe_id),
+       |dnr AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY cos DESC, vec_id) AS drn
+       |      FROM dcand QUALIFY drn <= 10),
+       |fused AS (
+       |  SELECT coalesce(b.query_id, d.probe_id) AS query_id,
+       |         coalesce(b.doc_id, d.vec_id) AS doc_id,
+       |         coalesce(1.0 / (b.brn + 60), 0) +
+       |           coalesce(1.0 / (d.drn + 60), 0) AS rrf,
+       |         coalesce(b.brn, 0) AS bm25_rn, coalesce(d.drn, 0) AS dense_rn
+       |  FROM bmr b FULL OUTER JOIN dnr d
+       |    ON b.query_id = d.probe_id AND b.doc_id = d.vec_id)
+       |SELECT query_id,
+       |       row_number() OVER (PARTITION BY query_id
+       |         ORDER BY rrf DESC, doc_id) AS frn,
+       |       doc_id, round(rrf, 6) AS rrf_r, bm25_rn, dense_rn
+       |FROM fused
+       |QUALIFY frn <= 5
+       |ORDER BY query_id, frn""".stripMargin
+
   private[queries] lazy val q176Sql =
     """WITH live AS MATERIALIZED (SELECT doc_id, text FROM documents
       |        WHERE doc_id NOT IN (0, 1, 2, 3, 4)),

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.ops.{Caches, GraphIndex, InvertedIndex, LshIndex, Scratch}
+import graft.ops.{Caches, GraphIndex, InvertedIndex, IvfIndex, LshIndex, Scratch}
 import graft.sources.Tables
 
 /** Per-JVM memo for DETERMINISTIC index-build artifacts the lifecycle
@@ -102,6 +102,27 @@ private[queries] object GraphFixtures {
     sharedDir(s"bm25full|${canon(dir)}") { p =>
       InvertedIndex.build(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
+    }
+
+  // ------------------------------------------------------- ivf family
+
+  /** The memoized FULL-corpus persisted IVF — centroids (q54's
+    * deterministic first-16 quantizer, persisted via
+    * [[IvfIndex.writeCentroids]]) plus the cell-clustered corpus
+    * ([[IvfIndex.buildCorpus]], `gen=base`). q181's dense retrieval leg
+    * probes it read-only. */
+  def ivfFullDir(spark: SparkSession, dir: String): String =
+    sharedDir(s"ivffull|${canon(dir)}") { p =>
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val cents: Seq[Seq[Float]] = emb.where(col("vec_id") < 16)
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toSeq).toSeq
+      IvfIndex.writeCentroids(
+        emb.where(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("centroid_id"), col("embedding")),
+        s"$p/centroids")
+      IvfIndex.buildCorpus(emb, s"$p/corpus", cents)
     }
 
   // ------------------------------------------------------- lsh family
