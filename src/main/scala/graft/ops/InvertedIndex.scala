@@ -23,20 +23,30 @@ import org.apache.spark.sql.functions._
   * `term` keeps row-level exactness inside the touched directories —
   * the LshIndex bands discipline applied to text postings.
   *
-  * Storage layout (`<path>/postings`, `<path>/docstats`):
-  *   - `postings` (term, doc_id, tf, dl), partitioned (pk, gen) and
-  *     range-clustered on (term, doc_id) within partitions, so one
-  *     term's postings sit contiguous in one file per generation —
-  *     row-group pruning keeps a probed term's scan proportional to its
-  *     own postings list.
+  * Storage layout (`<path>/postings`, `<path>/termdf`, `<path>/docstats`):
+  *   - `postings` (term, doc_id, tf, dl, irn), partitioned (pk, gen) and
+  *     range-clustered on (term, irn) within partitions — `irn` is the
+  *     MATERIALIZED IMPACT RANK (row_number per term within the
+  *     generation, tf desc / doc_id asc, the Anh–Moffat impact order
+  *     written as a column): one term's postings sit contiguous,
+  *     highest-impact first, so a truncated probe's `irn <= m` predicate
+  *     pushes to the scan and row-group min/max prune a hot term's tail
+  *     without any probe-side sort.
+  *   - `termdf` (term, df) per generation, same (pk, gen) partitioning:
+  *     the TRUE per-(term, generation) document frequency, persisted at
+  *     write time because a truncated scan no longer sees every posting
+  *     of a term — probes sum the visible generations' rows for the
+  *     probed terms only (same pk pruning + term semi join).
   *   - `docstats` (n_docs, sum_dl) — ONE row per generation: the
   *     corpus-level N and Σdl the BM25 idf/length-normalization terms
   *     need. Probes aggregate the visible generations' rows (a
   *     broadcast-sized read), never the corpus.
-  * Per-term document frequency is NOT persisted: df is only needed for
-  * the probed terms, and the pruned postings scan already holds exactly
-  * those rows — one `count per term` over it is both cheaper and
-  * automatically generation-consistent.
+  * Indexes written before the impact-order era (meta lacks
+  * `impactOrdered`) are adopted as-is: probes fall back to the probe-side
+  * window and scan-derived df, appends keep the legacy layout (one
+  * schema per table), and the next [[compact]] rewrites into the
+  * impact-ordered form — the same era-adoption rule IndexCompatSpec pins
+  * for every family.
   *
   * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75), the exact expression
   * q130 pins bit-for-bit against DuckDB:
@@ -65,7 +75,12 @@ import org.apache.spark.sql.functions._
   * statistics contract. */
 object InvertedIndex {
 
-  case class Config(indexPartitions: Int = 32, postFiles: Int = 8)
+  /** `impactOrdered = false` writes the pre-era layout (no `irn` column,
+    * no `termdf` sidecar) — kept as a first-class option so the
+    * era-upgrade path (legacy build → probe fallback → compact rewrite)
+    * stays testable; production builds leave the default. */
+  case class Config(indexPartitions: Int = 32, postFiles: Int = 8,
+      impactOrdered: Boolean = true)
 
   /** Default impact-ordering truncation for the INGEST probe (see
     * [[probe]]'s `maxPostings`): each query term scores against its
@@ -77,6 +92,7 @@ object InvertedIndex {
   val DefaultMaxPostings = 256
 
   def postingsPath(path: String): String = s"$path/postings"
+  def termdfPath(path: String): String = s"$path/termdf"
   def statsPath(path: String): String = s"$path/docstats"
   private def tombsPath(path: String) = s"$path/tombstones"
   private def metaPath(path: String) =
@@ -90,15 +106,20 @@ object InvertedIndex {
 
   private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
     GenTable.writeMeta(spark, metaPath(path), Seq(
-      "indexPartitions" -> cfg.indexPartitions, "postFiles" -> cfg.postFiles))
+      "indexPartitions" -> cfg.indexPartitions, "postFiles" -> cfg.postFiles,
+      "impactOrdered" -> (if (cfg.impactOrdered) 1 else 0)))
 
+  /** A meta file with no `impactOrdered` key is a pre-era index — adopt
+    * its layout (legacy probe fallbacks, legacy-format appends) until a
+    * [[compact]] upgrades it. */
   private def adoptMeta(spark: SparkSession, path: String, cfg: Config): Config = {
     val kv = GenTable.readMeta(spark, metaPath(path))
     cfg.copy(
       indexPartitions = kv.getOrElse("indexPartitions",
         throw new IllegalStateException(
           s"${metaPath(path)} has no indexPartitions entry — rebuild with InvertedIndex.build")),
-      postFiles = kv.getOrElse("postFiles", cfg.postFiles))
+      postFiles = kv.getOrElse("postFiles", cfg.postFiles),
+      impactOrdered = kv.getOrElse("impactOrdered", 0) == 1)
   }
 
   /** (doc_id, term, tf, dl) — one row per distinct (doc, term); `dl` is
@@ -136,17 +157,50 @@ object InvertedIndex {
     * once; subsequent batches go through [[probeAndAppend]]). */
   def build(docs: DataFrame, path: String, cfg: Config = Config(),
       id: String = "doc_id", text: String = "text"): Unit = {
-    writePartitioned(postingsOf(docs, id, text), path, cfg, "overwrite", "base")
-    writeStats(docStatsOf(docs, id, text), statsPath(path), "overwrite", "base")
-    writeMeta(docs.sparkSession, path, cfg)
+    val post = postingsOf(docs, id, text).persist()
+    try {
+      writePartitioned(post, postingsPath(path), cfg, "overwrite", "base")
+      if (cfg.impactOrdered)
+        writeTermDf(post, termdfPath(path), cfg, "overwrite", "base")
+      writeStats(docStatsOf(docs, id, text), statsPath(path), "overwrite", "base")
+      writeMeta(docs.sparkSession, path, cfg)
+    } finally { post.unpersist(); () }
   }
 
-  private def writePartitioned(postings: DataFrame, path: String,
+  /** The materialized impact rank: row_number per term (tf desc, doc_id
+    * asc) WITHIN one generation's postings — computed once at write time
+    * (build / append / compact), so probes never sort a term's postings
+    * again. Cross-generation truncation stays exact because the global
+    * top-m by (tf desc, doc_id) is always a subset of the union of
+    * per-generation top-m prefixes. */
+  private def withImpactRank(postings: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    postings.withColumn("irn", row_number().over(w))
+  }
+
+  private def writePartitioned(postings: DataFrame, tablePath: String,
+      cfg: Config, mode: String, gen: String): Unit = {
+    val data = postings.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    if (cfg.impactOrdered)
+      GenTable.writePartitioned(
+        withImpactRank(data).withColumn("__part", termPk(cfg)),
+        tablePath, cfg.postFiles, mode, gen, col("term"), col("irn"))
+    else
+      GenTable.writePartitioned(data.withColumn("__part", termPk(cfg)),
+        tablePath, cfg.postFiles, mode, gen, col("term"), col("doc_id"))
+  }
+
+  /** One generation's (term, df) sidecar rows — df is the TRUE posting
+    * count per term in this generation (the idf numerator source once
+    * truncated scans stop seeing every posting). Same (pk, gen)
+    * partitioning as the postings, so one probe predicate prunes both. */
+  private def writeTermDf(postings: DataFrame, tablePath: String,
       cfg: Config, mode: String, gen: String): Unit =
     GenTable.writePartitioned(
-      postings.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("__part", termPk(cfg)),
-      postingsPath(path), cfg.postFiles, mode, gen, col("term"), col("doc_id"))
+      tablePath, cfg.postFiles, mode, gen, col("term"))
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombsPath(path))
@@ -173,10 +227,13 @@ object InvertedIndex {
     * contribution is both honest (its idf is tiny) and bounded (its
     * join fan-out is ≤ m rows instead of ≤ corpus). Mandatory for
     * probes whose query count scales with the corpus (the ingest path
-    * defaults to [[DefaultMaxPostings]]); a production index
-    * materializes the impact order at build (postings stored
-    * tf-descending) — the probe-side window is the gate-scale stand-in,
-    * one bounded per-term reduce over the already-pruned scan. */
+    * defaults to [[DefaultMaxPostings]]). On an impact-ordered index the
+    * cut is a PUSHED SCAN PREDICATE (`irn <= m` against the materialized
+    * rank column; row-group min/max prune a hot term's tail files), and
+    * the only probe-side rank work left is the cross-generation merge of
+    * the ≤ m-row per-generation prefixes — exact, because the global
+    * top-m is a subset of their union. Pre-era indexes (no `irn`) fall
+    * back to the full probe-side window. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, excludeGen: Option[String] = None,
       cfg: Config = Config(),
@@ -205,11 +262,29 @@ object InvertedIndex {
       }
     def dropOwnGen(df: DataFrame): DataFrame =
       excludeGen.fold(df)(g => df.where(col("gen") =!= g))
-    val post = dropOwnGen(spark.read.parquet(postingsPath(path))
-        .where(col("pk").isin(touchedPk: _*)))
+    val rawPost = dropOwnGen(spark.read.parquet(postingsPath(path))
+      .where(col("pk").isin(touchedPk: _*)))
+    // materialized truncation: on an impact-ordered index the per-term
+    // cut is a pushed parquet predicate on the rank column — the scan
+    // reads ≤ m rows per (term, generation) and prunes a hot term's
+    // tail row groups; legacy indexes scan whole and cut below
+    val scanCut =
+      if (layout.impactOrdered) maxPostings.fold(rawPost)(m =>
+        rawPost.where(col("irn") <= m))
+      else rawPost
+    val post = scanCut
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .join(broadcast(touchedTerms), Seq("term"), "left_semi")
-    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // TRUE df per probed term: from the termdf sidecar (same pk pruning;
+    // per-generation rows sum to the global count) — the scan can no
+    // longer supply it once truncated. Legacy era: count the full scan.
+    val df =
+      if (layout.impactOrdered)
+        dropOwnGen(spark.read.parquet(termdfPath(path))
+            .where(col("pk").isin(touchedPk: _*)))
+          .join(broadcast(touchedTerms), Seq("term"), "left_semi")
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dropOwnGen(spark.read.parquet(statsPath(path)))
       .agg(sum(col("n_docs")).as("n"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
@@ -217,8 +292,11 @@ object InvertedIndex {
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tfn = (col("tf") * 2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    // impact-ordered truncation: df above stays the TRUE df, only the
-    // SCORED postings cut to the per-term top-m (see the scaladoc)
+    // the residual cross-generation merge: the scan already returned the
+    // per-generation top-m prefixes (≤ m·|gens| rows per term on an
+    // impact-ordered index), this window keeps the exact global top-m of
+    // their union — bit-identical to the single-window legacy cut, which
+    // is also what this same expression computes on a pre-era index
     val scoredPost = maxPostings.fold(post) { m =>
       val wImp = Window.partitionBy(col("term"))
         .orderBy(col("tf").desc, col("doc_id"))
@@ -299,10 +377,15 @@ object InvertedIndex {
             col("doc_id").as("match_id"), round(col("score"), 4).as("score_r")))
         val mode = if (batchId.isDefined) "replace-gen" else "append"
         val gen = genOf(batchId)
-        // independent targets (postings vs stats) — append concurrently
-        Par.all(
-          () => writePartitioned(post, path, layout, mode, gen),
-          () => writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen))
+        // independent targets (postings vs termdf vs stats) — append
+        // concurrently; the termdf sidecar exists only in the
+        // impact-ordered era (appends adopt the index's layout)
+        Par.all(Seq(
+          () => writePartitioned(post, postingsPath(path), layout, mode, gen),
+          () => writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen)) ++
+          (if (layout.impactOrdered)
+            Seq(() => writeTermDf(post, termdfPath(path), layout, mode, gen))
+          else Nil): _*)
         result
       } finally { post.unpersist(); () }
     }
@@ -339,12 +422,16 @@ object InvertedIndex {
     // empty set — a subset of any set — and the skip would silently
     // no-op instead of restoring the table (r16 advice).
     Layout.healRestore(spark, postingsPath(path))
+    Layout.healRestore(spark, termdfPath(path))
     Layout.healRestore(spark, statsPath(path))
     // VERBATIM in-stream fold with nothing to fold — skipped, the
     // LshIndex.compact rule (the offline form never skips: it owes the
-    // stats recompute and tombstone clear)
-    if (keepGen.isDefined && tombs.isEmpty &&
+    // stats recompute and tombstone clear). A PRE-ERA index never skips
+    // either: the in-stream fold is also its upgrade into the
+    // impact-ordered layout.
+    if (keepGen.isDefined && tombs.isEmpty && cfg.impactOrdered &&
         (GenTable.genNames(spark, postingsPath(path), nested = true) ++
+          GenTable.genNames(spark, termdfPath(path), nested = true) ++
           GenTable.genNames(spark, statsPath(path), nested = false))
           .subsetOf(Set("base") ++ keepGen)) return
     val retained: Seq[Long] = (keepGen, tombs) match {
@@ -363,25 +450,36 @@ object InvertedIndex {
     def statsFromPostings(rows: DataFrame): DataFrame =
       rows.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Every compact rewrites into the impact-ordered era (the LSM merge
+    // is where a pre-era index upgrades: irn materialized, termdf
+    // sidecar created, meta stamped) — probes adopt the new layout from
+    // the meta the moment the swaps land.
+    val upgraded = cfg.copy(impactOrdered = true)
     val postStaged = s"${postingsPath(path)}.compacting"
     Layout.healSwap(spark, postStaged, postingsPath(path))
     val all = spark.read.parquet(postingsPath(path))
     val dataCols = Seq("term", "doc_id", "tf", "dl").map(col)
     val folded = dropTombstoned(
       keepGen.fold(all)(g => all.where(col("gen") =!= g)).select(dataCols: _*))
-    GenTable.writePartitioned(folded.withColumn("__part", termPk(cfg)),
-      postStaged, cfg.postFiles, "overwrite", "base", col("term"), col("doc_id"))
+    writePartitioned(folded, postStaged, upgraded, "overwrite", "base")
     val kept = keepGen.map(g =>
       g -> dropTombstoned(all.where(col("gen") === g).select(dataCols: _*)))
     kept.foreach { case (g, rows) =>
-      GenTable.writePartitioned(rows.withColumn("__part", termPk(cfg)),
-        postStaged, cfg.postFiles, "append", g, col("term"), col("doc_id"))
+      writePartitioned(rows, postStaged, upgraded, "append", g)
     }
-    // stats recomputed from the STAGED rewrite (the committed bytes, not
-    // the plan), then both tables swap
+    // termdf + stats recomputed from the STAGED rewrite (the committed
+    // bytes, not the plan), then all tables swap
+    val stagedRows = spark.read.parquet(postStaged)
+    val termdfStaged = s"${termdfPath(path)}.compacting"
+    Layout.healSwap(spark, termdfStaged, termdfPath(path))
+    writeTermDf(stagedRows.where(col("gen") === "base"), termdfStaged,
+      upgraded, "overwrite", "base")
+    kept.foreach { case (g, _) =>
+      writeTermDf(stagedRows.where(col("gen") === g), termdfStaged,
+        upgraded, "append", g)
+    }
     val statsStaged = s"${statsPath(path)}.compacting"
     Layout.healSwap(spark, statsStaged, statsPath(path))
-    val stagedRows = spark.read.parquet(postStaged)
     writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
       statsStaged, "overwrite", "base")
     kept.foreach { case (g, _) =>
@@ -389,8 +487,23 @@ object InvertedIndex {
         statsStaged, "append", g)
     }
     Layout.swapInto(spark, postStaged, postingsPath(path))
+    swapOrPlace(spark, termdfStaged, termdfPath(path))
     Layout.swapInto(spark, statsStaged, statsPath(path))
+    writeMeta(spark, path, upgraded)
     if (retained.nonEmpty) markDeleted(spark, path, retained)
     TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
+  }
+
+  /** [[Layout.swapInto]] when `target` exists; a plain rename otherwise —
+    * the legacy→impact-ordered upgrade creates the termdf table for the
+    * first time at compact. */
+  private def swapOrPlace(spark: SparkSession, staged: String,
+      target: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(target)
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(t)) Layout.swapInto(spark, staged, target)
+    else if (!fs.rename(new org.apache.hadoop.fs.Path(staged), t))
+      throw new IllegalStateException(
+        s"compact: cannot move $staged into $target — re-run compact")
   }
 }

@@ -169,6 +169,75 @@ class InvertedIndexSpec extends SparkSpecBase {
     assert(capped == full.filter(t => t._3 == 0L || t._3 == 1L))
   }
 
+  test("postings materialize the impact rank; truncated probes cut on it") {
+    val path = tmpDir("bm25_irn")
+    InvertedIndex.build(fixture, path)
+    val post = spark.read.parquet(InvertedIndex.postingsPath(path))
+    assert(post.columns.contains("irn"))
+    // irn is exactly the (tf desc, doc_id) rank within (term, gen)
+    val the = post.where(col("term") === "the")
+      .orderBy(col("irn")).select(col("irn"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(the.map(_._1) == (1 to the.size).toSeq)
+    assert(the.map(_._2) == the.map(_._2).sorted) // all tf=1 → doc_id order
+    // and the termdf sidecar carries the true per-term count
+    val tdf = spark.read.parquet(InvertedIndex.termdfPath(path))
+      .where(col("term") === "the").agg(sum("df")).collect()(0).getLong(0)
+    assert(tdf == the.size)
+  }
+
+  test("pre-era (legacy) index probes via fallbacks and compact upgrades it") {
+    val path = tmpDir("bm25_legacy")
+    val legacy = InvertedIndex.Config(impactOrdered = false)
+    InvertedIndex.build(fixture, path, legacy)
+    val post0 = spark.read.parquet(InvertedIndex.postingsPath(path))
+    assert(!post0.columns.contains("irn"), "legacy layout must not carry irn")
+    assert(!new java.io.File(InvertedIndex.termdfPath(path)).exists(),
+      "legacy layout must not carry the termdf sidecar")
+    val q = Seq((0L, "the"), (0L, "zebra0"), (1L, "yak1"), (1L, "pad"))
+      .toDF("query_id", "term")
+    // probe fallbacks (window cut + scan-derived df) reproduce from-scratch
+    assert(probed(path, q, 3) == brute(fixture, q, 3))
+    val cappedLegacy = InvertedIndex.probe(spark, path, q, 3,
+      maxPostings = Some(2)).collect().map(_.toString).sorted.toSeq
+    // appends ADOPT the legacy era: one schema per table
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+    assert(!spark.read.parquet(InvertedIndex.postingsPath(path))
+      .columns.contains("irn"))
+    // compact = the era upgrade: irn + termdf appear, meta flips, and
+    // probes (full and truncated) still match from-scratch
+    InvertedIndex.compact(spark, path)
+    val post1 = spark.read.parquet(InvertedIndex.postingsPath(path))
+    assert(post1.columns.contains("irn"))
+    assert(new java.io.File(InvertedIndex.termdfPath(path)).exists())
+    assert(probed(path, q, 3) == brute(fixture.unionByName(batch), q, 3))
+    // a further append lands in the NEW era (irn on its generation too)
+    InvertedIndex.probeAndAppend(spark, path,
+      Seq((200L, "zebra0 blue fresh")).toDF("doc_id", "text"), Some(1L))
+    assert(spark.read.parquet(InvertedIndex.postingsPath(path))
+      .where(col("gen") === "b1").columns.contains("irn"))
+    assert(cappedLegacy.nonEmpty)
+  }
+
+  test("truncated probe on an impact-ordered index merges per-generation " +
+    "prefixes to the exact global top-m") {
+    val path = tmpDir("bm25_genmerge")
+    // base: tf ladder 4,3 for 'common'; batch generation: tf 5,2 — the
+    // global top-2 (tf 5,4) spans BOTH generations, so a per-gen cut
+    // without the residual merge would score 4 rows, not 2
+    InvertedIndex.build(Seq(
+      (0L, "common common common common"),
+      (1L, "common common common x")).toDF("doc_id", "text"), path)
+    InvertedIndex.probeAndAppend(spark, path, Seq(
+      (10L, "common common common common common"),
+      (11L, "common common y z")).toDF("doc_id", "text"), Some(0L))
+    val q = Seq((0L, "common")).toDF("query_id", "term")
+    val capped = InvertedIndex.probe(spark, path, q, 4, maxPostings = Some(2))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(capped.map(_._2).toSet == Set(0L, 10L),
+      s"expected the cross-generation global top-2 postings, got $capped")
+  }
+
   test("probing a non-index path fails loudly") {
     val path = tmpDir("bm25_nometa")
     val e = intercept[IllegalStateException] {
