@@ -226,7 +226,7 @@ object GraphIndex {
     val tombs = tombstones(spark, path)
     def dropT(df: DataFrame, cols: String*): DataFrame =
       tombs.fold(df)(t => cols.foldLeft(df)((d, c) =>
-        d.join(broadcast(t.withColumnRenamed("vec_id", c)), Seq(c), "left_anti")))
+        d.join(t.withColumnRenamed("vec_id", c), Seq(c), "left_anti")))
     def visible(sub: String): DataFrame = {
       val df = spark.read.parquet(sub)
       excludeGen.fold(df)(g => df.where(col("gen") =!= g))
@@ -410,12 +410,8 @@ object GraphIndex {
 
   // ------------------------------------------- takedown + compaction
 
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombsPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(tombsPath(path)).distinct())
-    else None
-  }
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    TombstoneLog.readDir(spark, tombsPath(path), "vec_id")
 
   /** Tombstone `vecIds` — nodes stay physically present until the next
     * [[compact]] but disappear from entry selection, traversal and
@@ -477,11 +473,11 @@ object GraphIndex {
         case _ => Seq.empty
       }
       val nodesAll = tombs.fold(nodesRaw)(t =>
-        nodesRaw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        nodesRaw.join(t, Seq("vec_id"), "left_anti"))
       val edgesAll = tombs.fold(edgesRaw) { t =>
         edgesRaw
-          .join(broadcast(t.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
-          .join(broadcast(t.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_anti")
+          .join(t.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+          .join(t.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
       }
       val foldNodes = keepGen.fold(nodesAll)(g => nodesAll.where(col("gen") =!= g))
         .drop("gen")

@@ -202,13 +202,8 @@ object InvertedIndex {
         .withColumn("__part", termPk(cfg)),
       tablePath, cfg.postFiles, mode, gen, col("term"))
 
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombsPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p))
-      Some(spark.read.parquet(tombsPath(path)).select(col("doc_id")).distinct())
-    else None
-  }
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    TombstoneLog.readDir(spark, tombsPath(path), "doc_id")
 
   /** Rank `queries` — a (query_id, term) frame, one row per query term —
     * against the visible index: BM25 top-`k` docs per query as
@@ -310,7 +305,7 @@ object InvertedIndex {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"))
     val alive = tombstones(spark, path).fold(scored)(t =>
-      scored.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      scored.join(t, Seq("doc_id"), "left_anti"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     alive.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
@@ -438,12 +433,12 @@ object InvertedIndex {
       case (Some(g), Some(t)) =>
         spark.read.parquet(postingsPath(path)).where(col("gen") === g)
           .select(col("doc_id"))
-          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .join(t, Seq("doc_id"), "left_semi")
           .distinct().collect().map(_.getLong(0)).toSeq
       case _ => Seq.empty
     }
     def dropTombstoned(df: DataFrame): DataFrame =
-      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     // one gen's stats row, recomputed from its REWRITTEN postings (one
     // row per doc survives as distinct (doc_id, dl) — every doc has ≥ 1
     // token under string_split semantics, so no doc is lost here)

@@ -260,17 +260,13 @@ object IvfIndex {
     * path (`<corpus>.tombstones`) rather than a subdirectory: the corpus
     * path is itself a parquet table and a nested foreign table would
     * corrupt its reads. */
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombsPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(tombsPath(path)).distinct())
-    else None
-  }
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    TombstoneLog.readDir(spark, tombsPath(path), "vec_id")
 
   private def dropTombstoned(spark: SparkSession, path: String,
       df: DataFrame): DataFrame =
     tombstones(spark, path).fold(df)(t =>
-      df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      df.join(t, Seq("vec_id"), "left_anti"))
 
   /** Tombstone `vecIds` — the LshIndex.markDeleted contract for the
     * vector corpus: the vectors stay physically present until the next
@@ -332,12 +328,12 @@ object IvfIndex {
     val retained: Seq[Long] = (keepGen, tombs) match {
       case (Some(g), Some(t)) =>
         raw.where(col("gen") === g).select(col("vec_id"))
-          .join(broadcast(t), Seq("vec_id"), "left_semi")
+          .join(t, Seq("vec_id"), "left_semi")
           .distinct().collect().map(_.getLong(0)).toSeq
       case _ => Seq.empty
     }
     val all = tombs.fold(raw)(t =>
-      raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      raw.join(t, Seq("vec_id"), "left_anti"))
     writeGen(
       keepGen.fold(all)(g => all.where(col("gen") =!= g))
         .drop("gen"),

@@ -334,12 +334,12 @@ object LshIndex {
     val j = TextOps.jaccardFromSets(col("sa"), col("sb"))
     // Tombstoned docs are dead on arrival: their index rows survive until
     // the next compact, but no probe may emit a pair naming them. The
-    // tombstone log is takedown-sized (≪ corpus), so two broadcast anti
-    // joins on the (already tiny) verified-pair frame cost nothing.
+    // tombstone frame carries its size-bounded join hint (TombstoneLog:
+    // broadcast while takedown-sized, shuffle-hash above the budget).
     val tombs = tombstones(spark, path)
     def dropTombstoned(df: DataFrame): DataFrame = tombs.fold(df) { t =>
-      df.join(broadcast(t), df("doc_a") === t("doc_id"), "left_anti")
-        .join(broadcast(t), df("doc_b") === t("doc_id"), "left_anti")
+      df.join(t, df("doc_a") === t("doc_id"), "left_anti")
+        .join(t, df("doc_b") === t("doc_id"), "left_anti")
     }
     val pairs = dropTombstoned(withSets.where(j >= cfg.jaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard")))
@@ -349,12 +349,8 @@ object LshIndex {
 
   /** The tombstone log as a (doc_id) frame, or None when no doc was ever
     * deleted (the common case — probes then pay zero extra plan nodes). */
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new HPath(tombsPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(tombsPath(path)).select(col("doc_id")))
-    else None
-  }
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    TombstoneLog.readDir(spark, tombsPath(path), "doc_id")
 
   /** Probe-only entry point for the plan-health spec: returns the probe
     * plans WITHOUT appending, so the spec can execute them and pin the
@@ -548,12 +544,12 @@ object LshIndex {
       case (Some(g), Some(t)) =>
         spark.read.parquet(sigsPath(path)).where(col("gen") === g)
           .select(col("doc_id"))
-          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .join(t, Seq("doc_id"), "left_semi")
           .distinct().collect().map(_.getLong(0)).toSeq
       case _ => Seq.empty
     }
     def dropTombstoned(df: DataFrame): DataFrame =
-      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     def rewrite(tablePath: String, files: Int, dataCols: Seq[String],
         cluster: Column*): Unit = {
       val staged = s"$tablePath.compacting"

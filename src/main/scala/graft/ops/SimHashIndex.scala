@@ -200,8 +200,8 @@ object SimHashIndex {
       val tombs = TombstoneLog.read(spark,
         TombstoneLog.snapshot(spark, tombsPath(path)), "doc_id")
       def dropTombstoned(df: DataFrame): DataFrame = tombs.fold(df) { t =>
-        df.join(broadcast(t), df("doc_a") === t("doc_id"), "left_anti")
-          .join(broadcast(t), df("doc_b") === t("doc_id"), "left_anti")
+        df.join(t, df("doc_a") === t("doc_id"), "left_anti")
+          .join(t, df("doc_b") === t("doc_id"), "left_anti")
       }
       val pairs = dropTombstoned(a.join(b, Seq("band", "key"))
         .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
@@ -263,7 +263,7 @@ object SimHashIndex {
       case _ => Seq.empty
     }
     def dropTombstoned(df: DataFrame): DataFrame =
-      tombs.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     val staged = s"$tablePath.compacting"
     Layout.healSwap(spark, staged, tablePath)
     def keyed(rows: DataFrame): DataFrame =
