@@ -1036,6 +1036,38 @@ object Multimodal {
     }
   }
 
+  /** One extracted PDF page as a row ([[PdfCodec]]): `text` is the
+    * decoded show-operator text in operator order, `n_text_ops` the
+    * Tj/TJ count, `content_bytes` the DECODED content-stream size,
+    * `flate` whether that stream was FlateDecode-compressed. */
+  case class PdfPageRow(doc_id: Long, page_idx: Int, text: String,
+      n_text_ops: Int, content_bytes: Int, flate: Boolean)
+
+  /** Batched REAL PDF text extraction: every payload through
+    * [[PdfCodec.parse]] — startxref tail scan, classic xref walk,
+    * trailer checks (encrypted / xref-stream / incremental files fail
+    * loudly), catalog→pages→contents object walk, plain + FlateDecode
+    * stream decode, BT/ET + Tj/TJ text scan with the full literal-string
+    * escape set. Same batched mapPartitions shape as the archive walks:
+    * document blobs never cross a shuffle — downstream queries reduce
+    * each page to text hashes/counters before any exchange. */
+  def pdfPagesBatched(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[PdfPageRow] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        require(PdfCodec.Mimes(r.mime),
+          s"doc ${r.doc_id}: pdfPagesBatched expects a pdf mime, " +
+            s"got ${r.mime}")
+        PdfCodec.parse(r.doc_id, r.content).pages.zipWithIndex.map {
+          case (p, i) =>
+            PdfPageRow(r.doc_id, i, p.text, p.nTextOps, p.contentBytes,
+              p.flate)
+        }
+      })
+    }
+  }
+
   /** One Ogg stream's page-layer facts as a row ([[OggCodec]]). */
   case class OggMetaRow(doc_id: Long, serial: Int, n_pages: Int,
       n_packets: Int, payload_bytes: Long, last_granule: Long,

@@ -2112,6 +2112,124 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       JOIN sm USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- q182
+  /** PDF text extraction — the document format public crawls carry more
+    * text in than any other binary container, walked for REAL
+    * ([[graft.multimodal.PdfCodec]]): each document renders a genuine
+    * multi-page PDF (classic xref table with true byte offsets, catalog
+    * → pages → per-page content streams, a shared Type1 font), pages
+    * alternating PLAIN and FLATE-compressed content (RFC 1950 zlib via
+    * the JDK Inflater — the ZipCodec/WarcCodec inflate discipline), and
+    * page text split across one `(…) Tj` and one `[(…) -120 (…)] TJ`
+    * show op with the literal-string escape set live in the data (the
+    * `(lang)` parens and an embedded newline octal-escape in every
+    * page). [[graft.multimodal.Multimodal.pdfPagesBatched]] re-walks
+    * the object graph and the oracle recomputes every page's decoded
+    * text closed-form — a wrong xref offset, a mis-sliced stream, a
+    * broken inflate, a dropped TJ element or a bad escape decode all
+    * hash-mismatch on `text_md5`. Encrypted / xref-stream / incremental
+    * PDFs fail loudly (PdfCodecSpec). Scale shape: one narrow
+    * mapPartitions stage; PDF blobs never cross a shuffle — each page
+    * reduces to counters + md5 before the output sort. */
+  private[queries] def q182(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PdfCodec}
+    val media = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (docId, lang, text) =>
+        val pages = (0 until (1 + docId % 3).toInt).map { p =>
+          PdfCodec.PageSpec(Seq(
+            text.drop(p * 7).take(25),
+            "\n(" + lang + ")",
+            text.drop(p * 7 + 25).take(15)),
+            flate = (docId + p) % 2 == 0)
+        }
+        Multimodal.MediaRecord(docId, PdfCodec.encode(pages),
+          "application/pdf")
+      }).toDF()
+    Multimodal.pdfPagesBatched(spark, media).toDF()
+      .select(col("doc_id"), col("page_idx"), col("n_text_ops"),
+        col("flate"), length(col("text")).cast("int").as("text_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"), col("page_idx"))
+  }
+  private[queries] val q182Sql =
+    """WITH pg AS (
+      |  SELECT doc_id, lang, text, CAST(p.p AS BIGINT) AS p
+      |  FROM documents, (SELECT unnest(range(0, 3)) AS p) p
+      |  WHERE p.p < 1 + doc_id % 3),
+      |t AS (
+      |  SELECT doc_id, p AS page_idx,
+      |         substr(text, 1 + CAST(p * 7 AS INT), 25) || chr(10) ||
+      |           '(' || lang || ')' ||
+      |           substr(text, 1 + CAST(p * 7 + 25 AS INT), 15) AS ptext,
+      |         (doc_id + p) % 2 = 0 AS flate
+      |  FROM pg)
+      |SELECT doc_id, CAST(page_idx AS INT) AS page_idx,
+      |       2 AS n_text_ops, flate,
+      |       CAST(length(ptext) AS INT) AS text_chars,
+      |       md5(ptext) AS text_md5
+      |FROM t ORDER BY doc_id, page_idx""".stripMargin
+
+  // ----------------------------------------------------------------- q184
+  /** Crawl-chain composition: PDF members INSIDE ZIP shards — q169's
+    * archive layer feeding q182's document layer, the two-container
+    * chain a real crawl ingest runs (dump shards arrive zipped; the
+    * documents inside are PDFs). Each document renders a ZIP whose
+    * `.pdf` members (STORED/DEFLATE alternating — the ZIP-layer decode
+    * paths) each hold a genuine one-page PDF (plain/flate alternating —
+    * the PDF-layer decode paths); the chain walks the central
+    * directory, CRC-verifies and decodes every member, re-parses each
+    * payload as a PDF and extracts its text. The oracle recomputes the
+    * member naming, both alternations and the final decoded text
+    * closed-form from `documents` — any byte lost at EITHER layer
+    * hash-mismatches. Scale shape: two narrow mapPartitions stages
+    * back to back; neither archive nor PDF bytes ever cross a shuffle. */
+  private[queries] def q184(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PdfCodec, ZipCodec}
+    val shards = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (docId, lang, text) =>
+        val members = (1 to (1 + docId % 2).toInt).map { s =>
+          val pdf = PdfCodec.encode(Seq(PdfCodec.PageSpec(
+            Seq(text.drop(s * 5).take(30), "(" + lang + ")"),
+            flate = s % 2 == 0)))
+          val m = if (s % 2 == 0) ZipCodec.MethodStored
+          else ZipCodec.MethodDeflate
+          (f"${docId * 10 + s}%08d.pdf", pdf, m)
+        }
+        Multimodal.MediaRecord(docId, ZipCodec.encode(members),
+          "application/zip")
+      }).toDF()
+    val pdfs = Multimodal.zipMembersBatched(spark, shards).toDF()
+      .where(col("name").endsWith(".pdf"))
+      .select(substring(col("name"), 1, 8).cast("bigint").as("doc_id"),
+        col("payload").as("content"), lit("application/pdf").as("mime"))
+    Multimodal.pdfPagesBatched(spark, pdfs).toDF()
+      .select(col("doc_id").as("pdf_id"), col("n_text_ops"), col("flate"),
+        length(col("text")).cast("int").as("text_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("pdf_id"))
+  }
+  private[queries] val q184Sql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text, CAST(g.s AS BIGINT) AS s
+      |  FROM documents, (SELECT unnest(range(1, 3)) AS s) g
+      |  WHERE g.s <= 1 + doc_id % 2),
+      |t AS (
+      |  SELECT doc_id * 10 + s AS pdf_id,
+      |         substr(text, 1 + CAST(s * 5 AS INT), 30) ||
+      |           '(' || lang || ')' AS ptext,
+      |         s % 2 = 0 AS flate
+      |  FROM s)
+      |SELECT pdf_id, 2 AS n_text_ops, flate,
+      |       CAST(length(ptext) AS INT) AS text_chars,
+      |       md5(ptext) AS text_md5
+      |FROM t ORDER BY pdf_id""".stripMargin
+
   // ----------------------------------------------------------------- q150
   /** STREAMING CDC changelog merge — q147's batch semantics through the
     * PRODUCTION streaming operator

@@ -159,7 +159,9 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q178_adts_frame_walk", q178, Some(q178Sql)),
     Decl("q179_h264_nal_walk", q179, Some(q179Sql)),
     Decl("q180_ts_h264_chain", q180, Some(q180Sql)),
-    Decl("q181_hybrid_rrf_fusion", q181, Some(q181Sql)))
+    Decl("q181_hybrid_rrf_fusion", q181, Some(q181Sql)),
+    Decl("q182_pdf_text_extract", q182, Some(q182Sql)),
+    Decl("q184_zip_pdf_chain", q184, Some(q184Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
