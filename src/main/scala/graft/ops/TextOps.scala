@@ -18,6 +18,17 @@ object TextOps {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
+  /** Character trigrams as an array column (empty when < 3 chars) — the
+    * classic content-derived language-ID feature (Cavnar & Trenkle 1994's
+    * n-gram profiles, the fastText lang-id feature family): one gram per
+    * position, overlapping, raw bytes untouched so the feature is a pure
+    * function of the text in ANY engine. */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array())
+
   /** Word n-gram shingles as an array column (empty when < n words). */
   def wordShingles(text: Column, n: Int): Column = {
     val w = words(text)

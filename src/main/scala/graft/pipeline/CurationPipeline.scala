@@ -29,12 +29,18 @@ object CurationPipeline {
     * the corpus (or `None` to disable and pay the quadratic bucket);
     * the `lsh_hot_buckets` observe() metric reports what was dropped so
     * the trade is visible in run telemetry. */
+  /** `langIdAudit` switches on the CONTENT-derived language audit stage
+    * ([[langIdAnnotate]]): docs whose char-trigram-predicted language
+    * disagrees with their declared `lang` column are dropped after the
+    * quality gate. Off by default — it requires a `lang` column and a
+    * corpus large enough to train on. */
   case class Config(
       shingleN: Int = 2, minhashK: Int = 8, bandR: Int = 2,
       jaccardThreshold: Double = 0.5,
       minWords: Int = 10, maxStopwordRatio: Double = 0.5,
       stopwords: Seq[String] = Seq("the", "a"),
-      maxBucket: Option[Int] = Some(graft.ops.TextOps.DefaultMaxBucket))
+      maxBucket: Option[Int] = Some(graft.ops.TextOps.DefaultMaxBucket),
+      langIdAudit: Boolean = false, langIdTarget: String = "en")
 
   /** Stage 1: canonical-text exact dedup, first-wins by id. */
   def exactDedup(docs: DataFrame, id: String = "doc_id",
@@ -253,6 +259,58 @@ object CurationPipeline {
   }
 
   /** Stage 4: token accounting columns. */
+  /** CONTENT-derived language-ID audit (the optional curation stage the
+    * `Config.langIdAudit` flag wires in): hashed char-trigram frequency
+    * features ([[TextOps.charTrigrams]] → [[graft.ops.LogReg.bucketOf]])
+    * train the full-batch logistic-regression one-vs-rest classifier
+    * against the DECLARED `lang` column (q94's trainer and determinism
+    * schedule: weights 6-decimal rounded between iterations), then every
+    * doc is re-scored from its own bytes. Returns the input annotated
+    * with `lang_pred` (target lang or "other", margin 6-decimal rounded
+    * before the sign test so engine sum-order wobble cannot flip it) and
+    * `lang_agree` (content vs declaration) — the caller decides whether
+    * disagreement means drop (mislabeled doc) or review. Scale shape:
+    * the model is `dims` doubles riding plans as a literal; per
+    * iteration one job over the persisted sparse feature table; the
+    * scoring pass is the same feature table joined once — corpus text
+    * never shuffles beyond the trigram aggregation. */
+  def langIdAnnotate(docs: DataFrame, dims: Int = 32, iters: Int = 2,
+      targetLang: String = "en", id: String = "doc_id",
+      text: String = "text", lang: String = "lang"): DataFrame = {
+    import graft.ops.LogReg
+    val grams = graft.sources.Tables.spread(docs)
+      .select(col(id).as("doc_id"),
+        explode(TextOps.charTrigrams(col(text))).as("term"))
+    val nt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val feat = grams
+      .select(col("doc_id"), LogReg.bucketOf(col("term"), dims).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("j"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .persist()
+    try {
+      val labels = docs.select(col(id).as("doc_id"),
+        when(col(lang) === targetLang, 1.0).otherwise(0.0).as("y"))
+      val w = LogReg.train(feat, labels, dims, iters)
+      val wLit = array(w.map(lit): _*)
+      val z = feat
+        .select(col("doc_id"),
+          (col("x") * element_at(wLit, col("j") + 1)).as("t"))
+        .groupBy(col("doc_id")).agg(sum(col("t")).as("__z"))
+      // featureless docs (< 3 chars) score z = 0 → predicted target:
+      // sigmoid(0) = 0.5 sits ON the boundary and >= breaks toward the
+      // positive class, the same closed form the oracle replays
+      docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
+        .withColumn("lang_pred",
+          when(round(coalesce(col("__z"), lit(0.0)), 6) >= 0,
+            lit(targetLang)).otherwise(lit("other")))
+        .withColumn("lang_agree",
+          (col(lang) === targetLang) === (col("lang_pred") === targetLang))
+        .drop("__z")
+    } finally { feat.unpersist(); () }
+  }
+
   def withTokenCounts(docs: DataFrame, text: String = "text"): DataFrame =
     docs.withColumn("ws_tokens", size(TextOps.words(col(text))))
       .withColumn("bpe_tokens", TextOps.bpeishTokenCountOf(text))
@@ -266,7 +324,14 @@ object CurationPipeline {
     * releases with `curated.unpersist()` when done. */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
     val exact = exactDedup(docs).persist()
-    val quality = qualityGate(exact, cfg).persist()
+    val qualityOnly = qualityGate(exact, cfg)
+    // optional content-derived language audit: docs whose trigram-scored
+    // language disagrees with their declared `lang` drop here (the
+    // flag's contract: mislabeled docs are curation losses, not keeps)
+    val quality = (if (cfg.langIdAudit)
+      langIdAnnotate(qualityOnly, targetLang = cfg.langIdTarget)
+        .where(col("lang_agree")).drop("lang_pred", "lang_agree")
+    else qualityOnly).persist()
     val (near, nearCleanup) = nearDedupStaged(quality, cfg)
     val curated = withTokenCounts(near).persist()
     try {

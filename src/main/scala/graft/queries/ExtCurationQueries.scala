@@ -1444,6 +1444,80 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |       FROM w1 LEFT JOIN g2 USING (j))
       |SELECT j AS dim, round(w, 4) AS weight FROM w2 ORDER BY dim""".stripMargin
 
+  // ----------------------------------------------------------------- q183
+  /** CONTENT-derived language ID under the oracle — the q25 heuristic
+    * upgraded to a TRAINED classifier and wired as the optional
+    * curation-v3 audit stage ([[CurationPipeline.langIdAnnotate]],
+    * `Config.langIdAudit`): hashed char-trigram frequency features
+    * (Cavnar–Trenkle n-gram profiles → q80's md5-prefix hashing
+    * convention, 32 dims) train q94's full-batch logistic regression
+    * one-vs-rest against the DECLARED `lang` column (2 iterations,
+    * weights 6-decimal rounded between them — the closed-form unroll
+    * rule), then every doc is re-scored FROM ITS OWN BYTES and the
+    * output is the per-language confusion summary (docs, predicted-en,
+    * declaration agreement). The oracle unrolls the entire train +
+    * score + aggregate chain in SQL — a drifted feature hash, a wrong
+    * gradient, a mis-rounded weight or a flipped prediction boundary
+    * all hash-mismatch. The per-doc margin rounds to 6 decimals BEFORE
+    * the sign test so engine sum-order wobble (~1e-15) cannot flip a
+    * prediction. Scale shape: q94's — the model rides plans as a
+    * 32-double literal, per iteration one job over the persisted sparse
+    * feature table, the driver collects exactly 32 gradient rows. */
+  private[queries] def q183(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    CurationPipeline.langIdAnnotate(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+        sum(when(col("lang_agree"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("acc_r",
+        round(col("n_agree").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"))
+  }
+  private[queries] val q183Sql =
+    """WITH d AS MATERIALIZED (SELECT doc_id, lang, text FROM documents),
+      |tri AS MATERIALIZED (
+      |  SELECT doc_id, unnest([substr(text, CAST(i AS INT), 3)
+      |                         for i in range(1, greatest(len(text) - 1, 1))])
+      |           AS term
+      |  FROM d),
+      |feat0 AS (SELECT doc_id,
+      |            CAST(('0x' || substr(md5(term), 1, 6))::BIGINT % 32 AS INT) AS j,
+      |            count(*) AS c
+      |          FROM tri GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      |x AS MATERIALIZED (SELECT doc_id, j, c * 1.0 / n AS x
+      |      FROM feat0 JOIN nt USING (doc_id)),
+      |y AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM d),
+      |nn AS (SELECT count(*) AS n FROM d),
+      |dims AS (SELECT unnest(range(0, 32)) AS j),
+      |g1 AS (SELECT x.j, sum((0.5 - y.y) * x.x) AS g
+      |       FROM x JOIN y USING (doc_id) GROUP BY 1),
+      |w1 AS MATERIALIZED (SELECT dims.j,
+      |         round(0.0 - coalesce(g1.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM dims LEFT JOIN g1 USING (j)),
+      |z2 AS (SELECT x.doc_id, sum(x.x * w1.w) AS z
+      |       FROM x JOIN w1 USING (j) GROUP BY 1),
+      |g2 AS (SELECT x.j, sum((1.0 / (1.0 + exp(-z2.z)) - y.y) * x.x) AS g
+      |       FROM x JOIN z2 USING (doc_id) JOIN y USING (doc_id) GROUP BY 1),
+      |w2 AS MATERIALIZED (SELECT w1.j,
+      |         round(w1.w - coalesce(g2.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM w1 LEFT JOIN g2 USING (j)),
+      |zs AS (SELECT d.doc_id, d.lang,
+      |         coalesce((SELECT sum(x.x * w2.w) FROM x JOIN w2 USING (j)
+      |                   WHERE x.doc_id = d.doc_id), 0.0) AS z
+      |       FROM d),
+      |p AS (SELECT doc_id, lang, round(z, 6) >= 0 AS pred_en FROM zs)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pred_en,
+      |       CAST(sum(CASE WHEN (lang = 'en') = pred_en THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_agree,
+      |       round(sum(CASE WHEN (lang = 'en') = pred_en THEN 1 ELSE 0 END)
+      |             * 1.0 / count(*), 4) AS acc_r
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------ q89
   /** Curation v3 — the chain recomposed around the round's new stages:

@@ -161,6 +161,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q180_ts_h264_chain", q180, Some(q180Sql)),
     Decl("q181_hybrid_rrf_fusion", q181, Some(q181Sql)),
     Decl("q182_pdf_text_extract", q182, Some(q182Sql)),
+    Decl("q183_langid_trained", q183, Some(q183Sql)),
     Decl("q184_zip_pdf_chain", q184, Some(q184Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —

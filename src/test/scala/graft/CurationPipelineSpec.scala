@@ -34,6 +34,44 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(r.getAs[Long]("total_ws_tokens") > 0)
   }
 
+  test("langIdAudit flag: the content-derived language audit drops " +
+    "declaration-disagreeing docs and nothing else") {
+    // two separable populations: 'en' docs over one vocabulary, 'xx'
+    // docs over a disjoint one — plus one doc DECLARED en whose bytes
+    // are pure xx (a mislabel the audit must catch) and one declared xx
+    // with en bytes. 2-iteration trigram LogReg separates these easily.
+    // per-doc unique filler tokens keep every doc OUTSIDE near-dup range
+    // of its population (the audit must be the only stage that drops)
+    def enText(tag: String) =
+      (0 until 30).map(j => s"the quick brown fox $tag$j").mkString(" ")
+    def xxText(tag: String) =
+      (0 until 30).map(j => s"zorp blix vemk gluf $tag$j").mkString(" ")
+    val docs = ((0 until 12).map(i => (i.toLong, "en", enText(s"a${i}b"))) ++
+      (12 until 24).map(i => (i.toLong, "xx", xxText(s"c${i}d"))) ++
+      Seq((100L, "en", xxText("e9f")), (101L, "xx", enText("g9h"))))
+      .toDF("doc_id", "lang", "text")
+    val annotated = CurationPipeline.langIdAnnotate(docs)
+    val disagree = annotated.where(!col("lang_agree"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(disagree == Set(100L, 101L),
+      s"exactly the two mislabeled docs must disagree, got $disagree")
+    // and through the curate() flag: both mislabels drop, the clean
+    // population is untouched by this stage
+    val cfg = CurationPipeline.Config(minWords = 3, langIdAudit = true)
+    val (curated, _) = CurationPipeline.curate(docs, cfg)
+    val survivors = curated.select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(100L) && !survivors.contains(101L),
+      "flagged mislabels must drop in the audit stage")
+    assert(survivors.contains(0L) && survivors.contains(12L))
+    curated.unpersist()
+    // flag off: the same config keeps the mislabels (stage not wired)
+    val (kept, _) = CurationPipeline.curate(docs,
+      cfg.copy(langIdAudit = false))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.contains(100L) && keptIds.contains(101L))
+    kept.unpersist()
+  }
+
   test("maxBucket knob: the default cap keeps a mass-templated near-dup " +
     "cluster (documented trade); maxBucket=None dedups it") {
     // 80 near-identical long docs (> DefaultMaxBucket=64 per LSH bucket)
