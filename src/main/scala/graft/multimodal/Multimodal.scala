@@ -858,7 +858,8 @@ object Multimodal {
 
   /** One parsed ADTS stream as a row ([[AdtsCodec]]). */
   case class AdtsMetaRow(doc_id: Long, n_frames: Int, profile: Int,
-      sample_rate: Int, channels: Int, audio_bytes: Long, duration_ms: Long)
+      sample_rate: Int, channels: Int, audio_bytes: Long, duration_ms: Long,
+      crc_frames: Int)
 
   /** Batched REAL ADTS transport walk: every payload's frame headers
     * through [[AdtsCodec.parse]] — the raw-AAC ingest surface next to
@@ -875,7 +876,7 @@ object Multimodal {
             s"got ${r.mime}")
         val m = AdtsCodec.parse(r.doc_id, r.content)
         AdtsMetaRow(r.doc_id, m.nFrames, m.profile, m.sampleRate,
-          m.channels, m.audioBytes, m.durationMs)
+          m.channels, m.audioBytes, m.durationMs, m.crcFrames)
       })
     }
   }

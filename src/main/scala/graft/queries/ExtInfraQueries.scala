@@ -1888,10 +1888,15 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     * sync, layer, AAC-LC profile, the published frequency table, the
     * 13-bit header-inclusive frame length, the tiling invariant — in
     * O(nFrames) header reads, payload never decoded (the raw data
-    * block is the documented entropy seam, exactly MP3's). The oracle
+    * block is the documented entropy seam, exactly MP3's). Every third
+    * stream is CRC-PROTECTED (protection_absent = 0): its per-frame
+    * ISO 11172-3 CRC-16 words must VERIFY during the walk, and the
+    * `crc_frames` column pins that the protected/plain mix decoded
+    * through the right header geometry (9 vs 7 bytes). The oracle
     * rebuilds frame counts, audio byte totals (a per-frame arithmetic
-    * sum) and the 1024-samples-per-frame duration closed-form. Scale
-    * shape: one narrow mapPartitions stage; blobs never shuffle. */
+    * sum), the 1024-samples-per-frame duration and the CRC-frame
+    * counts closed-form. Scale shape: one narrow mapPartitions stage;
+    * blobs never shuffle. */
   private[queries] def q178(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{AdtsCodec, Multimodal}
@@ -1903,13 +1908,14 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
             sampleRateIdx = (docId % 13).toInt,
             channels = (1 + docId % 7).toInt,
             nFrames = (2 + docId % 6).toInt,
-            payloadLen = i => (20 + ((docId + i) % 5) * 3).toInt),
+            payloadLen = i => (20 + ((docId + i) % 5) * 3).toInt,
+            crc = docId % 3 == 0), // every third stream CRC-protected
           "audio/aac")
       }).toDF()
     Multimodal.adtsMetaBatched(spark, media).toDF()
       .select(col("doc_id"), col("n_frames"), col("profile"),
         col("sample_rate"), col("channels"), col("audio_bytes"),
-        col("duration_ms"))
+        col("duration_ms"), col("crc_frames"))
       .orderBy(col("doc_id"))
   }
   private[queries] val q178Sql =
@@ -1927,7 +1933,9 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       |       CAST(p.sr AS INT) AS sample_rate, p.channels,
       |       CAST(ab.audio_bytes AS BIGINT) AS audio_bytes,
       |       CAST(CAST(p.n_frames AS BIGINT) * 1024 * 1000 // p.sr AS BIGINT)
-      |         AS duration_ms
+      |         AS duration_ms,
+      |       CAST(CASE WHEN p.doc_id % 3 = 0 THEN p.n_frames ELSE 0 END
+      |         AS INT) AS crc_frames
       |FROM p JOIN ab USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 

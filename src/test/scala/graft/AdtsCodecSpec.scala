@@ -46,6 +46,29 @@ class AdtsCodecSpec extends AnyFunSuite {
     assert(bad(Array.empty[Byte]).contains("empty"))
   }
 
+  test("CRC-protected frames round-trip; corrupt payload or CRC fails loudly") {
+    // parameter sweep fuzz: every (sfi, channels, frame-count) shape
+    // writes protection_absent=0 frames whose CRC-16 must verify
+    for (s <- Seq(0, 4, 12); ch <- Seq(1, 2, 7); nf <- Seq(1, 3, 6)) {
+      val bytes = AdtsCodec.encode(s, ch, nf,
+        payloadLen = i => 8 + 5 * i, crc = true)
+      val m = AdtsCodec.parse(7L, bytes)
+      assert(m.nFrames == nf && m.crcFrames == nf)
+      assert(m.audioBytes + nf.toLong * (AdtsCodec.HeaderBytes +
+        AdtsCodec.CrcBytes) == bytes.length, "CRC tiling invariant")
+    }
+    // plain streams report zero CRC frames
+    assert(AdtsCodec.parse(7L, AdtsCodec.encode(4, 2, 3, _ => 10)).crcFrames == 0)
+    // flip bytes across the protected region: every corruption of the
+    // payload OR the stored CRC word must fail as a CRC mismatch
+    val ok = AdtsCodec.encode(4, 2, 1, _ => 12, crc = true)
+    for (i <- AdtsCodec.HeaderBytes until ok.length) {
+      val bad = ok.clone(); bad(i) = (bad(i) ^ 0x41).toByte
+      val e = intercept[IllegalArgumentException](AdtsCodec.parse(9L, bad))
+      assert(e.getMessage.contains("CRC mismatch"), s"byte $i: ${e.getMessage}")
+    }
+  }
+
   test("mid-stream parameter changes are rejected") {
     val a = AdtsCodec.encode(4, 2, 1, _ => 10)
     val b = AdtsCodec.encode(5, 2, 1, _ => 10)
