@@ -54,8 +54,9 @@ object Bench {
     }
     calibrate() // warm the probe's own codegen path
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    // Optional substring filter for iterating on one query locally,
-    // e.g. SPARK_GRAFT_BENCH_ONLY=q34.
+    // Optional substring filter for iterating on one query locally —
+    // comma-separated alternatives OR together, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q34 or SPARK_GRAFT_BENCH_ONLY=q92,q112.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     // Sweep order: plain queries alphabetically FIRST, then the
     // scratch-staging lifecycle queries (index builds, streaming
@@ -67,7 +68,8 @@ object Bench {
     val lifecycle = graft.queries.ExtQueries.lifecycleNames
     val selected = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (lifecycle.contains(n), n) }
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) =>
+        only.forall(_.split(',').exists(p => p.nonEmpty && n.contains(p))) }
     // Flush dirty pages synchronously so deferred writeback from a
     // scratch-heavy query is charged to the inter-query gap (invisible:
     // the artifact sums per-query times, not wall clock) instead of to

@@ -367,20 +367,30 @@ object InvertedIndex {
         val ann = probe(spark, path, q, k,
           excludeGen = batchId.map(b => genOf(Some(b))), cfg = layout,
           maxPostings = maxPostings)
-        val result = materialize(
-          ann.select(col("query_id").as("probe_id"), col("rn"),
-            col("doc_id").as("match_id"), round(col("score"), 4).as("score_r")))
+        val log = ann.select(col("query_id").as("probe_id"), col("rn"),
+          col("doc_id").as("match_id"), round(col("score"), 4).as("score_r"))
         val mode = if (batchId.isDefined) "replace-gen" else "append"
         val gen = genOf(batchId)
         // independent targets (postings vs termdf vs stats) — append
         // concurrently; the termdf sidecar exists only in the
         // impact-ordered era (appends adopt the index's layout)
-        Par.all(Seq(
+        val appendJobs: Seq[() => Unit] = Seq(
           () => writePartitioned(post, postingsPath(path), layout, mode, gen),
           () => writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen)) ++
           (if (layout.impactOrdered)
             Seq(() => writeTermDf(post, termdfPath(path), layout, mode, gen))
-          else Nil): _*)
+          else Nil)
+        var result: DataFrame = spark.emptyDataFrame
+        if (batchId.isDefined)
+          // one concurrent round: the probe's scans (postings, termdf,
+          // stats) all exclude gen=b<id> — the only generation the
+          // appends write — and their listings froze at construction
+          // (the LshIndex.probeAppendCore rule; halves the per-batch
+          // job floor). Ad-hoc appends share gen=adhoc with the probe's
+          // scans → strict materialize-then-append order below.
+          Par.all((Seq(() => { result = materialize(log); () })
+            ++ appendJobs): _*)
+        else { result = materialize(log); Par.all(appendJobs: _*) }
         result
       } finally { post.unpersist(); () }
     }

@@ -245,11 +245,19 @@ object IvfIndex {
       val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"))
-      // k rows per batch vector — bounded by construction; materialize
-      // before the append below mutates the table the plan reads
-      val result = materialize(ann)
-      writeGen(assigned.select(col("vec_id"), col("embedding"), col("cell")),
-        path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
+      // k rows per batch vector — bounded by construction
+      val appendJob: () => Unit = () =>
+        writeGen(assigned.select(col("vec_id"), col("embedding"), col("cell")),
+          path, files, if (batchId.isDefined) "replace-gen" else "append", gen)
+      var result: DataFrame = spark.emptyDataFrame
+      if (batchId.isDefined)
+        // one concurrent round: the ANN plan's listing froze at
+        // construction and its scan excludes gen=b<id> — the only
+        // partition the append writes (the LshIndex.probeAppendCore
+        // rule; halves the per-batch job floor). Ad-hoc appends share
+        // gen=adhoc with the probe's scan → strict order below.
+        Par.all(() => { result = materialize(ann); () }, appendJob)
+      else { result = materialize(ann); appendJob() }
       result
     } finally assigned.unpersist()
   }

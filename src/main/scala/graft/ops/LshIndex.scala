@@ -440,22 +440,37 @@ object LshIndex {
       val (probe, newBands, layout) = probePairs(spark, path, sig, cfg, id,
         extraCaches = Seq(sig), excludeGen = batchId.map(b => genOf(Some(b))))
       probeCaches = probe.caches
-      val result = materialize(probe.pairs)
-      // Append AFTER the probe is materialized: the probe must see the
-      // pre-batch index, and the materialized result no longer reads it.
-      // Appends reuse the PERSISTED hash-bucket layout, so the files
-      // land in (and future probes prune to) the right directories.
       val mode = if (batchId.isDefined) "replace-gen" else "append"
       val gen = genOf(batchId)
       // independent targets (bands vs sigs), shared input persisted
       // (sig) or driver-local (newBands) — append concurrently
-      Par.all(
+      val appendJobs: Seq[() => Unit] = Seq(
         () => writePartitioned(newBands.withColumn("__part", bandPk(layout)),
           bandsPath(path), layout.bandFiles, mode, gen, col("band"), col("key")),
         () => writePartitioned(
           sig.select(col(id).as("doc_id"), col("sh"))
             .withColumn("__part", sigPs(layout, col("doc_id"))),
           sigsPath(path), layout.sigFiles, mode, gen, col("doc_id")))
+      var result: DataFrame = spark.emptyDataFrame
+      if (batchId.isDefined) {
+        // The probe materialization COMMUTES with the generation appends
+        // when the batch owns a generation: the probe plan's file
+        // listing froze at construction and its partition filter
+        // excludes gen=b<id> — the only directories the appends touch —
+        // so "the probe sees the pre-batch index" holds with all three
+        // actions in ONE concurrent round (one job-floor per micro-batch
+        // instead of two, the last streaming-floor cut). Retries
+        // converge in either order: every sink is dynamic partition
+        // overwrite keyed on the same batch id.
+        Par.all((Seq(() => { result = materialize(probe.pairs); () })
+          ++ appendJobs): _*)
+      } else {
+        // ad-hoc appends land in the shared `adhoc` generation the probe
+        // does NOT exclude — keep the strict materialize-then-append
+        // order there
+        result = materialize(probe.pairs)
+        Par.all(appendJobs: _*)
+      }
       result
     } finally probeCaches.foreach(_.unpersist())
   }

@@ -270,14 +270,21 @@ object PqIndex {
       val ann = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
           round(col("adc"), 4).as("adc_dist"))
-      // k rows per batch vector — bounded; materialize before the append
-      val result = materialize(ann)
+      // k rows per batch vector — bounded
       // UNCLUSTERED append (LSM write path): the per-batch delta skips
       // the range-shuffle + sort — compact() restores the clustered
       // layout for the accumulated generations (see writeGen).
-      writeGen(coded.drop("embedding"), path, files,
-        if (batchId.isDefined) "replace-gen" else "append", gen,
-        cluster = false)
+      val appendJob: () => Unit = () =>
+        writeGen(coded.drop("embedding"), path, files,
+          if (batchId.isDefined) "replace-gen" else "append", gen,
+          cluster = false)
+      var result: DataFrame = spark.emptyDataFrame
+      if (batchId.isDefined)
+        // one concurrent round — the ANN plan excludes gen=b<id>, the
+        // only partition the append writes (LshIndex.probeAppendCore
+        // rule); ad-hoc appends keep the strict order.
+        Par.all(() => { result = materialize(ann); () }, appendJob)
+      else { result = materialize(ann); appendJob() }
       // this append carries cells whenever pruning is configured — mark
       // the post-append listing valid so the next batch skips the scan
       prune.foreach(_ => cellValidated.put(path, genListing(spark, path)))

@@ -211,12 +211,21 @@ object SimHashIndex {
         .where(col("hamming") <= layout.maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming")))
         .orderBy(col("doc_a"), col("doc_b"))
-      val result = materialize(pairs)
-      GenTable.writePartitioned(
+      val appendJob: () => Unit = () => GenTable.writePartitioned(
         newBands.withColumn("__part", bandPk(layout)),
         bandsPath(path), layout.bandFiles,
         if (batchId.isDefined) "replace-gen" else "append",
         gen.getOrElse("adhoc"), col("band"), col("key"))
+      var result: DataFrame = spark.emptyDataFrame
+      if (batchId.isDefined)
+        // materialize and append in ONE concurrent round — the pairs
+        // plan's listing froze at construction and its partition filter
+        // excludes gen=b<id>, the only directories the append touches
+        // (the LshIndex.probeAppendCore rule; halves the per-batch job
+        // floor). Ad-hoc appends share gen=adhoc with the probe's scan,
+        // so they keep the strict order below.
+        Par.all(() => { result = materialize(pairs); () }, appendJob)
+      else { result = materialize(pairs); appendJob() }
       result
     } finally cache.foreach(_.unpersist())
   }
