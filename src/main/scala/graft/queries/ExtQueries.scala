@@ -162,7 +162,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q181_hybrid_rrf_fusion", q181, Some(q181Sql)),
     Decl("q182_pdf_text_extract", q182, Some(q182Sql)),
     Decl("q183_langid_trained", q183, Some(q183Sql)),
-    Decl("q184_zip_pdf_chain", q184, Some(q184Sql)))
+    Decl("q184_zip_pdf_chain", q184, Some(q184Sql)),
+    Decl("q185_hybrid_fusion_audit", q185, Some(q185Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -191,5 +192,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q172_stream_graph_autocompact", "q173_bm25_index_topk",
     "q174_bm25_index_incremental", "q175_stream_bm25_ingest",
     "q176_bm25_takedown_compact", "q177_matryoshka_ivf",
-    "q181_hybrid_rrf_fusion")
+    "q181_hybrid_rrf_fusion", "q185_hybrid_fusion_audit")
 }

@@ -276,8 +276,17 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
     * already-audited bounded probe (pk-pruned postings / cell-pruned
     * corpus); the fusion joins two ≤ |queries|·SideK rank lists —
     * probe-batch-sized, never corpus-sized. */
-  private[queries] def q181(spark: SparkSession, dir: String): DataFrame = {
-    val SideK = 10; val FuseK = 5; val RrfC = 60; val NProbe = 2
+  private val HybridSideK = 10
+  private val HybridFuseK = 5
+  private val HybridRrfC = 60
+
+  /** The shared hybrid frame q181 (fused top-k) and q185 (fusion audit)
+    * both rank: both legs' top-`HybridSideK` lists full-outer-joined per
+    * (query, doc), with NULLABLE per-leg ranks, the RRF score and the
+    * fused rank `frn`. One source of truth for the probe set, the leg
+    * semantics and every tie rule. */
+  private def hybridFused(spark: SparkSession, dir: String): DataFrame = {
+    val NProbe = 2
     // ---- sparse leg: distilled 2-term queries through the postings
     val bmPath = GraphFixtures.bm25FullDir(spark, dir)
     val ptf = Tables.documents(spark, dir)
@@ -291,9 +300,10 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
       .select(col("doc_id").as("query_id"), col("term"))
     val wb = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val bm = InvertedIndex.probe(spark, bmPath, qt, k = SideK + 1)
+    val bm = InvertedIndex.probe(spark, bmPath, qt, k = HybridSideK + 1)
       .where(col("doc_id") =!= col("query_id"))
-      .withColumn("brn", row_number().over(wb)).where(col("brn") <= SideK)
+      .withColumn("brn", row_number().over(wb))
+      .where(col("brn") <= HybridSideK)
       .select(col("query_id"), col("doc_id"), col("brn"))
     // ---- dense leg: persisted quantizer + cell-clustered corpus
     val ivfDir = GraphFixtures.ivfFullDir(spark, dir)
@@ -314,26 +324,35 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
         col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         CosineSimilarity.cosineSim(spark, col("embedding"), col("probe")))
-      .withColumn("drn", row_number().over(wd)).where(col("drn") <= SideK)
+      .withColumn("drn", row_number().over(wd))
+      .where(col("drn") <= HybridSideK)
       .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
         col("drn"))
     // ---- fuse: RRF over the two rank lists (leg absent → no addend)
-    val fused = bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (col("brn") + RrfC), lit(0.0)) +
-          coalesce(lit(1.0) / (col("drn") + RrfC), lit(0.0)))
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
-    val out = fused.withColumn("frn", row_number().over(wf))
-      .where(col("frn") <= FuseK)
+    bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("brn") + HybridRrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("drn") + HybridRrfC), lit(0.0)))
+      .withColumn("frn", row_number().over(wf))
+  }
+
+  private[queries] def q181(spark: SparkSession, dir: String): DataFrame = {
+    val out = hybridFused(spark, dir)
+      .where(col("frn") <= HybridFuseK)
       .select(col("query_id"), col("frn"), col("doc_id"),
         round(col("rrf"), 6).as("rrf_r"),
         coalesce(col("brn"), lit(0)).as("bm25_rn"),
         coalesce(col("drn"), lit(0)).as("dense_rn"))
     localizeRows(out, Seq("query_id", "frn"))
   }
-  private[queries] lazy val q181Sql =
-    s"""WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+  /** The hybrid CTE chain shared by q181 and q185: both legs' top-10
+    * lists, full-outer-joined with NULLABLE per-leg ranks, RRF and the
+    * fused rank — ends in `franked` (query_id, doc_id, brn, drn, rrf,
+    * frn). The relational mirror of [[hybridFused]]. */
+  private lazy val hybridCtes: String =
+    s"""docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
        |pdocs AS (SELECT doc_id, text FROM documents
        |       WHERE doc_id >= 16 AND doc_id < 21),
        |${distillCtes("h", "pdocs", "q")},
@@ -368,21 +387,80 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
        |        row_number() OVER (PARTITION BY probe_id
        |          ORDER BY cos DESC, vec_id) AS drn
        |      FROM dcand QUALIFY drn <= 10),
-       |fused AS (
+       |fusedraw AS (
        |  SELECT coalesce(b.query_id, d.probe_id) AS query_id,
        |         coalesce(b.doc_id, d.vec_id) AS doc_id,
        |         coalesce(1.0 / (b.brn + 60), 0) +
        |           coalesce(1.0 / (d.drn + 60), 0) AS rrf,
-       |         coalesce(b.brn, 0) AS bm25_rn, coalesce(d.drn, 0) AS dense_rn
+       |         b.brn AS brn, d.drn AS drn
        |  FROM bmr b FULL OUTER JOIN dnr d
-       |    ON b.query_id = d.probe_id AND b.doc_id = d.vec_id)
-       |SELECT query_id,
-       |       row_number() OVER (PARTITION BY query_id
-       |         ORDER BY rrf DESC, doc_id) AS frn,
-       |       doc_id, round(rrf, 6) AS rrf_r, bm25_rn, dense_rn
-       |FROM fused
-       |QUALIFY frn <= 5
+       |    ON b.query_id = d.probe_id AND b.doc_id = d.vec_id),
+       |franked AS (
+       |  SELECT query_id, doc_id, brn, drn, rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf DESC, doc_id) AS frn
+       |  FROM fusedraw)""".stripMargin
+
+  private[queries] lazy val q181Sql =
+    s"""WITH $hybridCtes
+       |SELECT query_id, frn, doc_id, round(rrf, 6) AS rrf_r,
+       |       coalesce(brn, 0) AS bm25_rn, coalesce(drn, 0) AS dense_rn
+       |FROM franked
+       |WHERE frn <= 5
        |ORDER BY query_id, frn""".stripMargin
+
+  // ----------------------------------------------------------------- q185
+  /** HYBRID-FUSION AUDIT — the metrics row that tells an operator what
+    * each retrieval leg contributed (the q87/q125 recall-audit rule
+    * applied to q181's fusion): per query, the leg-overlap size over
+    * both full top-10 lists, the fused top-5's source composition
+    * (consensus / BM25-only / dense-only), and the reciprocal rank each
+    * leg gave the fused winner (0 = that leg missed it entirely). All
+    * metrics are integer-and-rank arithmetic over [[hybridFused]]'s
+    * rows, so they are bit-stable exactly where q181 is, and the oracle
+    * replays the identical CTE chain plus the aggregation. A hybrid
+    * deployment watches exactly these numbers: overlap collapsing to 10
+    * means the dense leg adds nothing; dense-only rows in the fused
+    * top-k are what hybrid BUYS over plain BM25. */
+  private[queries] def q185(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = hybridFused(spark, dir)
+    val inTop = col("frn") <= HybridFuseK
+    val out = ranked.groupBy(col("query_id")).agg(
+      sum(when(col("brn").isNotNull && col("drn").isNotNull, 1L)
+        .otherwise(0L)).as("n_overlap"),
+      sum(when(inTop && col("brn").isNotNull && col("drn").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"),
+      sum(when(inTop && col("brn").isNotNull && col("drn").isNull, 1L)
+        .otherwise(0L)).as("n_bm25_only"),
+      sum(when(inTop && col("drn").isNotNull && col("brn").isNull, 1L)
+        .otherwise(0L)).as("n_dense_only"),
+      round(max(when(col("frn") === 1,
+        coalesce(lit(1.0) / col("brn"), lit(0.0)))), 6).as("rr_bm25_r"),
+      round(max(when(col("frn") === 1,
+        coalesce(lit(1.0) / col("drn"), lit(0.0)))), 6).as("rr_dense_r"))
+    localizeRows(out, Seq("query_id"))
+  }
+  private[queries] lazy val q185Sql =
+    s"""WITH $hybridCtes
+       |SELECT query_id,
+       |       CAST(sum(CASE WHEN brn IS NOT NULL AND drn IS NOT NULL
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       CAST(sum(CASE WHEN frn <= 5 AND brn IS NOT NULL
+       |                AND drn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_both,
+       |       CAST(sum(CASE WHEN frn <= 5 AND brn IS NOT NULL
+       |                AND drn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_bm25_only,
+       |       CAST(sum(CASE WHEN frn <= 5 AND drn IS NOT NULL
+       |                AND brn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dense_only,
+       |       round(max(CASE WHEN frn = 1
+       |                 THEN coalesce(1.0 / brn, 0) END), 6) AS rr_bm25_r,
+       |       round(max(CASE WHEN frn = 1
+       |                 THEN coalesce(1.0 / drn, 0) END), 6) AS rr_dense_r
+       |FROM franked
+       |GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
 
   private[queries] lazy val q176Sql =
     """WITH live AS MATERIALIZED (SELECT doc_id, text FROM documents

@@ -74,7 +74,21 @@ class IndexCompatSpec extends SparkSpecBase {
   }
 
   test("BM25 inverted index written by the previous layout era replays identically") {
+    // the r16 (pre-impact-order) fixture: current code must ADOPT the
+    // legacy layout — probe via the window/scan-df fallbacks, append in
+    // the legacy schema — and still converge on the recorded rows
     check("bm25")(p => graft.ops.InvertedIndex.probeAndAppend(
+      spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
+  }
+
+  test("BM25 inverted index written by the impact-ordered era replays identically") {
+    // the r17 fixture: postings carry the materialized irn rank, df
+    // comes from the termdf sidecar — both the layout and the recorded
+    // match log must survive every future era
+    val fixturePost = s"$fixture/bm25_v2/postings"
+    assert(spark.read.parquet(fixturePost).columns.contains("irn"),
+      "bm25_v2 fixture must be the impact-ordered era")
+    check("bm25_v2")(p => graft.ops.InvertedIndex.probeAndAppend(
       spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
   }
 

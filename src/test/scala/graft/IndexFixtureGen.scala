@@ -86,6 +86,18 @@ object IndexFixtureGen {
         IndexFixtureData.batchDocs(spark), batchId = Some(0L)), "expected_bm25")
     }
 
+    family("bm25v2") {
+      // r17's impact-ordered era gets its OWN committed fixture next to
+      // the r16 one (which IndexCompatSpec keeps replaying through the
+      // legacy-adoption path): postings with the materialized irn rank
+      // column, the termdf df sidecar and the stamped meta — so a
+      // future layout change must keep BOTH eras replaying
+      graft.ops.InvertedIndex.build(docs, s"$out/bm25_v2")
+      save(graft.ops.InvertedIndex.probeAndAppend(spark, s"$out/bm25_v2",
+        IndexFixtureData.batchDocs(spark), batchId = Some(0L)),
+        "expected_bm25_v2")
+    }
+
     family("bpe") {
       // a vocab whose round-1 merges consume round-0 PRODUCTS, so the
       // committed artifact exercises the round-chained replay, not just
