@@ -163,7 +163,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q182_pdf_text_extract", q182, Some(q182Sql)),
     Decl("q183_langid_trained", q183, Some(q183Sql)),
     Decl("q184_zip_pdf_chain", q184, Some(q184Sql)),
-    Decl("q185_hybrid_fusion_audit", q185, Some(q185Sql)))
+    Decl("q185_hybrid_fusion_audit", q185, Some(q185Sql)),
+    Decl("q186_phrase_bm25", q186, Some(q186Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

@@ -462,6 +462,89 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
        |GROUP BY query_id
        |ORDER BY query_id""".stripMargin
 
+  // ----------------------------------------------------------------- q186
+  /** PHRASE retrieval under the oracle — the positional dimension the
+    * single-term BM25 family (q130/q173) lacks: a phrase query matches
+    * only docs where its words are ADJACENT, which bag-of-words scoring
+    * cannot express. Bigram "phrases" derive in-row (zip_with over the
+    * token array — positions never shuffle; the only corpus exchange is
+    * the (doc, phrase) tf aggregation), the 4 highest-df phrases become
+    * the queries (df desc / phrase asc, q173's derivation discipline),
+    * and matching docs rank by the exact q130 BM25 expression with the
+    * phrase's own tf/df (single addend — bit-stable without ordering
+    * tricks). The oracle rebuilds bigrams, df, corpus stats and the
+    * ranking closed-form (DuckDB list comprehension), so a drifted
+    * adjacency rule, an off-by-one pair window or a wrong phrase df all
+    * hash-mismatch. This is the from-scratch spelling (what q130 is to
+    * q173): the persisted production form adds a positions sidecar to
+    * [[InvertedIndex]] — (term, doc_id, pos) under the same (pk, gen)
+    * layout — and intersects the probed terms' position lists instead
+    * of re-tokenizing; the ranking semantics pinned here carry over
+    * unchanged. */
+  private[queries] def q186(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val w = TextOps.words(col("text"))
+    // adjacent-pair phrases, computed IN-ROW: no positions ever shuffle
+    val bg = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val base = docs.select(col("doc_id"), size(w).as("dl"),
+      explode(bg).as("phrase"))
+    val ptf = base.groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val qt = ptf.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("phrase")).limit(4)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(col("df").desc, col("phrase"))) - 1)
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(TextOps.words(col("text")))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    ptf.join(broadcast(qt), Seq("phrase"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * tfn)
+      .withColumn("rn", row_number().over(wr)).where(col("rn") <= 10)
+      .select(col("query_id"), col("phrase"), col("rn"), col("doc_id"),
+        round(col("s"), 4).as("bm25_r"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+  private[queries] lazy val q186Sql =
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, len(w) AS dl,
+      |         unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+      |                 for i in range(1, greatest(len(w), 1))]) AS phrase
+      |  FROM d),
+      |ptf AS MATERIALIZED (
+      |  SELECT doc_id, phrase, count(*) AS tf, max(dl) AS dl
+      |  FROM bg GROUP BY 1, 2),
+      |qt AS (SELECT phrase, df, row_number() OVER (ORDER BY df DESC, phrase)
+      |                - 1 AS query_id
+      |       FROM (SELECT phrase, count(*) AS df FROM ptf GROUP BY 1)
+      |       ORDER BY df DESC, phrase LIMIT 4),
+      |st AS (SELECT count(*) AS n,
+      |              avg(len(string_split(text, ' '))) AS avgdl
+      |       FROM documents)
+      |SELECT qt.query_id, qt.phrase,
+      |       row_number() OVER (PARTITION BY qt.query_id
+      |         ORDER BY ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |                  ((ptf.tf * 2.2) /
+      |                   (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl)))
+      |           DESC, ptf.doc_id) AS rn,
+      |       ptf.doc_id,
+      |       round(ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |             ((ptf.tf * 2.2) /
+      |              (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl))), 4)
+      |         AS bm25_r
+      |FROM ptf JOIN qt USING (phrase) CROSS JOIN st
+      |QUALIFY rn <= 10
+      |ORDER BY query_id, rn""".stripMargin
+
   private[queries] lazy val q176Sql =
     """WITH live AS MATERIALIZED (SELECT doc_id, text FROM documents
       |        WHERE doc_id NOT IN (0, 1, 2, 3, 4)),

@@ -86,7 +86,8 @@ class PlanHealthSpec extends SparkSpecBase {
       "q97_ann_ivf_incremental", "q98_temperature_upsampling",
       "q99_media_embed_ann", "q111_video_frame_embed_ann",
       "q122_bigram_lm_backoff", "q123_pq_adc_ann", "q124_ivfpq_ann",
-      "q125_pq_recall_audit", "q126_pq_rerank_ann", "q130_bm25_topk")
+      "q125_pq_recall_audit", "q126_pq_rerank_ann", "q130_bm25_topk",
+      "q186_phrase_bm25") // q130's 1-row corpus-stats broadcast cross join
     // Only flag a scan as "lost pushdown" when it carries a filter that
     // parquet could certainly take (attribute-vs-literal / isnotnull on a
     // bare attribute); expression filters (bloom probes, shingle sizes)
