@@ -57,7 +57,10 @@ object Bench {
     // Optional substring filter for iterating on one query locally —
     // comma-separated alternatives OR together, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q34 or SPARK_GRAFT_BENCH_ONLY=q92,q112.
+    // A blank-but-set filter means "no filter" (split(',') on "" would
+    // yield [""], fail every alternative and silently bench nothing).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.trim).filter(_.nonEmpty)
     // Sweep order: plain queries alphabetically FIRST, then the
     // scratch-staging lifecycle queries (index builds, streaming
     // harnesses) alphabetically LAST. Their scratch now prefers tmpfs

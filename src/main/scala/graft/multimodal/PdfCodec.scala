@@ -10,23 +10,29 @@ package graft.multimodal
   *
   * What parses for REAL: the header version, the `startxref` tail scan
   * (the format's documented discovery rule), the CLASSIC cross-reference
-  * table (20-byte entries, multi-subsection), the trailer dictionary,
-  * a recursive-descent object parser (dicts, arrays, names, numbers,
-  * literal + hex strings, indirect references, booleans/null), stream
-  * objects with direct /Length, plain and /FlateDecode content decode,
-  * the catalog → /Pages → /Kids → /Contents walk, and a BT/ET text-
-  * operator scan that decodes `(…) Tj` and `[(…) n (…)] TJ` show ops —
-  * including the full literal-string escape set (\( \) \\ \n \r \t \b
-  * \f, 1-3 digit octal, line continuations, balanced nested parens).
+  * table (20-byte entries, multi-subsection), PDF 1.5 cross-reference
+  * STREAMS (/Type /XRef: /W binary entries, /Index subsections,
+  * FlateDecode + the PNG row predictors real writers emit),
+  * INCREMENTAL-UPDATE chains (/Prev-linked sections merged newest-first
+  * — a replaced object resolves to its newest body), the trailer
+  * dictionary (classic or in-stream), a recursive-descent object parser
+  * (dicts, arrays, names, numbers, literal + hex strings, indirect
+  * references, booleans/null), stream objects with direct OR indirect
+  * /Length, plain and /FlateDecode content decode, single and
+  * multi-stream /Contents (parts joined with whitespace, ISO 32000-1
+  * §7.8.2), the catalog → /Pages → /Kids → /Contents walk, and a BT/ET
+  * text-operator scan that decodes `(…) Tj` and `[(…) n (…)] TJ` show
+  * ops — including the full literal-string escape set (\( \) \\ \n \r
+  * \t \b \f, 1-3 digit octal, line continuations, balanced nested
+  * parens).
   *
   * Out-of-scope shapes fail LOUDLY, never silently mis-parse (the codec
-  * family contract): encrypted files (/Encrypt in the trailer),
-  * cross-reference STREAMS (PDF 1.5 xref offset landing on an object),
-  * incremental-update chains (/Prev), indirect /Length, unsupported
-  * filters, nested page trees, multi-stream /Contents arrays, the
-  * `'`/`"` show operators, unbalanced BT/ET, and any truncated or
-  * overrunning slice — each throws `IllegalArgumentException` naming
-  * the doc id.
+  * family contract): encrypted files (/Encrypt), compressed OBJECT
+  * streams (xref type-2 entries), hybrid-reference files (/XRefStm),
+  * FDICT/overgrown flate streams, unsupported filters or predictors,
+  * nested page trees, the `'`/`"` show operators, unbalanced BT/ET,
+  * /Prev loops, and any truncated or overrunning slice — each throws
+  * `IllegalArgumentException` naming the doc id.
   *
   * Scale shape: parsing is a single driver-free byte walk per blob —
   * [[Multimodal.pdfPagesBatched]] runs it inside one narrow
@@ -77,20 +83,36 @@ object PdfCodec {
     buf.toByteArray
   }
 
-  /** Write one deterministic single-section PDF: catalog, pages node,
-    * one page + one content stream per [[PageSpec]], a shared Type1
-    * font, the classic xref table and trailer. Content streams carry
-    * the page's first segment as `(…) Tj` and the remaining segments as
-    * one `[(…) -120 (…)] TJ`; `flate` streams are zlib-compressed
-    * (/Filter /FlateDecode). */
-  def encode(pages: Seq[PageSpec]): Array[Byte] = {
+  /** One page's rendered operator stream + the stream-object body bytes
+    * (dict, stream, endstream) — shared by the classic/xref-stream
+    * writers and the incremental-update section. */
+  private def contentObjBody(p: PageSpec): Array[Byte] = {
+    val ops = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+    ops.append(s"(${escapeString(p.segments.head)}) Tj ")
+    if (p.segments.size > 1)
+      ops.append(p.segments.tail
+        .map(s => s"(${escapeString(s)})").mkString("[ ", " -120 ", " ] TJ "))
+    ops.append("ET")
+    val raw = ops.toString.getBytes("ISO-8859-1")
+    val data = if (p.flate) deflateZlib(raw) else raw
+    val filter = if (p.flate) " /Filter /FlateDecode" else ""
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"<< /Length ${data.length}$filter >>\nstream\n"
+      .getBytes("ISO-8859-1"))
+    out.write(data, 0, data.length)
+    out.write("\nendstream\n".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Write the shared object body (header + objects 1..fontObj) into
+    * `out`; returns (per-object offsets, fontObj). */
+  private def writeObjects(out: java.io.ByteArrayOutputStream,
+      pages: Seq[PageSpec]): (Array[Long], Int) = {
     require(pages.nonEmpty, "pdf needs at least one page")
     pages.foreach(p => require(p.segments.nonEmpty, "page needs text"))
     val n = pages.size
     val fontObj = 3 + 2 * n
-    val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    def wb(b: Array[Byte]): Unit = out.write(b, 0, b.length)
     val offsets = new Array[Long](fontObj + 1)
     w("%PDF-1.4\n")
     def obj(num: Int)(body: => Unit): Unit = {
@@ -109,28 +131,110 @@ object PdfCodec {
         s"/Contents ${3 + n + i} 0 R >>\n"))
     }
     pages.zipWithIndex.foreach { case (p, i) =>
-      val ops = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
-      ops.append(s"(${escapeString(p.segments.head)}) Tj ")
-      if (p.segments.size > 1)
-        ops.append(p.segments.tail
-          .map(s => s"(${escapeString(s)})").mkString("[ ", " -120 ", " ] TJ "))
-      ops.append("ET")
-      val raw = ops.toString.getBytes("ISO-8859-1")
-      val data = if (p.flate) deflateZlib(raw) else raw
-      val filter = if (p.flate) " /Filter /FlateDecode" else ""
-      obj(3 + n + i) {
-        w(s"<< /Length ${data.length}$filter >>\nstream\n")
-        wb(data)
-        w("\nendstream\n")
-      }
+      obj(3 + n + i)(out.write(contentObjBody(p)))
     }
     obj(fontObj)(
       w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    (offsets, fontObj)
+  }
+
+  /** Write one deterministic single-section PDF: catalog, pages node,
+    * one page + one content stream per [[PageSpec]], a shared Type1
+    * font, the classic xref table and trailer. Content streams carry
+    * the page's first segment as `(…) Tj` and the remaining segments as
+    * one `[(…) -120 (…)] TJ`; `flate` streams are zlib-compressed
+    * (/Filter /FlateDecode). */
+  def encode(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val (offsets, fontObj) = writeObjects(out, pages)
     val xrefAt = out.size()
     w(s"xref\n0 ${fontObj + 1}\n")
     w("0000000000 65535 f \n")
     (1 to fontObj).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${fontObj + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The same document with a PDF 1.5 CROSS-REFERENCE STREAM instead of
+    * the classic table — the majority post-2005 real-world shape: W
+    * [1 4 2] binary entries for every object (including the xref stream
+    * itself), FlateDecode with the PNG Up predictor (/Predictor 12, the
+    * spelling virtually every real writer emits), trailer keys living
+    * in the stream dictionary, startxref pointing at the object. */
+  def encodeXrefStream(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val (offsets, fontObj) = writeObjects(out, pages)
+    val xrefObj = fontObj + 1
+    val xrefAt = out.size().toLong
+    val wN = 7 // 1-byte type + 4-byte offset + 2-byte generation
+    val nRows = xrefObj + 1
+    val raw = new Array[Byte](nRows * wN)
+    def putRow(id: Int, tpe: Int, off: Long, gen: Int): Unit = {
+      val b = id * wN
+      raw(b) = tpe.toByte
+      raw(b + 1) = ((off >> 24) & 0xff).toByte
+      raw(b + 2) = ((off >> 16) & 0xff).toByte
+      raw(b + 3) = ((off >> 8) & 0xff).toByte
+      raw(b + 4) = (off & 0xff).toByte
+      raw(b + 5) = ((gen >> 8) & 0xff).toByte
+      raw(b + 6) = (gen & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff)
+    (1 to fontObj).foreach(i => putRow(i, 1, offsets(i), 0))
+    putRow(xrefObj, 1, xrefAt, 0)
+    // PNG Up predictor: each wN-byte row prefixed by filter byte 2 and
+    // delta-coded against the previous row
+    val pred = new Array[Byte](nRows * (wN + 1))
+    (0 until nRows).foreach { r =>
+      pred(r * (wN + 1)) = 2
+      (0 until wN).foreach { c =>
+        val above = if (r == 0) 0 else raw((r - 1) * wN + c) & 0xff
+        pred(r * (wN + 1) + 1 + c) = ((raw(r * wN + c) & 0xff) - above).toByte
+      }
+    }
+    val data = deflateZlib(pred)
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /W [ 1 4 2 ] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $wN >> " +
+      s"/Length ${data.length} >>\nstream\n")
+    out.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** A classic-xref INCREMENTAL UPDATE chain: the base document renders
+    * page 0 with `placeholder` text, then an appended update section
+    * replaces page 0's content object and chains to the base table via
+    * /Prev — a correct parse MUST prefer the newest section's entry, so
+    * the extracted page-0 text is `pages.head`'s, never the
+    * placeholder. */
+  def encodeIncremental(pages: Seq[PageSpec], placeholder: String): Array[Byte] = {
+    require(pages.nonEmpty, "pdf needs at least one page")
+    val basePages = PageSpec(Seq(placeholder), flate = false) +: pages.tail
+    val base = encode(basePages)
+    val s = new String(base, "ISO-8859-1")
+    val prevAt = {
+      val i = s.lastIndexOf("startxref")
+      s.substring(i + "startxref".length).trim.takeWhile(_.isDigit).toLong
+    }
+    val n = pages.size
+    val fontObj = 3 + 2 * n
+    val contentObj = 3 + n // page 0's content stream object
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    val objAt = out.size().toLong
+    w(s"$contentObj 0 obj\n")
+    out.write(contentObjBody(pages.head))
+    w("endobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 1\n0000000000 65535 f \n$contentObj 1\n")
+    w(f"$objAt%010d 00000 n \n")
+    w(s"trailer\n<< /Size ${fontObj + 1} /Root 1 0 R /Prev $prevAt >>\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
@@ -326,51 +430,71 @@ object PdfCodec {
     }
     if (xrefAt < 0 || xrefAt >= bytes.length) fail("startxref offset out of range")
 
-    // classic xref table — a digit here means the offset lands on an
-    // OBJECT, i.e. a PDF 1.5+ cross-reference stream: out of scope, loud
-    val cur = new Cursor(docId, bytes, xrefAt.toInt)
-    cur.skipWs()
-    if (cur.peek >= '0' && cur.peek <= '9')
-      fail("cross-reference stream (PDF 1.5+) — out of this codec's scope")
-    cur.expect("xref")
+    // ---- cross-reference chain walk: classic TABLES and PDF 1.5 xref
+    // STREAMS, linked oldest-ward via /Prev (incremental updates).
+    // Sections merge NEWEST-FIRST: the first section to claim an object
+    // id — in-use or free — wins, the incremental-update precedence
+    // rule (a replaced object's old body is unreachable, a freed one
+    // never resolves from an older section).
     val offsets = scala.collection.mutable.Map.empty[Int, Long]
-    cur.skipWs()
-    while (!cur.startsWith("trailer")) {
-      val header = new Cursor(docId, bytes, cur.pos)
-      val start = { header.skipWs(); readInt(header) }
-      val count = { header.skipWs(); readInt(header) }
-      cur.pos = header.pos
-      // skip to the line end: entries start on the next line
-      while (cur.peek == ' ') cur.pos += 1
-      if (cur.peek == '\r') cur.pos += 1
-      if (cur.peek == '\n') cur.pos += 1
-      (0 until count).foreach { i =>
-        if (cur.pos + 20 > bytes.length) fail("truncated xref entry")
-        val entry = new String(bytes, cur.pos, 20, "ISO-8859-1")
-        if (entry.length != 20 || (entry(17) != 'n' && entry(17) != 'f'))
-          fail(s"malformed 20-byte xref entry for object ${start + i}")
-        if (entry(17) == 'n')
-          offsets(start + i) = entry.substring(0, 10).toLong
-        cur.pos += 20
-      }
+    val claimed = scala.collection.mutable.Set.empty[Int]
+    val trailerDicts = scala.collection.mutable.ArrayBuffer.empty[Map[String, V]]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    var at = xrefAt
+    while (at >= 0) {
+      if (at >= bytes.length) fail("xref offset out of range")
+      if (!visited.add(at)) fail("xref /Prev chain loops")
+      if (visited.size > 64) fail("xref /Prev chain longer than 64 sections")
+      val cur = new Cursor(docId, bytes, at.toInt)
       cur.skipWs()
+      // a digit here means the offset lands on an OBJECT — the PDF 1.5+
+      // cross-reference stream; otherwise the classic `xref` table
+      val dict =
+        if (cur.peek >= '0' && cur.peek <= '9')
+          readXrefStreamSection(docId, cur, offsets, claimed)
+        else readClassicXrefSection(docId, cur, offsets, claimed)
+      trailerDicts += dict
+      if (dict.contains("Encrypt"))
+        fail("encrypted PDF (/Encrypt) — out of this codec's scope")
+      if (dict.contains("XRefStm"))
+        fail("hybrid-reference file (/XRefStm) — out of this codec's scope")
+      at = dict.get("Prev") match {
+        case Some(VNum(p)) => p.toLong
+        case Some(_)       => fail("/Prev is not an offset")
+        case None          => -1L
+      }
     }
-    cur.expect("trailer")
-    cur.skipWs(); cur.expect("<<")
-    val trailer = cur.dict().v
-    if (trailer.contains("Encrypt"))
-      fail("encrypted PDF (/Encrypt) — out of this codec's scope")
-    if (trailer.contains("Prev"))
-      fail("incremental-update xref chain (/Prev) — out of this codec's scope")
-    val size = trailer.get("Size") match {
+    val size = trailerDicts.head.get("Size") match {
       case Some(VNum(s)) => s.toInt
       case _             => fail("trailer has no /Size")
     }
-    if (offsets.size != size - 1)
+    // single-section files keep the strict census (a truncated table is
+    // loud); chained files may legitimately carry freed objects, so only
+    // an OVERFULL census is corrupt there
+    if (trailerDicts.size == 1 && offsets.size != size - 1)
       fail(s"xref holds ${offsets.size} in-use objects, /Size says ${size - 1}")
-    val rootRef = trailer.get("Root") match {
+    if (offsets.size > size - 1)
+      fail(s"xref chain holds ${offsets.size} in-use objects, /Size says ${size - 1}")
+    val rootRef = trailerDicts.flatMap(_.get("Root")).headOption match {
       case Some(VRef(r)) => r
-      case _             => fail("trailer has no /Root reference")
+      case Some(_)       => fail("/Root is not a reference")
+      case None          => fail("trailer has no /Root reference")
+    }
+
+    /** Parse object `num` expecting a bare NUMBER body (an indirect
+      * /Length target). */
+    def resolveNumber(num: Int, what: String): Double = {
+      val off = offsets.getOrElse(num,
+        fail(s"object $num missing from the xref table ($what)"))
+      val c = new Cursor(docId, bytes, off.toInt)
+      val declared = readInt(c)
+      if (declared != num) fail(s"xref points object $num at object $declared")
+      c.skipWs(); readInt(c)
+      c.expect("obj")
+      c.value() match {
+        case VNum(v) => v
+        case _       => fail(s"object $num is not a number ($what)")
+      }
     }
 
     /** Parse object `num`; a stream object returns (dict, Some(data)). */
@@ -394,8 +518,8 @@ object PdfCodec {
         if (c.peek == '\n') c.pos += 1 else fail(s"object $num: stream keyword not followed by EOL")
         val len = v.get("Length") match {
           case Some(VNum(l)) => l.toInt
-          case Some(VRef(_)) =>
-            fail(s"object $num: indirect /Length — out of this codec's scope")
+          case Some(VRef(r)) =>
+            resolveNumber(r, s"object $num's indirect /Length").toInt
           case _ => fail(s"object $num: stream has no /Length")
         }
         if (c.pos + len > bytes.length) fail(s"object $num: stream overruns the file")
@@ -443,19 +567,232 @@ object PdfCodec {
           fail("nested page trees — out of this codec's scope")
         case _ => fail("kid is not a /Page")
       }
-      val (cdict, cdata) = getObj(refOf(page.get("Contents"), "/Contents"))
-      val raw = cdata.getOrElse(fail("/Contents is not a stream object"))
-      val (data, flate) = cdict.get("Filter") match {
-        case None => (raw, false)
-        case Some(VName("FlateDecode")) => (inflateZlib(docId, raw), true)
-        case Some(VArr(Seq(VName("FlateDecode")))) =>
-          (inflateZlib(docId, raw), true)
-        case Some(f) => fail(s"unsupported stream filter $f")
+      val contentRefs: Seq[Int] = page.get("Contents") match {
+        case Some(VRef(r)) => Seq(r)
+        case Some(VArr(items)) if items.nonEmpty => items.map {
+          case VRef(r) => r
+          case _       => fail("/Contents array holds a non-reference")
+        }
+        case _ => fail("missing /Contents reference")
       }
+      val parts = contentRefs.map { cref =>
+        val (cdict, cdata) = getObj(cref)
+        val raw = cdata.getOrElse(fail("/Contents is not a stream object"))
+        cdict.get("Filter") match {
+          case None => (raw, false)
+          case Some(VName("FlateDecode")) => (inflateZlib(docId, raw), true)
+          case Some(VArr(Seq(VName("FlateDecode")))) =>
+            (inflateZlib(docId, raw), true)
+          case Some(f) => fail(s"unsupported stream filter $f")
+        }
+      }
+      // a multi-stream /Contents array parses as ONE stream with
+      // whitespace between the parts (ISO 32000-1 §7.8.2)
+      val data =
+        if (parts.size == 1) parts.head._1
+        else {
+          val b = new java.io.ByteArrayOutputStream()
+          parts.zipWithIndex.foreach { case ((d, _), i) =>
+            if (i > 0) b.write('\n')
+            b.write(d, 0, d.length)
+          }
+          b.toByteArray
+        }
+      val flate = parts.exists(_._2)
       val (text, nOps) = extractText(docId, data)
       Page(text, nOps, data.length, flate)
     }
     PdfMeta(version, offsets.size, pages)
+  }
+
+  /** Classic cross-reference TABLE at the cursor: multi-subsection
+    * 20-byte entries, then the trailer dictionary. Entries merge
+    * first-claim-wins into `offsets`/`claimed` (the chain walk calls
+    * sections newest-first). */
+  private def readClassicXrefSection(docId: Long, cur: Cursor,
+      offsets: scala.collection.mutable.Map[Int, Long],
+      claimed: scala.collection.mutable.Set[Int]): Map[String, V] = {
+    val bytes = cur.bytes
+    cur.expect("xref")
+    cur.skipWs()
+    while (!cur.startsWith("trailer")) {
+      val header = new Cursor(docId, bytes, cur.pos)
+      val start = { header.skipWs(); readInt(header) }
+      val count = { header.skipWs(); readInt(header) }
+      cur.pos = header.pos
+      // skip to the line end: entries start on the next line
+      while (cur.peek == ' ') cur.pos += 1
+      if (cur.peek == '\r') cur.pos += 1
+      if (cur.peek == '\n') cur.pos += 1
+      (0 until count).foreach { i =>
+        if (cur.pos + 20 > bytes.length) cur.fail("truncated xref entry")
+        val entry = new String(bytes, cur.pos, 20, "ISO-8859-1")
+        if (entry(17) != 'n' && entry(17) != 'f')
+          cur.fail(s"malformed 20-byte xref entry for object ${start + i}")
+        if (claimed.add(start + i) && entry(17) == 'n')
+          offsets(start + i) = entry.substring(0, 10).toLong
+        cur.pos += 20
+      }
+      cur.skipWs()
+    }
+    cur.expect("trailer")
+    cur.skipWs(); cur.expect("<<")
+    cur.dict().v
+  }
+
+  /** PDF 1.5 cross-reference STREAM at the cursor (`N G obj << /Type
+    * /XRef … >> stream`): /W-array binary entries over the /Index
+    * subsections, optionally FlateDecode-compressed with a PNG
+    * predictor (/DecodeParms). Its dictionary IS the trailer (returned).
+    * Type-2 entries (objects living in compressed object streams) are
+    * out of this codec's scope and fail loudly. */
+  private def readXrefStreamSection(docId: Long, cur: Cursor,
+      offsets: scala.collection.mutable.Map[Int, Long],
+      claimed: scala.collection.mutable.Set[Int]): Map[String, V] = {
+    def fail(msg: String): Nothing = cur.fail(msg)
+    readInt(cur); cur.skipWs(); readInt(cur)
+    cur.expect("obj")
+    cur.skipWs()
+    val dict = cur.value() match {
+      case d: VDict => d.v
+      case _        => fail("xref-stream object is not a dictionary")
+    }
+    if (dict.get("Type") != Some(VName("XRef")))
+      fail("startxref lands on an object that is not /Type /XRef")
+    // /Length must be direct here (resolving an indirect one needs the
+    // very table this stream defines)
+    val len = dict.get("Length") match {
+      case Some(VNum(l)) => l.toInt
+      case _             => fail("xref stream needs a direct /Length")
+    }
+    cur.skipWs()
+    if (!cur.startsWith("stream")) fail("xref-stream object carries no stream")
+    cur.pos += "stream".length
+    if (cur.peek == '\r') cur.pos += 1
+    if (cur.peek == '\n') cur.pos += 1
+    else fail("xref stream keyword not followed by EOL")
+    if (cur.pos + len > cur.bytes.length) fail("xref stream overruns the file")
+    val rawData =
+      java.util.Arrays.copyOfRange(cur.bytes, cur.pos, cur.pos + len)
+    val inflated = dict.get("Filter") match {
+      case None                       => rawData
+      case Some(VName("FlateDecode")) => inflateZlib(docId, rawData)
+      case Some(VArr(Seq(VName("FlateDecode")))) => inflateZlib(docId, rawData)
+      case Some(f) => fail(s"unsupported xref stream filter $f")
+    }
+    val (predictor, columns) = dict.get("DecodeParms") match {
+      case None => (1, 0)
+      case Some(VDict(p)) =>
+        val pr = p.get("Predictor") match {
+          case Some(VNum(v)) => v.toInt
+          case None          => 1
+          case Some(_)       => fail("/Predictor is not a number")
+        }
+        val co = p.get("Columns") match {
+          case Some(VNum(v)) => v.toInt
+          case None          => 1
+          case Some(_)       => fail("/Columns is not a number")
+        }
+        (pr, co)
+      case Some(_) => fail("/DecodeParms is not a dictionary")
+    }
+    val wArr = dict.get("W") match {
+      case Some(VArr(ws)) if ws.size == 3 => ws.map {
+        case VNum(v) if v >= 0 && v <= 8 => v.toInt
+        case _ => fail("/W holds a non-number or out-of-range width")
+      }
+      case _ => fail("xref stream has no 3-element /W array")
+    }
+    if (wArr(1) == 0)
+      fail("/W offset-field width 0 — out of this codec's scope")
+    val rowLen = wArr.sum
+    val data = unpredict(docId, inflated, predictor,
+      if (columns > 0) columns else rowLen)
+    if (rowLen == 0 || data.length % rowLen != 0)
+      fail(s"xref stream data (${data.length} bytes) is no multiple of " +
+        s"the $rowLen-byte /W row")
+    val sizeN = dict.get("Size") match {
+      case Some(VNum(v)) => v.toInt
+      case _             => fail("xref stream has no /Size")
+    }
+    val index: Seq[(Int, Int)] = dict.get("Index") match {
+      case None => Seq((0, sizeN))
+      case Some(VArr(items)) if items.nonEmpty && items.size % 2 == 0 =>
+        items.grouped(2).map {
+          case Seq(VNum(a), VNum(b)) => (a.toInt, b.toInt)
+          case _                     => fail("/Index holds a non-number")
+        }.toSeq
+      case Some(_) => fail("/Index is not an even-length array")
+    }
+    val nRows = index.map(_._2.toLong).sum
+    if (nRows * rowLen != data.length)
+      fail(s"/Index declares $nRows entries, the stream holds " +
+        s"${data.length / rowLen}")
+    var p = 0
+    def field(width: Int, dflt: Long): Long =
+      if (width == 0) dflt
+      else {
+        var v = 0L
+        (0 until width).foreach { _ => v = (v << 8) | (data(p) & 0xff); p += 1 }
+        v
+      }
+    index.foreach { case (start, count) =>
+      (0 until count).foreach { i =>
+        val tpe = field(wArr(0), 1L)
+        val f2 = field(wArr(1), 0L)
+        field(wArr(2), 0L)
+        tpe match {
+          case 0 => claimed.add(start + i); ()
+          case 1 => if (claimed.add(start + i)) offsets(start + i) = f2
+          case 2 => fail(s"object ${start + i} lives in a compressed " +
+            "object stream — out of this codec's scope")
+          case t => fail(s"unknown xref entry type $t for object ${start + i}")
+        }
+      }
+    }
+    dict
+  }
+
+  /** Reverse the PNG row predictors xref streams use (bpp = 1 byte):
+    * predictor 1 = identity; ≥ 10 = per-row PNG filter byte (None, Sub,
+    * Up, Average, Paeth — the filter byte decides per row, so one
+    * implementation covers predictors 10–15). */
+  private def unpredict(docId: Long, data: Array[Byte], predictor: Int,
+      columns: Int): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: $msg")
+    if (predictor == 1) data
+    else if (predictor >= 10) {
+      if (columns <= 0) fail("PNG predictor needs a positive /Columns")
+      if (data.length % (columns + 1) != 0)
+        fail("predicted xref data is no multiple of the row length")
+      val rows = data.length / (columns + 1)
+      val out = new Array[Byte](rows * columns)
+      (0 until rows).foreach { r =>
+        val ft = data(r * (columns + 1)) & 0xff
+        (0 until columns).foreach { c =>
+          val x = data(r * (columns + 1) + 1 + c) & 0xff
+          val a = if (c == 0) 0 else out(r * columns + c - 1) & 0xff
+          val b = if (r == 0) 0 else out((r - 1) * columns + c) & 0xff
+          val d = if (c == 0 || r == 0) 0 else out((r - 1) * columns + c - 1) & 0xff
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val pp = a + b - d
+              val pa = math.abs(pp - a)
+              val pb = math.abs(pp - b)
+              val pc = math.abs(pp - d)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else d)
+            case t => fail(s"unknown PNG filter type $t in predicted xref data")
+          }
+          out(r * columns + c) = (recon & 0xff).toByte
+        }
+      }
+      out
+    } else fail(s"unsupported /Predictor $predictor")
   }
 
   private def readInt(c: Cursor): Int = {
@@ -466,18 +803,41 @@ object PdfCodec {
     b.toString.toInt
   }
 
+  /** Absolute inflate ceiling: a PDF declares only the COMPRESSED
+    * /Length, so an unbounded loop is a flate-bomb amplifier on exactly
+    * the untrusted crawl bytes this codec targets. The cap is the looser
+    * of 1000× the compressed size and 16 MiB — generous for any real
+    * content stream, loud on a bomb. */
+  private def inflateCap(compressed: Int): Long =
+    math.max(1000L * compressed, 16L << 20)
+
   private def inflateZlib(docId: Long, data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater(false) // zlib wrapper, RFC 1950
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](8192)
+    val cap = inflateCap(data.length)
     try {
       while (!inf.finished()) {
         val n = inf.inflate(tmp)
-        if (n == 0 && inf.needsInput())
+        if (n == 0 && !inf.finished()) {
+          // zero progress and not finished: truncated input, an FDICT
+          // (preset-dictionary) stream — which Inflater reports via
+          // needsDictionary() with needsInput() still false, hanging a
+          // naive input-only check — or any other stuck state. All are
+          // out-of-scope/corrupt for PDF FlateDecode: fail loudly.
+          if (inf.needsDictionary())
+            throw new IllegalArgumentException(
+              s"doc $docId: FlateDecode stream demands a preset " +
+                "dictionary (FDICT) — out of this codec's scope")
           throw new IllegalArgumentException(
             s"doc $docId: truncated FlateDecode stream")
+        }
         out.write(tmp, 0, n)
+        if (out.size() > cap)
+          throw new IllegalArgumentException(
+            s"doc $docId: FlateDecode output exceeds $cap bytes from " +
+              s"${data.length} compressed — refusing a flate bomb")
       }
     } catch {
       case e: java.util.zip.DataFormatException =>

@@ -78,9 +78,20 @@ object InvertedIndex {
   /** `impactOrdered = false` writes the pre-era layout (no `irn` column,
     * no `termdf` sidecar) — kept as a first-class option so the
     * era-upgrade path (legacy build → probe fallback → compact rewrite)
-    * stays testable; production builds leave the default. */
+    * stays testable; production builds leave the default.
+    *
+    * `positions = true` additionally maintains the POSITIONS sidecar —
+    * (term, doc_id, pos, dl) under the same (pk, gen) layout, clustered
+    * on (term, doc_id, pos) — which [[phraseProbe]] intersects for
+    * phrase/proximity retrieval (q186's semantics without re-tokenizing
+    * the corpus per query). Opt-in because it costs Θ(total tokens)
+    * rows (vs Θ(distinct (doc, term)) for the postings): enable it for
+    * phrase-retrieval workloads at BUILD time. Appends and compacts
+    * ADOPT the persisted flag (the family meta rule); a positions-less
+    * index cannot grow the sidecar later (postings carry no positional
+    * information), so [[phraseProbe]] on one fails loudly. */
   case class Config(indexPartitions: Int = 32, postFiles: Int = 8,
-      impactOrdered: Boolean = true)
+      impactOrdered: Boolean = true, positions: Boolean = false)
 
   /** Default impact-ordering truncation for the INGEST probe (see
     * [[probe]]'s `maxPostings`): each query term scores against its
@@ -93,6 +104,7 @@ object InvertedIndex {
 
   def postingsPath(path: String): String = s"$path/postings"
   def termdfPath(path: String): String = s"$path/termdf"
+  def positionsPath(path: String): String = s"$path/positions"
   def statsPath(path: String): String = s"$path/docstats"
   private def tombsPath(path: String) = s"$path/tombstones"
   private def metaPath(path: String) =
@@ -107,7 +119,8 @@ object InvertedIndex {
   private def writeMeta(spark: SparkSession, path: String, cfg: Config): Unit =
     GenTable.writeMeta(spark, metaPath(path), Seq(
       "indexPartitions" -> cfg.indexPartitions, "postFiles" -> cfg.postFiles,
-      "impactOrdered" -> (if (cfg.impactOrdered) 1 else 0)))
+      "impactOrdered" -> (if (cfg.impactOrdered) 1 else 0),
+      "positions" -> (if (cfg.positions) 1 else 0)))
 
   /** A meta file with no `impactOrdered` key is a pre-era index — adopt
     * its layout (legacy probe fallbacks, legacy-format appends) until a
@@ -119,7 +132,8 @@ object InvertedIndex {
         throw new IllegalStateException(
           s"${metaPath(path)} has no indexPartitions entry — rebuild with InvertedIndex.build")),
       postFiles = kv.getOrElse("postFiles", cfg.postFiles),
-      impactOrdered = kv.getOrElse("impactOrdered", 0) == 1)
+      impactOrdered = kv.getOrElse("impactOrdered", 0) == 1,
+      positions = kv.getOrElse("positions", 0) == 1)
   }
 
   /** (doc_id, term, tf, dl) — one row per distinct (doc, term); `dl` is
@@ -133,6 +147,30 @@ object InvertedIndex {
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** (doc_id, term, pos, dl) — one row per TOKEN (`pos` is the 0-based
+    * token index under TextOps.words). The positions sidecar's rows;
+    * the postings (tf, dl) aggregate is derivable from them, which the
+    * positions-enabled write paths exploit to tokenize once. */
+  private def positionsOf(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.sources.Tables.spread(docs)
+      .select(col(id).as("doc_id"), TextOps.words(col(text)).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        posexplode(col("w")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"), col("pos"), col("dl"))
+
+  /** The postings aggregate derived from a positions frame — same shape
+    * as [[postingsOf]], one tokenize pass for both tables. */
+  private def postingsFromPositions(positions: DataFrame): DataFrame =
+    positions.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  private def writePositions(positions: DataFrame, tablePath: String,
+      cfg: Config, mode: String, gen: String): Unit =
+    GenTable.writePartitioned(
+      positions.select(col("term"), col("doc_id"), col("pos"), col("dl"))
+        .withColumn("__part", termPk(cfg)),
+      tablePath, cfg.postFiles, mode, gen, col("term"), col("doc_id"), col("pos"))
 
   /** One (n_docs, sum_dl) row for a doc frame — the generation's
     * contribution to the corpus stats. */
@@ -157,14 +195,19 @@ object InvertedIndex {
     * once; subsequent batches go through [[probeAndAppend]]). */
   def build(docs: DataFrame, path: String, cfg: Config = Config(),
       id: String = "doc_id", text: String = "text"): Unit = {
-    val post = postingsOf(docs, id, text).persist()
+    val pos = if (cfg.positions) Some(positionsOf(docs, id, text).persist())
+      else None
+    val post = pos.fold(postingsOf(docs, id, text))(postingsFromPositions)
+      .persist()
     try {
       writePartitioned(post, postingsPath(path), cfg, "overwrite", "base")
       if (cfg.impactOrdered)
         writeTermDf(post, termdfPath(path), cfg, "overwrite", "base")
+      pos.foreach(p =>
+        writePositions(p, positionsPath(path), cfg, "overwrite", "base"))
       writeStats(docStatsOf(docs, id, text), statsPath(path), "overwrite", "base")
       writeMeta(docs.sparkSession, path, cfg)
-    } finally { post.unpersist(); () }
+    } finally { post.unpersist(); pos.foreach(_.unpersist()); () }
   }
 
   /** The materialized impact rank: row_number per term (tf desc, doc_id
@@ -291,19 +334,137 @@ object InvertedIndex {
     // per-generation top-m prefixes (≤ m·|gens| rows per term on an
     // impact-ordered index), this window keeps the exact global top-m of
     // their union — bit-identical to the single-window legacy cut, which
-    // is also what this same expression computes on a pre-era index
-    val scoredPost = maxPostings.fold(post) { m =>
-      val wImp = Window.partitionBy(col("term"))
-        .orderBy(col("tf").desc, col("doc_id"))
-      post.withColumn("prn", row_number().over(wImp))
-        .where(col("prn") <= m).drop("prn")
+    // is also what this same expression computes on a pre-era index.
+    // With a SINGLE visible generation on an impact-ordered index the
+    // per-generation prefix already IS the global top-m (`irn <= m` was
+    // pushed to the scan), so the merge window — one whole exchange on
+    // the probe's hot path — is skipped outright.
+    val singleVisibleGen = layout.impactOrdered && maxPostings.isDefined && {
+      val gens = GenTable.genNames(spark, postingsPath(path), nested = true)
+      (gens -- excludeGen.toSet).size <= 1
     }
+    val scoredPost =
+      if (singleVisibleGen) post
+      else maxPostings.fold(post) { m =>
+        val wImp = Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        post.withColumn("prn", row_number().over(wImp))
+          .where(col("prn") <= m).drop("prn")
+      }
     val scored = scoredPost.join(broadcast(q), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("s", idf * tfn)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"))
+    val alive = tombstones(spark, path).fold(scored)(t =>
+      scored.join(t, Seq("doc_id"), "left_anti"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    alive.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
+  /** GLOBAL document frequency per term — all visible generations
+    * summed, tombstones included (the Lucene df contract) — for gate
+    * bootstrap and query distillation: reads the |vocab|-sized termdf
+    * sidecar instead of aggregating the corpus-sized postings (the r17
+    * gate derivations' dominant residual cost); pre-era indexes fall
+    * back to the postings count. */
+  def termDf(spark: SparkSession, path: String,
+      cfg: Config = Config()): DataFrame = {
+    val layout = adoptMeta(spark, path, cfg)
+    if (layout.impactOrdered)
+      spark.read.parquet(termdfPath(path))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    else
+      spark.read.parquet(postingsPath(path))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+  }
+
+  /** PHRASE retrieval against the positions sidecar — the persisted
+    * production form of q186's from-scratch phrase BM25: `phrases` is a
+    * (query_id, phrase) frame where `phrase` is a space-joined word
+    * sequence (any length ≥ 1); a document matches where the phrase's
+    * words appear ADJACENT in order. Ranking is the exact q130/q186 BM25
+    * expression with the PHRASE's own tf (adjacent-occurrence count per
+    * doc) and df (matching-doc count across the visible generations —
+    * tombstones included, the same Lucene statistics contract as
+    * [[probe]]); N/avgdl come from the generation stats rows. Returns
+    * (query_id, rn, doc_id, score), top-`k` per query by (score desc,
+    * doc_id).
+    *
+    * Cost shape: the positions scan is pk-pruned to the phrase terms'
+    * directories plus a broadcast term semi join — O(positions of the
+    * probed terms), never a corpus re-tokenize. The adjacency intersect
+    * is one aggregation keyed on (query, doc, pos − term_index): a row
+    * per candidate ALIGNMENT, so its volume is bounded by the matched
+    * positions themselves. Requires a positions-enabled index
+    * (Config(positions = true) at build); fails loudly otherwise. */
+  def phraseProbe(spark: SparkSession, path: String, phrases: DataFrame,
+      k: Int = 10, excludeGen: Option[String] = None,
+      cfg: Config = Config()): DataFrame = {
+    val layout = adoptMeta(spark, path, cfg)
+    if (!layout.positions)
+      throw new IllegalStateException(
+        s"$path carries no positions sidecar — phrase probes need a " +
+          "positions-enabled index (InvertedIndex.Config(positions = " +
+          "true) at build); term probes keep working")
+    val qterms0 = phrases.select(col("query_id"), col("phrase"))
+      .select(col("query_id"), col("phrase"),
+        posexplode(split(col("phrase"), " ")).as(Seq("ti", "term")))
+    val (qt, touchedTerms, touchedPk) =
+      Caches.localize(qterms0.withColumn("pk", termPk(layout)),
+        maxRows = 1 << 20) match {
+        case Some(local) =>
+          val rows = local.collect() // LocalRelation — driver-side, no job
+          val terms = rows.map(_.getAs[String]("term")).distinct.toSeq
+          val tt = spark.createDataFrame(
+            new java.util.ArrayList(
+              terms.map(t => org.apache.spark.sql.Row(t)).asJava),
+            org.apache.spark.sql.types.StructType(Seq(local.schema("term"))))
+          (local.drop("pk"), tt,
+            rows.map(_.getAs[Int]("pk")).distinct.map(Int.box).toSeq)
+        case None =>
+          val tt = qterms0.select(col("term")).distinct()
+          val pk = tt.select(termPk(layout).as("pk")).distinct()
+            .collect().map(r => Int.box(r.getInt(0))).toSeq
+          (qterms0, tt, pk)
+      }
+    def dropOwnGen(df: DataFrame): DataFrame =
+      excludeGen.fold(df)(g => df.where(col("gen") =!= g))
+    val posScan = dropOwnGen(spark.read.parquet(positionsPath(path))
+        .where(col("pk").isin(touchedPk: _*)))
+      .select(col("term"), col("doc_id"), col("pos"), col("dl"))
+      .join(broadcast(touchedTerms), Seq("term"), "left_semi")
+    // phrase length per query — the alignment-completeness target
+    val nt = qt.groupBy(col("query_id"), col("phrase"))
+      .agg((max(col("ti")) + 1).as("nt"))
+    // one row per (query term-slot, matching position); an occurrence of
+    // the phrase at base position b puts term-slot ti at pos b + ti, so
+    // grouping on bp = pos − ti and demanding ALL slots present is the
+    // in-order adjacency intersect
+    val occ = posScan.join(broadcast(qt), "term")
+      .withColumn("bp", col("pos") - col("ti"))
+      .groupBy(col("query_id"), col("phrase"), col("doc_id"), col("bp"))
+      .agg(countDistinct(col("ti")).as("nm"), max(col("dl")).as("dl"))
+      .join(broadcast(nt), Seq("query_id", "phrase"))
+      .where(col("nm") === col("nt"))
+    val ptf = occ.groupBy(col("query_id"), col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // phrase df over the visible corpus — computed BEFORE the tombstone
+    // filter (deleted docs count toward statistics until compact)
+    val pdf = ptf.groupBy(col("query_id"), col("phrase"))
+      .agg(count(lit(1)).as("df"))
+    val stats = dropOwnGen(spark.read.parquet(statsPath(path)))
+      .agg(sum(col("n_docs")).as("n"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = ptf.join(broadcast(pdf), Seq("query_id", "phrase"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * tfn)
     val alive = tombstones(spark, path).fold(scored)(t =>
       scored.join(t, Seq("doc_id"), "left_anti"))
     val w = Window.partitionBy(col("query_id"))
@@ -357,7 +518,10 @@ object InvertedIndex {
       materialize: DataFrame => DataFrame): DataFrame =
     IndexLock.withWriter(path) {
       val layout = adoptMeta(spark, path, cfg)
-      val post = postingsOf(batch, id, text).persist()
+      val pos = if (layout.positions)
+        Some(positionsOf(batch, id, text).persist()) else None
+      val post = pos.fold(postingsOf(batch, id, text))(postingsFromPositions)
+        .persist()
       try {
         val wq = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("term"))
@@ -379,7 +543,9 @@ object InvertedIndex {
           () => writeStats(docStatsOf(batch, id, text), statsPath(path), mode, gen)) ++
           (if (layout.impactOrdered)
             Seq(() => writeTermDf(post, termdfPath(path), layout, mode, gen))
-          else Nil)
+          else Nil) ++
+          pos.map(p => () =>
+            writePositions(p, positionsPath(path), layout, mode, gen)).toSeq
         var result: DataFrame = spark.emptyDataFrame
         if (batchId.isDefined)
           // one concurrent round: the probe's scans (postings, termdf,
@@ -392,7 +558,7 @@ object InvertedIndex {
             ++ appendJobs): _*)
         else { result = materialize(log); Par.all(appendJobs: _*) }
         result
-      } finally { post.unpersist(); () }
+      } finally { post.unpersist(); pos.foreach(_.unpersist()); () }
     }
 
   /** Tombstone `docIds`: hidden from every subsequent probe's MATCHES
@@ -428,6 +594,7 @@ object InvertedIndex {
     // no-op instead of restoring the table (r16 advice).
     Layout.healRestore(spark, postingsPath(path))
     Layout.healRestore(spark, termdfPath(path))
+    if (cfg.positions) Layout.healRestore(spark, positionsPath(path))
     Layout.healRestore(spark, statsPath(path))
     // VERBATIM in-stream fold with nothing to fold — skipped, the
     // LshIndex.compact rule (the offline form never skips: it owes the
@@ -437,6 +604,9 @@ object InvertedIndex {
     if (keepGen.isDefined && tombs.isEmpty && cfg.impactOrdered &&
         (GenTable.genNames(spark, postingsPath(path), nested = true) ++
           GenTable.genNames(spark, termdfPath(path), nested = true) ++
+          (if (cfg.positions)
+            GenTable.genNames(spark, positionsPath(path), nested = true)
+          else Set.empty[String]) ++
           GenTable.genNames(spark, statsPath(path), nested = false))
           .subsetOf(Set("base") ++ keepGen)) return
     val retained: Seq[Long] = (keepGen, tombs) match {
@@ -483,6 +653,25 @@ object InvertedIndex {
       writeTermDf(stagedRows.where(col("gen") === g), termdfStaged,
         upgraded, "append", g)
     }
+    // positions fold mirrors the postings fold verbatim (tombstoned docs
+    // drop, keepGen rewritten as its own generation) — the sidecar only
+    // exists on positions-enabled indexes; a positions-less index stays
+    // positions-less (there is nothing to derive them from).
+    val posStaged = s"${positionsPath(path)}.compacting"
+    if (cfg.positions) {
+      Layout.healSwap(spark, posStaged, positionsPath(path))
+      val allPos = spark.read.parquet(positionsPath(path))
+      val posCols = Seq("term", "doc_id", "pos", "dl").map(col)
+      writePositions(
+        dropTombstoned(keepGen.fold(allPos)(g => allPos.where(col("gen") =!= g))
+          .select(posCols: _*)),
+        posStaged, upgraded, "overwrite", "base")
+      keepGen.foreach { g =>
+        writePositions(
+          dropTombstoned(allPos.where(col("gen") === g).select(posCols: _*)),
+          posStaged, upgraded, "append", g)
+      }
+    }
     val statsStaged = s"${statsPath(path)}.compacting"
     Layout.healSwap(spark, statsStaged, statsPath(path))
     writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
@@ -493,6 +682,7 @@ object InvertedIndex {
     }
     Layout.swapInto(spark, postStaged, postingsPath(path))
     swapOrPlace(spark, termdfStaged, termdfPath(path))
+    if (cfg.positions) Layout.swapInto(spark, posStaged, positionsPath(path))
     Layout.swapInto(spark, statsStaged, statsPath(path))
     writeMeta(spark, path, upgraded)
     if (retained.nonEmpty) markDeleted(spark, path, retained)

@@ -2124,8 +2124,13 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
   /** PDF text extraction — the document format public crawls carry more
     * text in than any other binary container, walked for REAL
     * ([[graft.multimodal.PdfCodec]]): each document renders a genuine
-    * multi-page PDF (classic xref table with true byte offsets, catalog
-    * → pages → per-page content streams, a shared Type1 font), pages
+    * multi-page PDF (true byte offsets, catalog → pages → per-page
+    * content streams, a shared Type1 font) in one of the THREE
+    * real-world cross-reference shapes by doc_id % 3 — the classic
+    * table, the PDF 1.5 xref STREAM (/W binary entries, FlateDecode
+    * under the PNG Up predictor) and a classic INCREMENTAL update whose
+    * /Prev chain replaces page 0's content object (the parse must
+    * resolve the newest body, never the placeholder) — with pages
     * alternating PLAIN and FLATE-compressed content (RFC 1950 zlib via
     * the JDK Inflater — the ZipCodec/WarcCodec inflate discipline), and
     * page text split across one `(…) Tj` and one `[(…) -120 (…)] TJ`
@@ -2133,12 +2138,13 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
     * `(lang)` parens and an embedded newline octal-escape in every
     * page). [[graft.multimodal.Multimodal.pdfPagesBatched]] re-walks
     * the object graph and the oracle recomputes every page's decoded
-    * text closed-form — a wrong xref offset, a mis-sliced stream, a
-    * broken inflate, a dropped TJ element or a bad escape decode all
-    * hash-mismatch on `text_md5`. Encrypted / xref-stream / incremental
-    * PDFs fail loudly (PdfCodecSpec). Scale shape: one narrow
-    * mapPartitions stage; PDF blobs never cross a shuffle — each page
-    * reduces to counters + md5 before the output sort. */
+    * text closed-form — a wrong xref offset, a mis-walked /Prev chain,
+    * a mis-predicted entry row, a mis-sliced stream, a broken inflate,
+    * a dropped TJ element or a bad escape decode all hash-mismatch on
+    * `text_md5`. Encrypted / object-stream / hybrid-reference PDFs fail
+    * loudly (PdfCodecSpec). Scale shape: one narrow mapPartitions
+    * stage; PDF blobs never cross a shuffle — each page reduces to
+    * counters + md5 before the output sort. */
   private[queries] def q182(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{Multimodal, PdfCodec}
@@ -2153,8 +2159,18 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
             text.drop(p * 7 + 25).take(15)),
             flate = (docId + p) % 2 == 0)
         }
-        Multimodal.MediaRecord(docId, PdfCodec.encode(pages),
-          "application/pdf")
+        // all three real-world cross-reference shapes live in the
+        // fixture: the classic table, the PDF 1.5 xref STREAM (W binary
+        // entries under the PNG Up predictor) and a classic INCREMENTAL
+        // update whose /Prev chain must resolve page 0's replaced
+        // content object — the oracle sees only the final text, so a
+        // mis-walked chain or mis-predicted entry hash-mismatches
+        val bytes = (docId % 3).toInt match {
+          case 0 => PdfCodec.encode(pages)
+          case 1 => PdfCodec.encodeXrefStream(pages)
+          case _ => PdfCodec.encodeIncremental(pages, s"PLACEHOLDER $docId")
+        }
+        Multimodal.MediaRecord(docId, bytes, "application/pdf")
       }).toDF()
     Multimodal.pdfPagesBatched(spark, media).toDF()
       .select(col("doc_id"), col("page_idx"), col("n_text_ops"),
@@ -2214,7 +2230,11 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
       }).toDF()
     val pdfs = Multimodal.zipMembersBatched(spark, shards).toDF()
       .where(col("name").endsWith(".pdf"))
-      .select(substring(col("name"), 1, 8).cast("bigint").as("doc_id"),
+      // the full name stem, not a fixed 8-char slice: %08d is a MINIMUM
+      // width, so doc_id*10+s outgrows 8 digits at large scale factors
+      // and a positional substring would silently truncate the id
+      .select(regexp_extract(col("name"), "^(\\d+)\\.pdf$", 1)
+        .cast("bigint").as("doc_id"),
         col("payload").as("content"), lit("application/pdf").as("mime"))
     Multimodal.pdfPagesBatched(spark, pdfs).toDF()
       .select(col("doc_id").as("pdf_id"), col("n_text_ops"), col("flate"),

@@ -164,7 +164,10 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q183_langid_trained", q183, Some(q183Sql)),
     Decl("q184_zip_pdf_chain", q184, Some(q184Sql)),
     Decl("q185_hybrid_fusion_audit", q185, Some(q185Sql)),
-    Decl("q186_phrase_bm25", q186, Some(q186Sql)))
+    Decl("q186_phrase_bm25", q186, Some(q186Sql)),
+    Decl("q187_phrase_index_topk", q187, Some(q186Sql)),
+    Decl("q188_phrase_takedown_compact", q188, Some(q188Sql)),
+    Decl("q189_phrase_index_incremental", q189, Some(q186Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -193,5 +196,7 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q172_stream_graph_autocompact", "q173_bm25_index_topk",
     "q174_bm25_index_incremental", "q175_stream_bm25_ingest",
     "q176_bm25_takedown_compact", "q177_matryoshka_ivf",
-    "q181_hybrid_rrf_fusion", "q185_hybrid_fusion_audit")
+    "q181_hybrid_rrf_fusion", "q185_hybrid_fusion_audit",
+    "q187_phrase_index_topk", "q188_phrase_takedown_compact",
+    "q189_phrase_index_incremental")
 }

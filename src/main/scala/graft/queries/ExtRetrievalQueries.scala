@@ -100,8 +100,10 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
     // gates clone instead)
     {
       val path = GraphFixtures.bm25FullDir(spark, dir)
-      val dfAll = spark.read.parquet(InvertedIndex.postingsPath(path))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // query derivation reads the persisted |vocab|-sized termdf sidecar
+      // (InvertedIndex.termDf), not a groupBy over the corpus-sized
+      // postings — the bootstrap is now probe-cost-only
+      val dfAll = InvertedIndex.termDf(spark, path)
       val qt = dfAll.orderBy(col("df").desc, col("term")).limit(8)
         .withColumn("r", row_number().over(
           Window.orderBy(col("df").desc, col("term"))))
@@ -234,8 +236,9 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
         batchId = Some(0L), k = Bm25K, queryTerms = Bm25QueryTerms)
       InvertedIndex.markDeleted(spark, path, Seq(1L, 2L, 3L, 0L, 4L))
       InvertedIndex.compact(spark, path)
-      val dfAll = spark.read.parquet(InvertedIndex.postingsPath(path))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // post-compact derivation from the recomputed termdf sidecar — the
+      // same persisted-sketch path as q173
+      val dfAll = InvertedIndex.termDf(spark, path)
       val qt = dfAll.orderBy(col("df").desc, col("term")).limit(8)
         .withColumn("r", row_number().over(
           Window.orderBy(col("df").desc, col("term"))))
@@ -462,6 +465,77 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
        |GROUP BY query_id
        |ORDER BY query_id""".stripMargin
 
+  /** The 4 highest-df adjacent-bigram phrase queries over `docs` —
+    * q186's derivation discipline (df desc, phrase asc; query_id =
+    * rank − 1). Gate BOOTSTRAP shared by q186 and the persisted phrase
+    * gates q187–q189 (production phrase queries arrive externally):
+    * one in-row zip_with pass over the corpus, the same derivation the
+    * oracles replay. */
+  private def phraseQueriesOf(docs: DataFrame): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val bg = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(col("doc_id"), explode(bg).as("phrase"))
+      .groupBy(col("doc_id"), col("phrase")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("phrase")).limit(4)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(col("df").desc, col("phrase"))) - 1)
+      .select(col("query_id"), col("phrase"))
+  }
+
+  /** The phrase-BM25 output shape shared by q187/q188/q189: probe the
+    * positions sidecar for `qt`'s phrases, re-attach the phrase text,
+    * round and order — q186's exact output columns. */
+  private def phraseProbeOut(spark: SparkSession, path: String,
+      qt: DataFrame): DataFrame = {
+    val res = InvertedIndex.phraseProbe(spark, path, qt, k = 10)
+      .join(broadcast(qt), Seq("query_id"))
+      .select(col("query_id"), col("phrase"), col("rn"), col("doc_id"),
+        round(col("score"), 4).as("bm25_r"))
+    localizeRows(res, Seq("query_id", "rn"))
+  }
+
+  /** q186's closed-form phrase-BM25 chain over an arbitrary document
+    * selection — the shared oracle of the from-scratch spelling (q186)
+    * and every persisted phrase gate (q187–q189): bigrams via DuckDB
+    * list comprehension, phrase tf/df, corpus stats, the exact q130
+    * idf·tfn product, per-phrase top-10. */
+  private def phraseBm25Sql(docsSel: String): String =
+    s"""WITH pdocs AS MATERIALIZED ($docsSel),
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM pdocs),
+      |bg AS (
+      |  SELECT doc_id, len(w) AS dl,
+      |         unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+      |                 for i in range(1, greatest(len(w), 1))]) AS phrase
+      |  FROM d),
+      |ptf AS MATERIALIZED (
+      |  SELECT doc_id, phrase, count(*) AS tf, max(dl) AS dl
+      |  FROM bg GROUP BY 1, 2),
+      |qt AS (SELECT phrase, df, row_number() OVER (ORDER BY df DESC, phrase)
+      |                - 1 AS query_id
+      |       FROM (SELECT phrase, count(*) AS df FROM ptf GROUP BY 1)
+      |       ORDER BY df DESC, phrase LIMIT 4),
+      |st AS (SELECT count(*) AS n,
+      |              avg(len(string_split(text, ' '))) AS avgdl
+      |       FROM pdocs)
+      |SELECT qt.query_id, qt.phrase,
+      |       row_number() OVER (PARTITION BY qt.query_id
+      |         ORDER BY ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |                  ((ptf.tf * 2.2) /
+      |                   (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl)))
+      |           DESC, ptf.doc_id) AS rn,
+      |       ptf.doc_id,
+      |       round(ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |             ((ptf.tf * 2.2) /
+      |              (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl))), 4)
+      |         AS bm25_r
+      |FROM ptf JOIN qt USING (phrase) CROSS JOIN st
+      |QUALIFY rn <= 10
+      |ORDER BY query_id, rn""".stripMargin
+
   // ----------------------------------------------------------------- q186
   /** PHRASE retrieval under the oracle — the positional dimension the
     * single-term BM25 family (q130/q173) lacks: a phrase query matches
@@ -476,11 +550,12 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
     * ranking closed-form (DuckDB list comprehension), so a drifted
     * adjacency rule, an off-by-one pair window or a wrong phrase df all
     * hash-mismatch. This is the from-scratch spelling (what q130 is to
-    * q173): the persisted production form adds a positions sidecar to
-    * [[InvertedIndex]] — (term, doc_id, pos) under the same (pk, gen)
-    * layout — and intersects the probed terms' position lists instead
-    * of re-tokenizing; the ranking semantics pinned here carry over
-    * unchanged. */
+    * q173): the persisted production form is the POSITIONS SIDECAR on
+    * [[InvertedIndex]] — (term, doc_id, pos, dl) under the same
+    * (pk, gen) layout — whose [[InvertedIndex.phraseProbe]] intersects
+    * the probed terms' position lists instead of re-tokenizing; q187
+    * pins that probe against THIS query's oracle (the q130→q173
+    * relationship). */
   private[queries] def q186(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
@@ -513,37 +588,90 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
       .orderBy(col("query_id"), col("rn"))
   }
   private[queries] lazy val q186Sql =
-    """WITH d AS MATERIALIZED (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |bg AS (
-      |  SELECT doc_id, len(w) AS dl,
-      |         unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
-      |                 for i in range(1, greatest(len(w), 1))]) AS phrase
-      |  FROM d),
-      |ptf AS MATERIALIZED (
-      |  SELECT doc_id, phrase, count(*) AS tf, max(dl) AS dl
-      |  FROM bg GROUP BY 1, 2),
-      |qt AS (SELECT phrase, df, row_number() OVER (ORDER BY df DESC, phrase)
-      |                - 1 AS query_id
-      |       FROM (SELECT phrase, count(*) AS df FROM ptf GROUP BY 1)
-      |       ORDER BY df DESC, phrase LIMIT 4),
-      |st AS (SELECT count(*) AS n,
-      |              avg(len(string_split(text, ' '))) AS avgdl
-      |       FROM documents)
-      |SELECT qt.query_id, qt.phrase,
-      |       row_number() OVER (PARTITION BY qt.query_id
-      |         ORDER BY ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
-      |                  ((ptf.tf * 2.2) /
-      |                   (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl)))
-      |           DESC, ptf.doc_id) AS rn,
-      |       ptf.doc_id,
-      |       round(ln((st.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
-      |             ((ptf.tf * 2.2) /
-      |              (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / st.avgdl))), 4)
-      |         AS bm25_r
-      |FROM ptf JOIN qt USING (phrase) CROSS JOIN st
-      |QUALIFY rn <= 10
-      |ORDER BY query_id, rn""".stripMargin
+    phraseBm25Sql("SELECT doc_id, text FROM documents")
+
+  // ----------------------------------------------------------------- q187
+  /** PHRASE retrieval THROUGH THE PERSISTED POSITIONS SIDECAR — the
+    * production form q186 pins the semantics for (r17 verdict's top
+    * ask): the full corpus is indexed ONCE with
+    * `InvertedIndex.Config(positions = true)` — (term, doc_id, pos, dl)
+    * rows under the same (pk, gen) hive layout as the postings,
+    * clustered (term, doc_id, pos) — and
+    * [[InvertedIndex.phraseProbe]] ranks the 4 bootstrap phrases by
+    * pk-pruning the phrase terms' directories, intersecting position
+    * lists relationally (one aggregation keyed on pos − term_index; an
+    * occurrence = all term slots present at one base position) and
+    * scoring with the exact q130/q186 BM25 expression (phrase tf = the
+    * adjacency count, phrase df = matching docs, N/avgdl from the
+    * generation stats rows). The oracle IS q186's SQL — the index +
+    * pruned intersect must be indistinguishable from re-tokenizing the
+    * corpus. Scale shape: probe cost O(positions of the probed terms),
+    * never a corpus re-tokenize — at 100 TB the from-scratch spelling
+    * re-reads everything per query batch; this reads a handful of
+    * pk directories. */
+  private[queries] def q187(spark: SparkSession, dir: String): DataFrame = {
+    val path = GraphFixtures.bm25PosFullDir(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    phraseProbeOut(spark, path, phraseQueriesOf(docs))
+  }
+  // oracle: q186Sql (the q130→q173 relationship for phrases)
+
+  // ----------------------------------------------------------------- q188
+  /** Phrase-index TAKEDOWN + COMPACTION — q176's contract for the
+    * positions sidecar: five docs are tombstoned
+    * ([[InvertedIndex.markDeleted]]) and the offline
+    * [[InvertedIndex.compact]] folds postings, termdf, POSITIONS and
+    * stats in one stage-and-swap commit — tombstoned docs drop
+    * physically from the position lists and the recomputed stats. The
+    * output re-derives the 4 bootstrap phrases from the live corpus and
+    * ranks through the phrase probe; the oracle replays q186's chain
+    * over `documents` minus the tombstoned ids, so a resurrected
+    * position row, a stale stats row or an un-folded generation all
+    * hash-mismatch. */
+  private[queries] def q188(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q188_")
+    try {
+      val path = s"$tmp/idx"
+      GraphFixtures.bm25PosFullInto(spark, dir, path)
+      InvertedIndex.markDeleted(spark, path, Seq(0L, 1L, 2L, 3L, 4L))
+      InvertedIndex.compact(spark, path)
+      val live = Tables.spread(Tables.documents(spark, dir))
+        .where(!col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+        .select(col("doc_id"), col("text"))
+      phraseProbeOut(spark, path, phraseQueriesOf(live))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] lazy val q188Sql = phraseBm25Sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1, 2, 3, 4)")
+
+  // ----------------------------------------------------------------- q189
+  /** INCREMENTAL phrase-index ingest — q174's contract for the
+    * positions sidecar: the index is built positions-enabled from the
+    * base corpus (doc_id % 4 <> 0), the ingest batch (doc_id % 4 == 0)
+    * arrives through [[InvertedIndex.probeAndAppend]] — whose append
+    * now lands the batch's POSITION rows as `gen=b0` alongside postings
+    * / termdf / stats, in the same concurrent append round — and the
+    * phrase probe then ranks across BOTH generations: the adjacency
+    * intersect never crosses generations (a doc lives in exactly one),
+    * but tf, df and the stats must merge base ∪ b0 exactly. base ∪
+    * batch = the full corpus, so the oracle is again q186's SQL
+    * verbatim: a position row lost in the append, a stats row missing
+    * the generation or a df that missed b0 all hash-mismatch. */
+  private[queries] def q189(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.tempDir("graft_q189_")
+    try {
+      val path = s"$tmp/idx"
+      GraphFixtures.bm25PosBaseInto(spark, dir, path)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      InvertedIndex.probeAndAppend(spark, path,
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), batchId = Some(0L),
+        k = Bm25K, queryTerms = Bm25QueryTerms)
+      phraseProbeOut(spark, path,
+        phraseQueriesOf(Tables.spread(docs)))
+    } finally rmRecursive(tmp)
+  }
+  // oracle: q186Sql (base ∪ batch = the full corpus)
 
   private[queries] lazy val q176Sql =
     """WITH live AS MATERIALIZED (SELECT doc_id, text FROM documents

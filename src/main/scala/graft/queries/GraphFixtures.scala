@@ -104,6 +104,33 @@ private[queries] object GraphFixtures {
         Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
     }
 
+  /** The memoized FULL-corpus POSITIONS-enabled BM25 index — the phrase
+    * gates' substrate (q187 probes it read-only). */
+  def bm25PosFullDir(spark: SparkSession, dir: String): String =
+    sharedDir(s"bm25posfull|${canon(dir)}") { p =>
+      InvertedIndex.build(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), p,
+        InvertedIndex.Config(positions = true))
+    }
+
+  /** Clone of [[bm25PosFullDir]] for the mutating phrase gates
+    * (takedown + compact). */
+  def bm25PosFullInto(spark: SparkSession, dir: String, destPath: String): Unit =
+    cloneInto(s"bm25posfull|${canon(dir)}", destPath) { p =>
+      InvertedIndex.build(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), p,
+        InvertedIndex.Config(positions = true))
+    }
+
+  /** Clone of the positions-enabled BASE-split index (doc_id % 4 <> 0) —
+    * the phrase incremental gate's starting point. */
+  def bm25PosBaseInto(spark: SparkSession, dir: String, destPath: String): Unit =
+    cloneInto(s"bm25posbase|${canon(dir)}", destPath) { p =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      InvertedIndex.build(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), p,
+        InvertedIndex.Config(positions = true))
+    }
+
   // ------------------------------------------------------- ivf family
 
   /** The memoized FULL-corpus persisted IVF — centroids (q54's

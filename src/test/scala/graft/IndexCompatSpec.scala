@@ -92,6 +92,24 @@ class IndexCompatSpec extends SparkSpecBase {
       spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
   }
 
+  test("pre-positions BM25 indexes (both committed eras) reject phrase " +
+    "probes loudly and keep term-probing") {
+    import spark.implicits._
+    Seq("bm25", "bm25_v2").foreach { family =>
+      val tmp = tmpDir(s"compat_pos_$family")
+      copyDir(s"$fixture/$family", s"$tmp/idx")
+      // neither committed era carries the positions sidecar: the probe
+      // must fail loudly (never silently return empty), while term
+      // probes on the same index keep working (the check() tests above)
+      val e = intercept[IllegalStateException] {
+        graft.ops.InvertedIndex.phraseProbe(spark, s"$tmp/idx",
+          Seq((0L, "alpha beta")).toDF("query_id", "phrase"))
+      }
+      assert(e.getMessage.contains("positions"),
+        s"$family: expected the positions-era rejection, got: ${e.getMessage}")
+    }
+  }
+
   test("BPE vocab written by an earlier generation encodes byte-identically") {
     // the tokenizer-drift tripwire (r14 verdict #8): a vocab learned and
     // shipped by generation N must make generation N+1 encode the same

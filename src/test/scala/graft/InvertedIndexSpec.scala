@@ -238,6 +238,143 @@ class InvertedIndexSpec extends SparkSpecBase {
       s"expected the cross-generation global top-2 postings, got $capped")
   }
 
+  /** From-scratch phrase BM25 for (query_id, phrase) rows — independent
+    * of the positions intersect: bigrams derive in-row (zip_with, the
+    * q186 spelling), so a drifted adjacency rule in phraseProbe cannot
+    * hide. Two-word phrases only (what the fixture exercises). */
+  private def brutePhrase(docs: DataFrame, phrases: DataFrame,
+      k: Int): Seq[(Long, Int, Long, Double)] = {
+    val w = split(col("text"), " ")
+    val bg = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val ptf = docs.select(col("doc_id"), size(w).as("dl"),
+        explode(bg).as("phrase"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val pdf = ptf.groupBy("phrase").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    ptf.join(phrases, "phrase").join(pdf, "phrase").crossJoin(stats)
+      .withColumn("score", idf * tfn)
+      .withColumn("rn", row_number().over(win)).where(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+  }
+
+  private def phraseProbed(path: String, phrases: DataFrame,
+      k: Int): Seq[(Long, Int, Long, Double)] =
+    InvertedIndex.phraseProbe(spark, path, phrases, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+
+  test("positions sidecar: build writes one row per token; append and " +
+    "compact maintain it") {
+    val path = tmpDir("bm25_pos")
+    InvertedIndex.build(fixture, path, InvertedIndex.Config(positions = true))
+    def tokens(df: DataFrame): Long =
+      df.select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val pos0 = spark.read.parquet(InvertedIndex.positionsPath(path))
+    assert(pos0.columns.toSet == Set("term", "doc_id", "pos", "dl", "pk", "gen"))
+    assert(pos0.count() == tokens(fixture))
+    // append ADOPTS the persisted flag: the batch generation gets rows too
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+    assert(spark.read.parquet(InvertedIndex.positionsPath(path))
+      .where(col("gen") === "b0").count() == tokens(batch))
+    // compact folds positions with the same tombstone semantics
+    InvertedIndex.markDeleted(spark, path, Seq(0L))
+    InvertedIndex.compact(spark, path)
+    val pos1 = spark.read.parquet(InvertedIndex.positionsPath(path))
+    assert(pos1.where(col("doc_id") === 0L).count() == 0)
+    assert(pos1.select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("base"))
+    assert(pos1.count() ==
+      tokens(fixture.where(col("doc_id") =!= 0L)) + tokens(batch))
+  }
+
+  test("phraseProbe reproduces from-scratch phrase BM25, across generations") {
+    val path = tmpDir("bm25_phrase")
+    InvertedIndex.build(fixture.where(col("doc_id") < 6), path,
+      InvertedIndex.Config(positions = true))
+    InvertedIndex.probeAndAppend(spark, path,
+      fixture.where(col("doc_id") >= 6).unionByName(batch), Some(0L))
+    val phrases = Seq((0L, "the quick"), (1L, "quick fox"), (2L, "fox zebra0"))
+      .toDF("query_id", "phrase")
+    val all = fixture.unionByName(batch)
+    assert(phraseProbed(path, phrases, 5) == brutePhrase(all, phrases, 5))
+    assert(phraseProbed(path, phrases, 5).nonEmpty)
+    // adjacency is real: 'zebra0 quick' never occurs (wrong order)
+    val rev = Seq((9L, "zebra0 quick")).toDF("query_id", "phrase")
+    assert(phraseProbed(path, rev, 5).isEmpty)
+  }
+
+  test("phraseProbe hides tombstoned docs but keeps the Lucene statistics") {
+    val path = tmpDir("bm25_phrase_tomb")
+    InvertedIndex.build(fixture, path, InvertedIndex.Config(positions = true))
+    val phrases = Seq((0L, "the quick")).toDF("query_id", "phrase")
+    val before = phraseProbed(path, phrases, 8)
+    assert(before.map(_._3).contains(0L))
+    InvertedIndex.markDeleted(spark, path, Seq(0L))
+    // doc 0 vanishes from matches NOW; everyone else's score is UNCHANGED
+    // (phrase df / N / avgdl still count the deleted doc until compact)
+    val after = phraseProbed(path, phrases, 8)
+    assert(!after.map(_._3).contains(0L))
+    assert(after.map(t => (t._3, t._4)).toSet ==
+      before.filterNot(_._3 == 0L).map(t => (t._3, t._4)).toSet)
+    // compact snaps statistics to the live corpus
+    InvertedIndex.compact(spark, path)
+    assert(phraseProbed(path, phrases, 8) ==
+      brutePhrase(fixture.where(col("doc_id") =!= 0L), phrases, 8))
+  }
+
+  test("phraseProbe on a positions-less index fails loudly; term probes keep working") {
+    val path = tmpDir("bm25_nopos")
+    InvertedIndex.build(fixture, path) // default: no positions sidecar
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.phraseProbe(spark, path,
+        Seq((0L, "the quick")).toDF("query_id", "phrase"))
+    }
+    assert(e.getMessage.contains("positions"))
+    val q = Seq((0L, "the")).toDF("query_id", "term")
+    assert(probed(path, q, 3) == brute(fixture, q, 3))
+  }
+
+  test("termDf reads the persisted sidecar and equals the postings-derived df") {
+    val path = tmpDir("bm25_termdf")
+    InvertedIndex.build(fixture, path)
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+    val sidecar = InvertedIndex.termDf(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromPostings = spark.read.parquet(InvertedIndex.postingsPath(path))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sidecar == fromPostings)
+    assert(sidecar.nonEmpty)
+  }
+
+  test("truncated probe skips the residual merge window when one " +
+    "generation is visible") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    def nWindows(p: LogicalPlan): Int = p.collect { case w: LWindow => w }.size
+    val path = tmpDir("bm25_skipwin")
+    InvertedIndex.build(fixture, path)
+    val q = Seq((0L, "the")).toDF("query_id", "term")
+    // single generation: `irn <= m` IS the global top-m — only the final
+    // top-k window remains in the plan
+    val single = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(2))
+    assert(nWindows(single.queryExecution.optimizedPlan) == 1)
+    // a second generation brings the exact cross-generation merge back
+    InvertedIndex.probeAndAppend(spark, path, batch, Some(0L))
+    val multi = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(2))
+    assert(nWindows(multi.queryExecution.optimizedPlan) == 2)
+  }
+
   test("probing a non-index path fails loudly") {
     val path = tmpDir("bm25_nometa")
     val e = intercept[IllegalStateException] {
