@@ -29,6 +29,66 @@ object LogReg {
     pmod(conv(substring(md5(term.cast("binary")), 1, 6), 16, 10).cast("long"),
       lit(dims.toLong)).cast("int")
 
+  /** ONE-VS-REST training for every class in one pass — C independent
+    * binary models (identical math, schedule and rounding to [[train]]
+    * per class, so a per-class [[train]] loop would learn bit-identical
+    * weights) but with the per-iteration work FUSED: the margin and
+    * gradient aggregations carry one sum column per class, so each
+    * iteration is still ONE job over the feature table regardless of C,
+    * and the driver collects D gradient rows of C columns. At 100
+    * languages that is 2 jobs instead of 200 — the difference between a
+    * lang-id stage and a lang-id campaign.
+    *
+    * @param feat    (doc_id, j, x) rows — sparse features, absent = 0
+    * @param labels  (doc_id, label) — each doc's declared class
+    * @param classes the class vocabulary, sorted ascending (argmax ties
+    *                break toward the earliest entry downstream)
+    * @return per-class weights in `classes` order, 6-decimal rounded
+    */
+  def trainMulti(feat: DataFrame, labels: DataFrame, classes: Seq[String],
+      dims: Int, iters: Int, lr: Double = 1.0): Seq[Array[Double]] = {
+    require(classes.nonEmpty, "LogReg.trainMulti: no classes")
+    val n = labels.count().toDouble
+    require(n > 0, "LogReg.trainMulti: empty label table (gradient would be 0/0)")
+    val badJ = feat.where(col("j") < 0 || col("j") >= dims).count()
+    require(badJ == 0,
+      s"LogReg.trainMulti: $badJ feature rows have j outside [0, $dims) - " +
+        "features must be bucketed with LogReg.bucketOf(term, dims)")
+    var w: Seq[Array[Double]] = classes.map(_ => Array.fill(dims)(0.0))
+    for (_ <- 0 until iters) {
+      val wLits = w.map(wc => array(wc.map(lit): _*))
+      val z = feat
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * element_at(wLits.head, col("j") + 1)).as("z0"),
+          wLits.tail.zipWithIndex.map { case (wl, i) =>
+            sum(col("x") * element_at(wl, col("j") + 1)).as(s"z${i + 1}")
+          }: _*)
+      val gradRows = feat
+        .join(z, "doc_id").join(labels, "doc_id")
+        .groupBy(col("j"))
+        .agg(gradCol(classes.head, "z0").as("g0"),
+          classes.tail.zipWithIndex.map { case (c, i) =>
+            gradCol(c, s"z${i + 1}").as(s"g${i + 1}")
+          }: _*)
+        .collect()
+      val grad = gradRows.map(r =>
+        r.getInt(0) -> classes.indices.map(k => r.getDouble(k + 1))).toMap
+      w = classes.indices.map { k =>
+        Array.tabulate(dims) { j =>
+          BigDecimal(w(k)(j) - lr * grad.get(j).map(_(k)).getOrElse(0.0) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    }
+    w
+  }
+
+  /** One class's gradient addend under the current margins:
+    * (sigmoid(z_c) − [label = c])·x. */
+  private def gradCol(cls: String, zCol: String): Column =
+    sum((lit(1.0) / (lit(1.0) + exp(-col(zCol))) -
+      when(col("label") === cls, 1.0).otherwise(0.0)) * col("x"))
+
   /** Train `iters` full-batch gradient steps from w = 0 with rate `lr`.
     *
     * @param feat   (doc_id, j, x) rows — sparse features, absent = 0

@@ -30,10 +30,13 @@ object CurationPipeline {
     * the `lsh_hot_buckets` observe() metric reports what was dropped so
     * the trade is visible in run telemetry. */
   /** `langIdAudit` switches on the CONTENT-derived language audit stage
-    * ([[langIdAnnotate]]): docs whose char-trigram-predicted language
-    * disagrees with their declared `lang` column are dropped after the
-    * quality gate. Off by default — it requires a `lang` column and a
-    * corpus large enough to train on. */
+    * ([[langIdAnnotateMulti]]): docs whose char-trigram ARGMAX-predicted
+    * language disagrees with their declared `lang` column are dropped
+    * after the quality gate. Off by default — it requires a `lang`
+    * column and a corpus large enough to train on. `langIdTarget` is
+    * kept for the binary [[langIdAnnotate]] audits callers run directly
+    * (the stage itself trains one-vs-rest over every declared
+    * language). */
   case class Config(
       shingleN: Int = 2, minhashK: Int = 8, bandR: Int = 2,
       jaccardThreshold: Double = 0.5,
@@ -311,6 +314,74 @@ object CurationPipeline {
     } finally { feat.unpersist(); () }
   }
 
+  /** MULTICLASS content-derived language ID — [[langIdAnnotate]]
+    * generalized from target-vs-rest to one-vs-rest over EVERY declared
+    * language, with argmax(z) prediction (ties toward the
+    * alphabetically-first language — the deterministic break the oracle
+    * replays): the same hashed char-trigram features feed
+    * [[graft.ops.LogReg.trainMulti]] (per-class math, schedule and
+    * 6-decimal inter-iteration rounding identical to the binary
+    * trainer, but one fused job per iteration regardless of class
+    * count), then every doc is re-scored from its own bytes against all
+    * class models in ONE aggregation pass and labeled with the winning
+    * class. Returns the input annotated with `lang_pred` (the argmax
+    * language; per-class margins 6-decimal rounded before comparison so
+    * sum-order wobble cannot flip a winner) and `lang_agree`
+    * (prediction = declaration). Featureless docs (< 3 chars) score 0
+    * on every class and predict the first language alphabetically.
+    * Scale shape: the model is dims × |classes| doubles riding plans as
+    * literals; the class vocabulary is one bounded distinct-collect
+    * (languages, not documents); everything else is q94's shape. */
+  def langIdAnnotateMulti(docs: DataFrame, dims: Int = 32, iters: Int = 2,
+      id: String = "doc_id", text: String = "text",
+      lang: String = "lang"): DataFrame = {
+    import graft.ops.LogReg
+    val classes = docs.select(col(lang)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(classes.nonEmpty, "langIdAnnotateMulti: no languages to train on")
+    val grams = graft.sources.Tables.spread(docs)
+      .select(col(id).as("doc_id"),
+        explode(TextOps.charTrigrams(col(text))).as("term"))
+    val nt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val feat = grams
+      .select(col("doc_id"), LogReg.bucketOf(col("term"), dims).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("j"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .persist()
+    try {
+      val labels = docs.select(col(id).as("doc_id"), col(lang).as("label"))
+      val w = LogReg.trainMulti(feat, labels, classes, dims, iters)
+      val wLits = w.map(wc => array(wc.map(lit): _*))
+      val z = feat
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("x") * element_at(wLits.head, col("j") + 1)), 6)
+            .as("__z0"),
+          wLits.tail.zipWithIndex.map { case (wl, i) =>
+            round(sum(col("x") * element_at(wl, col("j") + 1)), 6)
+              .as(s"__z${i + 1}")
+          }: _*)
+      val zCols = classes.indices.map(k => coalesce(col(s"__z$k"), lit(0.0)))
+      // argmax with the tie toward the earliest class: the CASE chain
+      // tests classes in ascending order, first hit wins (a one-class
+      // corpus degenerates to that class)
+      val pred =
+        if (classes.size == 1) lit(classes.head)
+        else {
+          val zMax = greatest(zCols: _*)
+          classes.indices.tail.foldLeft(
+            when(zCols.head === zMax, classes.head)) { (acc, k) =>
+              acc.when(zCols(k) === zMax, classes(k))
+            }
+        }
+      docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
+        .withColumn("lang_pred", pred)
+        .withColumn("lang_agree", col(lang) === col("lang_pred"))
+        .drop(classes.indices.map(k => s"__z$k"): _*)
+    } finally { feat.unpersist(); () }
+  }
+
   def withTokenCounts(docs: DataFrame, text: String = "text"): DataFrame =
     docs.withColumn("ws_tokens", size(TextOps.words(col(text))))
       .withColumn("bpe_tokens", TextOps.bpeishTokenCountOf(text))
@@ -327,9 +398,13 @@ object CurationPipeline {
     val qualityOnly = qualityGate(exact, cfg)
     // optional content-derived language audit: docs whose trigram-scored
     // language disagrees with their declared `lang` drop here (the
-    // flag's contract: mislabeled docs are curation losses, not keeps)
+    // flag's contract: mislabeled docs are curation losses, not keeps).
+    // The stage compares the MULTICLASS argmax prediction — one-vs-rest
+    // over every declared language — against the declaration, so a doc
+    // mislabeled between two non-target languages is caught too (the
+    // binary target-vs-rest form could not see it).
     val quality = (if (cfg.langIdAudit)
-      langIdAnnotate(qualityOnly, targetLang = cfg.langIdTarget)
+      langIdAnnotateMulti(qualityOnly)
         .where(col("lang_agree")).drop("lang_pred", "lang_agree")
     else qualityOnly).persist()
     val (near, nearCleanup) = nearDedupStaged(quality, cfg)

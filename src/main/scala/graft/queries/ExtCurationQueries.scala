@@ -1519,6 +1519,82 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
       |             * 1.0 / count(*), 4) AS acc_r
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------------- q190
+  /** MULTICLASS language ID under the oracle — q183's one-vs-rest
+    * binary audit generalized to EVERY declared language (r17 verdict
+    * #3): [[CurationPipeline.langIdAnnotateMulti]] trains one logistic
+    * model per language over the shared hashed char-trigram features
+    * ([[graft.ops.LogReg.trainMulti]] — per-class math and 6-decimal
+    * inter-iteration rounding identical to q94's binary trainer, fused
+    * into ONE job per iteration regardless of class count), scores all
+    * classes in one aggregation pass and predicts argmax(z) with ties
+    * toward the alphabetically-first language. The declared output is
+    * the FULL confusion matrix (declared lang × predicted lang ×
+    * docs). The oracle unrolls the entire per-class train + score +
+    * argmax chain in SQL keyed on a class column — a drifted per-class
+    * gradient, a mis-rounded weight, a wrong tie-break or a flipped
+    * argmax all hash-mismatch. This is also the production
+    * `Config.langIdAudit` stage's exact computation
+    * (CurationPipelineSpec pins the planted-mislabel drop). Scale
+    * shape: the model is dims × |langs| doubles riding plans as
+    * literals; the class vocabulary is one bounded distinct-collect
+    * (languages, not documents); 2 gradient jobs + 1 scoring pass over
+    * the persisted sparse feature table however many languages. */
+  private[queries] def q190(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    CurationPipeline.langIdAnnotateMulti(docs)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+  private[queries] val q190Sql =
+    """WITH d AS MATERIALIZED (SELECT doc_id, lang, text FROM documents),
+      |tri AS MATERIALIZED (
+      |  SELECT doc_id, unnest([substr(text, CAST(i AS INT), 3)
+      |                         for i in range(1, greatest(len(text) - 1, 1))])
+      |           AS term
+      |  FROM d),
+      |feat0 AS (SELECT doc_id,
+      |            CAST(('0x' || substr(md5(term), 1, 6))::BIGINT % 32 AS INT) AS j,
+      |            count(*) AS c
+      |          FROM tri GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      |x AS MATERIALIZED (SELECT doc_id, j, c * 1.0 / n AS x
+      |      FROM feat0 JOIN nt USING (doc_id)),
+      |cls AS MATERIALIZED (SELECT DISTINCT lang AS cls FROM d),
+      |y AS MATERIALIZED (SELECT d.doc_id, c.cls,
+      |        CASE WHEN d.lang = c.cls THEN 1.0 ELSE 0.0 END AS y
+      |      FROM d CROSS JOIN cls c),
+      |nn AS (SELECT count(*) AS n FROM d),
+      |dc AS (SELECT j, cls FROM (SELECT unnest(range(0, 32)) AS j)
+      |       CROSS JOIN cls),
+      |g1 AS (SELECT y.cls, x.j, sum((0.5 - y.y) * x.x) AS g
+      |       FROM x JOIN y USING (doc_id) GROUP BY 1, 2),
+      |w1 AS MATERIALIZED (SELECT dc.cls, dc.j,
+      |         round(0.0 - coalesce(g1.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM dc LEFT JOIN g1 ON g1.cls = dc.cls AND g1.j = dc.j),
+      |z2 AS MATERIALIZED (SELECT x.doc_id, w1.cls, sum(x.x * w1.w) AS z
+      |       FROM x JOIN w1 USING (j) GROUP BY 1, 2),
+      |g2 AS (SELECT z2.cls, x.j,
+      |         sum((1.0 / (1.0 + exp(-z2.z)) - y.y) * x.x) AS g
+      |       FROM x JOIN z2 USING (doc_id)
+      |            JOIN y ON y.doc_id = x.doc_id AND y.cls = z2.cls
+      |       GROUP BY 1, 2),
+      |w2 AS MATERIALIZED (SELECT w1.cls, w1.j,
+      |         round(w1.w - coalesce(g2.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      |       FROM w1 LEFT JOIN g2 ON g2.cls = w1.cls AND g2.j = w1.j),
+      |zs AS MATERIALIZED (SELECT x.doc_id, w2.cls, round(sum(x.x * w2.w), 6) AS z
+      |       FROM x JOIN w2 USING (j) GROUP BY 1, 2),
+      |zall AS (SELECT d.doc_id, d.lang, c.cls, coalesce(zs.z, 0.0) AS z
+      |         FROM d CROSS JOIN cls c
+      |         LEFT JOIN zs ON zs.doc_id = d.doc_id AND zs.cls = c.cls),
+      |pred AS (SELECT doc_id, lang,
+      |           (list(cls ORDER BY z DESC, cls))[1] AS lang_pred
+      |         FROM zall GROUP BY 1, 2)
+      |SELECT lang, lang_pred, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
   // ------------------------------------------------------------------ q89
   /** Curation v3 — the chain recomposed around the round's new stages:
     * exact dedup → quality gate → CANONICAL near-dedup (cluster the

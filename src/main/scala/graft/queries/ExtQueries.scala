@@ -167,7 +167,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q186_phrase_bm25", q186, Some(q186Sql)),
     Decl("q187_phrase_index_topk", q187, Some(q186Sql)),
     Decl("q188_phrase_takedown_compact", q188, Some(q188Sql)),
-    Decl("q189_phrase_index_incremental", q189, Some(q186Sql)))
+    Decl("q189_phrase_index_incremental", q189, Some(q186Sql)),
+    Decl("q190_langid_confusion", q190, Some(q190Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */

@@ -55,6 +55,40 @@ class CurationPipelineSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(disagree == Set(100L, 101L),
       s"exactly the two mislabeled docs must disagree, got $disagree")
+    // the MULTICLASS argmax form (what the curate() stage now runs)
+    // catches the same two plants AND names the language it read
+    val multi = CurationPipeline.langIdAnnotateMulti(docs)
+    val mDisagree = multi.where(!col("lang_agree"))
+      .select(col("doc_id"), col("lang_pred")).as[(Long, String)]
+      .collect().toMap
+    assert(mDisagree == Map(100L -> "xx", 101L -> "en"),
+      s"argmax must read the plants' true languages, got $mDisagree")
+    // trainMulti's fused per-iteration job learns BIT-IDENTICAL weights
+    // to a per-class binary train loop (the equality its scaladoc
+    // promises — one job per iteration is an optimization, not a model)
+    locally {
+      import graft.ops.LogReg
+      val grams = docs.select(col("doc_id"),
+        explode(graft.ops.TextOps.charTrigrams(col("text"))).as("term"))
+      val nt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val feat = grams
+        .select(col("doc_id"), LogReg.bucketOf(col("term"), 32).as("j"))
+        .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+        .join(nt, "doc_id")
+        .select(col("doc_id"), col("j"),
+          (col("c").cast("double") / col("n")).as("x"))
+        .persist()
+      try {
+        val classes = Seq("en", "xx")
+        val fused = LogReg.trainMulti(feat,
+          docs.select(col("doc_id"), col("lang").as("label")), classes, 32, 2)
+        classes.zip(fused).foreach { case (c, wm) =>
+          val wb = LogReg.train(feat, docs.select(col("doc_id"),
+            when(col("lang") === c, 1.0).otherwise(0.0).as("y")), 32, 2)
+          assert(wm.toSeq == wb.toSeq, s"class $c: fused != per-class weights")
+        }
+      } finally { feat.unpersist(); () }
+    }
     // and through the curate() flag: both mislabels drop, the clean
     // population is untouched by this stage
     val cfg = CurationPipeline.Config(minWords = 3, langIdAudit = true)
