@@ -12,7 +12,7 @@ package graft.ops
   * family probe/append paths already do). Failures propagate: the first
   * throwable rethrows after every job has settled, so a crashed write
   * can't be silently swallowed by its sibling's success. */
-private[ops] object Par {
+private[graft] object Par {
   def all(fs: (() => Unit)*): Unit = {
     if (fs.sizeIs <= 1) { fs.foreach(_.apply()); return }
     val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()

@@ -168,7 +168,8 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     Decl("q187_phrase_index_topk", q187, Some(q186Sql)),
     Decl("q188_phrase_takedown_compact", q188, Some(q188Sql)),
     Decl("q189_phrase_index_incremental", q189, Some(q186Sql)),
-    Decl("q190_langid_confusion", q190, Some(q190Sql)))
+    Decl("q190_langid_confusion", q190, Some(q190Sql)),
+    Decl("q191_stream_hybrid_fusion", q191, Some(q191Sql)))
 
   /** tools.StageProfile's window into the shared pair operator —
     * profiling-only, not part of any gate. */
@@ -199,5 +200,5 @@ object ExtQueries extends ExtDedupQueries with ExtAnnQueries
     "q176_bm25_takedown_compact", "q177_matryoshka_ivf",
     "q181_hybrid_rrf_fusion", "q185_hybrid_fusion_audit",
     "q187_phrase_index_topk", "q188_phrase_takedown_compact",
-    "q189_phrase_index_incremental")
+    "q189_phrase_index_incremental", "q191_stream_hybrid_fusion")
 }

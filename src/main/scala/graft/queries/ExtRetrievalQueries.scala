@@ -536,6 +536,134 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
       |QUALIFY rn <= 10
       |ORDER BY query_id, rn""".stripMargin
 
+  // ----------------------------------------------------------------- q191
+  /** STREAMING HYBRID FUSION through the PRODUCTION operator
+    * ([[graft.streaming.StreamingPipeline.startHybridIngest]]) — q181's
+    * BM25 ⊕ dense RRF fusion in-stream, the serving story's last gap
+    * (r17 verdict #5): documents WITH their embeddings arrive in 2
+    * micro-batches; each batch probes BOTH persisted indexes in their
+    * PRE-batch state (sparse: distilled top-2-term queries against the
+    * pk-pruned impact-capped postings — q175's leg; dense: nprobe=2
+    * cell-pruned cosine against the cell-clustered corpus under the
+    * frozen first-16 quantizer — q105's leg; the two legs run
+    * CONCURRENTLY on independent index locks), fuses the top-10 rank
+    * lists per (probe, match) with RRF (rank-only arithmetic —
+    * bit-stable), writes the fused top-5 to the batch_id-partitioned
+    * log, appends itself to BOTH indexes, and `compactEvery = 1` folds
+    * BOTH indexes lag-1 after every batch (the live-fold rule q175/q172
+    * pin per family, here exercised for two families in one firing).
+    * The oracle replays both batches' two-leg visibility and the fusion
+    * closed-form — a leg that saw its own batch, a missed generation on
+    * either index, a fold that changed bytes or a drifted fusion rank
+    * all hash-mismatch. The stream's state store is EMPTY: the two
+    * indexes on storage ARE the state. */
+  private[queries] def q191(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = graft.ops.Scratch.tempDir("graft_q191_")
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val bmPath = s"$tmp/bm25"
+      GraphFixtures.bm25BaseInto(spark, dir, bmPath) // doc_id % 4 <> 0 split
+      val base = emb.where(pmod(col("vec_id"), lit(4)) =!= 0)
+      val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(16)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      IvfIndex.buildCorpus(base, s"$tmp/ivf", cents)
+      val rows = fixtureSlice(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+          .as[(Long, String, Seq[Float])]).sortBy(_._1)
+      val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
+      val chunks = rows.grouped(per).toArray
+      val mem = MemoryStream[(Long, String, Seq[Float])]
+      val q = graft.streaming.StreamingPipeline.startHybridIngest(
+        mem.toDF().toDF("doc_id", "text", "embedding"),
+        bm25Path = bmPath, ivfPath = s"$tmp/ivf", cents = cents,
+        fusedDir = s"$tmp/fused", checkpointDir = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = Some(1))
+      try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      localizeRows(
+        spark.read.schema("probe_id BIGINT, frn INT, match_id BIGINT, " +
+            "rrf_r DOUBLE, bm25_rn INT, dense_rn INT, batch_id BIGINT")
+          .parquet(s"$tmp/fused")
+          .select(col("probe_id"), col("frn"), col("match_id"),
+            col("rrf_r"), col("bm25_rn"), col("dense_rn")),
+        Seq("probe_id", "frn"))
+    } finally rmRecursive(tmp)
+  }
+  private[queries] lazy val q191Sql =
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |s AS MATERIALIZED (SELECT doc_id,
+       |        (row_number() OVER (ORDER BY doc_id) - 1)
+       |          // CAST(ceil(count(*) OVER () / 2.0) AS BIGINT) AS b
+       |      FROM documents WHERE doc_id % 4 = 0),
+       |base0 AS MATERIALIZED (SELECT doc_id, text FROM docs
+       |        WHERE doc_id % 4 <> 0),
+       |bat0 AS (SELECT d.doc_id, d.text FROM docs d JOIN s USING (doc_id)
+       |         WHERE s.b = 0),
+       |bat1 AS (SELECT d.doc_id, d.text FROM docs d JOIN s USING (doc_id)
+       |         WHERE s.b = 1),
+       |base1 AS MATERIALIZED (SELECT doc_id, text FROM base0
+       |        UNION ALL SELECT doc_id, text FROM bat0),
+       |${distillCtes("x", "bat0", "q0")},
+       |${bm25Ctes("x", "base0", "q0", cap = Some(InvertedIndex.DefaultMaxPostings))},
+       |${distillCtes("y", "bat1", "q1")},
+       |${bm25Ctes("y", "base1", "q1", cap = Some(InvertedIndex.DefaultMaxPostings))},
+       |bmr AS (
+       |  SELECT query_id, doc_id, brn FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS brn FROM xagg) WHERE brn <= 10
+       |  UNION ALL
+       |  SELECT query_id, doc_id, brn FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS brn FROM yagg) WHERE brn <= 10),
+       |ebase AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+       |c AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv FROM (
+       |        SELECT * FROM ebase ORDER BY vec_id LIMIT 16)),
+       |sp AS MATERIALIZED (SELECT e.vec_id, e.v, s.b FROM e
+       |      JOIN s ON s.doc_id = e.vec_id),
+       |univ AS (SELECT vec_id, v, -1 AS b FROM ebase
+       |         UNION ALL SELECT vec_id, v, b FROM sp),
+       |asg AS MATERIALIZED (SELECT vec_id, v, b,
+       |        (SELECT c_id FROM c
+       |         ORDER BY list_cosine_similarity(v, cv) DESC, c_id DESC
+       |         LIMIT 1) AS cell
+       |      FROM univ),
+       |pc AS (SELECT p.vec_id AS probe_id, p.b AS pb, p.v AS pv, c.c_id,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY list_cosine_similarity(p.v, cv) DESC, c_id DESC)
+       |           AS crn
+       |       FROM sp p CROSS JOIN c),
+       |dnr AS (SELECT probe_id, vec_id, drn FROM (
+       |  SELECT probe_id, vec_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS drn
+       |  FROM (SELECT pc.probe_id, a.vec_id,
+       |          list_cosine_similarity(pc.pv, a.v) AS cos
+       |        FROM pc JOIN asg a ON a.cell = pc.c_id AND pc.crn <= 2
+       |        WHERE a.b < pc.pb)) WHERE drn <= 10),
+       |fusedraw AS (
+       |  SELECT coalesce(b.query_id, d.probe_id) AS probe_id,
+       |         coalesce(b.doc_id, d.vec_id) AS match_id,
+       |         coalesce(1.0 / (b.brn + 60), 0) +
+       |           coalesce(1.0 / (d.drn + 60), 0) AS rrf,
+       |         b.brn AS brn, d.drn AS drn
+       |  FROM bmr b FULL OUTER JOIN dnr d
+       |    ON b.query_id = d.probe_id AND b.doc_id = d.vec_id)
+       |SELECT probe_id, frn, match_id, round(rrf, 6) AS rrf_r,
+       |       coalesce(brn, 0) AS bm25_rn, coalesce(drn, 0) AS dense_rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY rrf DESC, match_id) AS frn FROM fusedraw)
+       |WHERE frn <= 5
+       |ORDER BY probe_id, frn""".stripMargin
+
   // ----------------------------------------------------------------- q186
   /** PHRASE retrieval under the oracle — the positional dimension the
     * single-term BM25 family (q130/q173) lacks: a phrase query matches

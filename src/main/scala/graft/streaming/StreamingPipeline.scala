@@ -434,6 +434,96 @@ object StreamingPipeline {
       batch.sparkSession, indexPath, batch, matchesDir,
       batchId = batchId, k = k, queryTerms = queryTerms)
 
+  /** Continuously-ingesting HYBRID retrieval — q181's BM25 ⊕ dense RRF
+    * fusion IN-STREAM, completing the serving story both persisted
+    * retrieval indexes exist for: each micro-batch of documents WITH
+    * embeddings (doc_id, text, embedding) probes BOTH indexes in their
+    * PRE-batch state — the sparse leg distills each doc's top
+    * `queryTerms` terms and ranks the pk-pruned postings
+    * ([[graft.ops.InvertedIndex.probeAndAppend]]'s probe, impact-cap
+    * included), the dense leg searches its `nprobe` nearest cells of
+    * the cell-clustered corpus ([[graft.ops.IvfIndex.probeAndAppend]]'s
+    * probe) — fuses the two top-`sideK` rank lists per (probe, match)
+    * with reciprocal-rank fusion (score = Σ 1/(rrfC + rank), a leg
+    * contributing only where the doc made its list; rank-only integer
+    * arithmetic → bit-stable), writes the fused top-`fuseK` to the
+    * `batch_id`-partitioned `fusedDir` log, and appends the batch to
+    * BOTH indexes. The two legs run CONCURRENTLY (different index
+    * paths, independent locks), each already overlapping its own probe
+    * with its generation appends. Delivery is the family contract:
+    * generation-keyed appends via dynamic partition overwrite on both
+    * indexes, own-generation exclusion at probe time, the fused log's
+    * batch partition replaced on retry — exactly-once on storage with
+    * an EMPTY state store. `compactEvery` folds BOTH indexes lag-1 in
+    * one firing (evaluated outside the isEmpty guard, the
+    * startVectorIngest rule). */
+  def startHybridIngest(docs: DataFrame, bm25Path: String, ivfPath: String,
+      cents: Seq[Seq[Float]], fusedDir: String, checkpointDir: String,
+      sideK: Int = 10, fuseK: Int = 5, rrfC: Int = 60,
+      queryTerms: Int = 2, nprobe: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          hybridIngestBatch(batch, batchId, bm25Path, ivfPath, cents,
+            fusedDir, sideK, fuseK, rrfC, queryTerms, nprobe)
+        // evaluated outside the isEmpty guard (the startVectorIngest rule)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == (n - 1)) {
+            graft.ops.InvertedIndex.compact(
+              batch.sparkSession, bm25Path, keepBatch = Some(batchId))
+            graft.ops.IvfIndex.compactCorpus(
+              batch.sparkSession, ivfPath, keepBatch = Some(batchId))
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of the hybrid ingest, idempotent in `batchId` —
+    * both legs probed-and-appended concurrently, then the RRF fusion of
+    * their materialized logs replaces the batch's fused-log partition. */
+  def hybridIngestBatch(batch: DataFrame, batchId: Long, bm25Path: String,
+      ivfPath: String, cents: Seq[Seq[Float]], fusedDir: String,
+      sideK: Int = 10, fuseK: Int = 5, rrfC: Int = 60,
+      queryTerms: Int = 2, nprobe: Int = 2): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      var bm: DataFrame = spark.emptyDataFrame
+      var dn: DataFrame = spark.emptyDataFrame
+      graft.ops.Par.all(
+        () => bm = graft.ops.InvertedIndex.probeAndAppend(spark, bm25Path,
+          cached.select(col("doc_id"), col("text")), batchId = Some(batchId),
+          k = sideK, queryTerms = queryTerms),
+        () => dn = graft.ops.IvfIndex.probeAndAppend(spark, ivfPath,
+          cached.select(col("doc_id").as("vec_id"), col("embedding")),
+          cents, batchId = Some(batchId), k = sideK, nprobe = nprobe))
+      val bmr = bm.select(col("probe_id"), col("match_id"),
+        col("rn").as("brn"))
+      val dnr = dn.select(col("probe_id"),
+        col("neighbor_id").as("match_id"), col("rn").as("drn"))
+      val wf = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("match_id"))
+      val fused = bmr.join(dnr, Seq("probe_id", "match_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("brn") + rrfC), lit(0.0)) +
+            coalesce(lit(1.0) / (col("drn") + rrfC), lit(0.0)))
+        .withColumn("frn", row_number().over(wf)).where(col("frn") <= fuseK)
+        .select(col("probe_id"), col("frn"), col("match_id"),
+          round(col("rrf"), 6).as("rrf_r"),
+          coalesce(col("brn"), lit(0)).as("bm25_rn"),
+          coalesce(col("drn"), lit(0)).as("dense_rn"))
+      fused.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(fusedDir)
+    } finally { cached.unpersist(); () }
+  }
+
   /** Continuously-ingesting CDC changelog merge — the streaming form of
     * [[graft.ops.ChangelogMerge]] (the lakehouse merge-on-read shape):
     * each micro-batch of changelog rows (key, payload…, cl_seq, cl_op)

@@ -23,7 +23,7 @@ class BenchOrderSpec extends AnyFunSuite {
       "q100_", "q101_", "q105_", "q106_", "q109_", "q112_", "q116_", "q132_",
       "q135_", "q138_", "q150_", "q165_", "q166_", "q167_", "q172_",
       "q173_", "q174_", "q175_", "q176_", "q177_", "q181_", "q185_",
-      "q187_", "q188_", "q189_")
+      "q187_", "q188_", "q189_", "q191_")
     val declared = SparkEntry.queries.keySet
     val expected = declared.filter(n => staging.exists(n.startsWith))
     assert(expected === graft.queries.ExtQueries.lifecycleNames,
