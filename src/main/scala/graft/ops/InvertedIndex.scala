@@ -102,6 +102,15 @@ object InvertedIndex {
     * r16 sf1 sweep measured exactly that blowup). */
   val DefaultMaxPostings = 256
 
+  /** Prefix depth of the max-score pruned probe (see [[maxScoreScored]]):
+    * how many highest-impact postings per term the first phase scores
+    * before deciding whether the tail can matter at all. */
+  val MaxScorePrefix = 32
+
+  /** Above this many candidate docs the tail filter joins instead of
+    * riding the scan as a pushed IN predicate. */
+  private val MaxScoreIsinCap = 1024
+
   def postingsPath(path: String): String = s"$path/postings"
   def termdfPath(path: String): String = s"$path/termdf"
   def positionsPath(path: String): String = s"$path/positions"
@@ -281,7 +290,7 @@ object InvertedIndex {
     // touched pk values + the term semi-join list from ONE bounded
     // localize (the LshIndex probe shape); over-cap falls back to a
     // distinct-pk collect with the terms staying distributed
-    val (q, touchedTerms, touchedPk) =
+    val (q, touchedTerms, touchedPk, localQ) =
       Caches.localize(qcols.withColumn("pk", termPk(layout)),
         maxRows = 1 << 20) match {
         case Some(local) =>
@@ -291,12 +300,13 @@ object InvertedIndex {
             new java.util.ArrayList(
               terms.map(t => org.apache.spark.sql.Row(t)).asJava),
             org.apache.spark.sql.types.StructType(Seq(local.schema("term"))))
-          (local.drop("pk"), tt, rows.map(_.getInt(2)).distinct.map(Int.box).toSeq)
+          (local.drop("pk"), tt,
+            rows.map(_.getInt(2)).distinct.map(Int.box).toSeq, Some(rows))
         case None =>
           val tt = qcols.select(col("term")).distinct()
           val pk = tt.select(termPk(layout).as("pk")).distinct()
             .collect().map(r => Int.box(r.getInt(0))).toSeq
-          (qcols, tt, pk)
+          (qcols, tt, pk, None)
       }
     def dropOwnGen(df: DataFrame): DataFrame =
       excludeGen.fold(df)(g => df.where(col("gen") =!= g))
@@ -351,18 +361,177 @@ object InvertedIndex {
         post.withColumn("prn", row_number().over(wImp))
           .where(col("prn") <= m).drop("prn")
       }
-    val scored = scoredPost.join(broadcast(q), "term")
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("s", idf * tfn)
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("s")).as("score"))
-    val alive = tombstones(spark, path).fold(scored)(t =>
+    val tombs = tombstones(spark, path)
+    // max-score pruning (the Turtle–Flood / Lucene max-score family in
+    // batch-relational form): on the single-generation impact-ordered
+    // fast path, a bounded PREFIX often already settles the top-k — see
+    // [[maxScoreScored]]. Engages only when exactness is provable;
+    // anything else falls back to the plain full-cap scoring below.
+    val prunedScored: Option[DataFrame] =
+      if (!singleVisibleGen || localQ.isEmpty) None
+      else maxPostings.flatMap { m =>
+        val m0 = math.max(k, MaxScorePrefix)
+        if (m0 >= m) None
+        else maxScoreScored(spark, rawPost, q, localQ.get, touchedTerms,
+          df, stats, tombs, k, m, m0)
+      }
+    val scored = prunedScored.getOrElse(
+      scoredPost.join(broadcast(q), "term")
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("s", idf * tfn)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("s")).as("score")))
+    val alive = tombs.fold(scored)(t =>
       scored.join(t, Seq("doc_id"), "left_anti"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     alive.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
+  /** Max-score / block-max pruned scoring (Turtle & Flood's max-score,
+    * Lucene's `MAXSCORE` family, adapted to the batch-relational probe):
+    * instead of scoring every `irn <= m` posting of every probed term,
+    * score a bounded PREFIX (`irn <= m0`) first, bound what the tail
+    * (`m0 < irn <= m`) could still contribute, and read the tail ONLY
+    * for docs that can still reach the top-k.
+    *
+    * Soundness (why the result is BIT-IDENTICAL to full-cap scoring):
+    *   - every prefix posting is in the final sum (single generation ⇒
+    *     `irn` IS the global impact rank), so a doc's prefix score `p`
+    *     LOWER-bounds its final score;
+    *   - a tail posting of term t has tf ≤ the term's boundary tf (the
+    *     minimum tf in its prefix — the impact order guarantees it) and
+    *     tfn is increasing in tf and maximal at dl = 1, so its
+    *     contribution is ≤ bmax_t = idf_t · tfn(btf_t, dl = 1); terms
+    *     with df ≤ m0 have NO tail (bmax = 0);
+    *   - θ_q = the k-th best prefix score lower-bounds the k-th best
+    *     FINAL score (final ≥ prefix pointwise, all contributions > 0);
+    *   - an UNSEEN doc's final score is ≤ B_q = Σ_t bmax_t < θ_q (the
+    *     query-safety test, strict) ⇒ it cannot enter the top-k;
+    *   - a SEEN doc's final score is ≤ p + Σ_{t where unseen} bmax_t =
+    *     p + B_q − Σ_{t where seen} bmax_t; below θ_q (strict) ⇒ out.
+    * Docs that survive those bounds get their tail postings scored for
+    * real (a superset filter — extra tail rows only make non-winners'
+    * partial scores more exact, never change the top-k), so every
+    * EMITTED row carries the exact full-cap score. Queries that fail
+    * the safety test (θ undefined, or B_q ≥ θ_q) keep their whole tail.
+    *
+    * Engages only when the phase-A prefix localizes (bounded driver
+    * work — the ingest path's batch-sized probes); returns None to fall
+    * back otherwise. The candidate-doc tail filter rides the SCAN as a
+    * pushed IN predicate when the list is small (≤ [[MaxScoreIsinCap]],
+    * no unsafe queries — on a skewed corpus the tail scan then reads
+    * near-zero rows), and joins otherwise. Sum-order caveat: per-doc
+    * partials add driver-side; for the ≤ 2-term distilled queries the
+    * families use, IEEE addition is commutative so scores stay
+    * bit-stable (the object-scaladoc short-query discipline). */
+  private def maxScoreScored(spark: SparkSession, rawPost: DataFrame,
+      q: DataFrame, qRows: Array[org.apache.spark.sql.Row],
+      touchedTerms: DataFrame, df: DataFrame, stats: DataFrame,
+      tombs: Option[DataFrame], k: Int, m: Int, m0: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val prefix = rawPost.where(col("irn") <= m0)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .join(broadcast(touchedTerms), Seq("term"), "left_semi")
+    // boundary tf per term over the PHYSICAL prefix (tombstoned docs
+    // included — they are physical postings until compact, and the tail
+    // bound is about physical rows)
+    val btf = prefix.groupBy(col("term")).agg(min(col("tf")).as("btf"))
+    val tfnUb = (col("btf") * 2.2) /
+      (col("btf") + lit(1.2) * (lit(0.25) + lit(0.75) * lit(1.0) / col("avgdl")))
+    // (query, term) tail bounds — only tail-bearing terms (df > m0) rate
+    val qtb = q.join(broadcast(df), "term").join(broadcast(btf), "term")
+      .crossJoin(broadcast(stats))
+      .where(col("df") > m0)
+      .select(col("query_id"), col("term"), (idf * tfnUb).as("bmax"))
+    val detail0 = prefix.join(broadcast(q), "term")
+      .join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"), col("doc_id"), (idf * tfn).as("s"))
+    // tombstoned docs can never be emitted, so they don't rate as
+    // threshold candidates either (df/N/avgdl keep counting them — the
+    // statistics stayed upstream in `df`/`stats`)
+    val detail = tombs.fold(detail0)(t =>
+      detail0.join(t, Seq("doc_id"), "left_anti"))
+    val localDetail = Caches.localize(detail, maxRows = 1 << 22)
+      .map(_.collect())
+    val localQtb = Caches.localize(qtb, maxRows = 1 << 20).map(_.collect())
+    if (localDetail.isEmpty || localQtb.isEmpty) return None
+    val bmaxByQt = localQtb.get
+      .map(r => (r.get(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val bByQ = bmaxByQt.toSeq.groupBy(_._1._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).sum }
+    // p (exact prefix partial) and covered-bound per (query, doc)
+    val pd = scala.collection.mutable.LinkedHashMap
+      .empty[(Any, Any), (Double, Double)]
+    localDetail.get.foreach { r =>
+      val key = (r.get(0), r.get(2))
+      val bm = bmaxByQt.getOrElse((r.get(0), r.getString(1)), 0.0)
+      val (p0, c0) = pd.getOrElse(key, (0.0, 0.0))
+      pd(key) = (p0 + r.getDouble(3), c0 + bm)
+    }
+    val byQ = pd.toSeq.groupBy(_._1._1)
+    val keepDocs = scala.collection.mutable.LinkedHashSet.empty[Any]
+    val unsafeQ = scala.collection.mutable.LinkedHashSet.empty[Any]
+    qRows.map(_.get(0)).distinct.foreach { qid =>
+      val docs = byQ.getOrElse(qid, Seq.empty)
+      val b = bByQ.getOrElse(qid, 0.0)
+      if (docs.size < k && b > 0.0) { unsafeQ += qid; () }
+      else if (docs.size >= k) {
+        val th = docs.map(_._2._1).sorted(Ordering[Double].reverse)(k - 1)
+        if (b < th)
+          docs.foreach { case ((_, d), (p, cov)) =>
+            if (p + b - cov >= th) { keepDocs += d; () }
+          }
+        else { unsafeQ += qid; () }
+      }
+      // docs.size < k with b == 0: nothing beyond the prefix exists for
+      // this query — safe with no candidates
+    }
+    // phase-A partials as a LocalRelation — reused, not recomputed
+    val qidField = detail.schema("query_id")
+    val docField = detail.schema("doc_id")
+    val pRows: Seq[Row] =
+      pd.toSeq.map { case ((qid, d), (p, _)) => Row(qid, d, p) }
+    val pref = spark.createDataFrame(
+      new java.util.ArrayList(pRows.asJava),
+      StructType(Seq(qidField, docField, StructField("s", DoubleType))))
+    val tailNeeded = unsafeQ.nonEmpty || keepDocs.nonEmpty
+    val tailScored: Option[DataFrame] = if (!tailNeeded) None else {
+      val tailBase = rawPost.where(col("irn") > m0 && col("irn") <= m)
+      val pushIn = unsafeQ.isEmpty && keepDocs.size <= MaxScoreIsinCap
+      val tailCut =
+        if (pushIn) tailBase.where(col("doc_id").isin(keepDocs.toSeq: _*))
+        else tailBase
+      val scored0 = tailCut
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .join(broadcast(touchedTerms), Seq("term"), "left_semi")
+        .join(broadcast(q), "term")
+        .join(broadcast(df), "term").crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"), (idf * tfn).as("s"))
+      Some(
+        if (pushIn) scored0
+        else {
+          val kd = spark.createDataFrame(
+            new java.util.ArrayList(keepDocs.toSeq.map(Row(_)).asJava),
+            StructType(Seq(docField))).withColumn("__kd", lit(1))
+          val uq = spark.createDataFrame(
+            new java.util.ArrayList(unsafeQ.toSeq.map(Row(_)).asJava),
+            StructType(Seq(qidField))).withColumn("__kq", lit(1))
+          scored0.join(broadcast(kd), Seq("doc_id"), "left")
+            .join(broadcast(uq), Seq("query_id"), "left")
+            .where(col("__kd") === 1 || col("__kq") === 1)
+            .drop("__kd", "__kq")
+        })
+    }
+    Some(tailScored.fold(pref)(t => pref.unionByName(t))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score")))
   }
 
   /** GLOBAL document frequency per term — all visible generations

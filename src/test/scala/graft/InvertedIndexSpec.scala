@@ -375,6 +375,128 @@ class InvertedIndexSpec extends SparkSpecBase {
     assert(nWindows(multi.queryExecution.optimizedPlan) == 2)
   }
 
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec        => fileScans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(fileScans)
+    }
+  }
+
+  test("max-score pruning: the prefix settles top-k and the tail scan " +
+    "reads (almost) nothing on a skewed corpus") {
+    val path = tmpDir("bm25_maxscore")
+    // skewed single-term corpus: 3 strong docs (tf = 50), 97 weak
+    // (tf = 1), constant dl — the 32-posting prefix decides the top-3
+    // and every candidate's postings live inside it, so the tail scan
+    // (irn in (32, 64], candidate-filtered) must read ZERO rows
+    val docs = (0 until 100).map { i =>
+      val c = if (i < 3) 50 else 1
+      (i.toLong, (("common " * c) + ("pad " * (64 - c))).trim)
+    }.toDF("doc_id", "text")
+    InvertedIndex.build(docs, path)
+    val q = Seq((0L, "common")).toDF("query_id", "term")
+    val res = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(64))
+    val got = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+    // bit-identical to the untruncated from-scratch ranking (the top-3
+    // sits comfortably inside any cap)
+    assert(got == brute(docs, q, 3))
+    assert(got.map(_._3).toSet == Set(0L, 1L, 2L))
+    // scan evidence: the probe's own plan holds only the TAIL postings
+    // scan (phase A ran as its own bounded job), carrying BOTH the
+    // (m0, m] rank window and the candidate IN predicate as pushed scan
+    // filters — at real scale those prune row groups by min/max; at
+    // fixture scale (one tiny row group) the exact cut lands in the
+    // Filter directly above the vectorized scan, which must emit ZERO
+    // rows into the scoring join — strictly below the 64-row irn <= m
+    // volume the unpruned probe scores
+    val postScans = fileScans(res.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "tf"))
+    assert(postScans.nonEmpty, "expected the candidate-filtered tail scan")
+    postScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThan(irn,32)") &&
+        pushed.contains("In(doc_id"),
+        s"tail cut not pushed to the scan: $pushed")
+    }
+    def tailFilters(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FilterExec] = {
+      import org.apache.spark.sql.execution.FilterExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => tailFilters(a.executedPlan)
+        case q: QueryStageExec        => tailFilters(q.plan)
+        case f: FilterExec if f.condition.toString.contains("irn") =>
+          Seq(f) ++ f.children.flatMap(tailFilters)
+        case other => other.children.flatMap(tailFilters)
+      }
+    }
+    val tailRows = tailFilters(res.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    assert(tailRows == 0L,
+      s"tail filter emitted $tailRows rows — the max-score skip did not engage")
+  }
+
+  test("max-score pruning falls back exactly where it must: unsafe " +
+    "queries and short prefixes keep full-cap parity") {
+    val path = tmpDir("bm25_maxscore_parity")
+    // adversarial mix: a flat-tf common term (every posting ties, so the
+    // tail bound CANNOT clear the threshold → unsafe), a prefix-decided
+    // skewed term, and rare terms with no tail at all
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      val common = "common " * (1 + rnd.nextInt(3))
+      val skew = if (i < 4) "skewed " * 40 else if (i % 2 == 0) "skewed " else ""
+      val rare = if (i % 17 == 0) s"rare$i " else ""
+      (i.toLong, (common + skew + rare + "pad " * (8 + rnd.nextInt(5))).trim)
+    }.toDF("doc_id", "text")
+    InvertedIndex.build(docs, path)
+    val q = Seq((0L, "common"), (1L, "skewed"), (2L, "common"), (2L, "skewed"),
+      (3L, "rare0"), (3L, "rare17"), (4L, "absent"))
+      .toDF("query_id", "term")
+    // the pruned probe must equal the merge-window spelling of the SAME
+    // truncation contract: compare against a multi-gen clone of the same
+    // corpus (its probe takes the unpruned path) posting-for-posting is
+    // impossible — instead pin against the explicitly-computed capped
+    // reference: per term keep the top-m postings by (tf desc, doc_id),
+    // score, then top-k
+    val m = 48
+    def cappedBrute(): Seq[(Long, Int, Long, Double)] = {
+      val tok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        avg(size(split(col("text"), " "))).as("avgdl"))
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+      val capped = tf.withColumn("prn", row_number().over(wCap))
+        .where(col("prn") <= m).drop("prn")
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val tfn = (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+      capped.join(q, "term").join(dfr, "term").crossJoin(stats)
+        .withColumn("s", idf * tfn)
+        .groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq.sorted
+    }
+    val pruned = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(m))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+    assert(pruned == cappedBrute())
+  }
+
   test("probing a non-index path fails loudly") {
     val path = tmpDir("bm25_nometa")
     val e = intercept[IllegalStateException] {
