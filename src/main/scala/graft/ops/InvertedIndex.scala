@@ -697,11 +697,20 @@ object InvertedIndex {
         val q = post.withColumn("qrn", row_number().over(wq))
           .where(col("qrn") <= queryTerms)
           .select(col("doc_id").as("query_id"), col("term"))
-        val ann = probe(spark, path, q, k,
+        // probe construction stays BEFORE the concurrent round: its
+        // listings (and, on retry, the schema read of the delivery-1
+        // gen=b<id> files the append is about to REPLACE) must freeze
+        // before any dynamic-overwrite delete — deferring it into the
+        // round races readParquetFootersInParallel against the retry's
+        // partition replacement. probe() now also runs its bounded
+        // max-score phase-A jobs here, serial before the appends — two
+        // small prefix-sized jobs, a price worth the retry safety.
+        val log = probe(spark, path, q, k,
           excludeGen = batchId.map(b => genOf(Some(b))), cfg = layout,
           maxPostings = maxPostings)
-        val log = ann.select(col("query_id").as("probe_id"), col("rn"),
-          col("doc_id").as("match_id"), round(col("score"), 4).as("score_r"))
+          .select(col("query_id").as("probe_id"), col("rn"),
+            col("doc_id").as("match_id"),
+            round(col("score"), 4).as("score_r"))
         val mode = if (batchId.isDefined) "replace-gen" else "append"
         val gen = genOf(batchId)
         // independent targets (postings vs termdf vs stats) — append

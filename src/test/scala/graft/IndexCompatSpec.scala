@@ -92,6 +92,33 @@ class IndexCompatSpec extends SparkSpecBase {
       spark, p, IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
   }
 
+  test("positions-era BM25 fixture replays term AND phrase probes identically") {
+    val tmp = tmpDir("compat_bm25_v3")
+    copyDir(s"$fixture/bm25_v3", s"$tmp/idx")
+    assert(new java.io.File(s"$fixture/bm25_v3/positions").exists,
+      "bm25_v3 fixture must carry the positions sidecar")
+    // term probe: the family contract (retry replaces gen b0, log
+    // converges on the recorded rows)
+    val got = rowsOf(graft.ops.InvertedIndex.probeAndAppend(spark,
+      s"$tmp/idx", IndexFixtureData.batchDocs(spark), batchId = Some(0L)))
+    val want = rowsOf(spark.read.parquet(s"$fixture/expected_bm25_v3"))
+    assert(want.nonEmpty && got == want,
+      "bm25_v3: term probe diverged from the recorded output")
+    // phrase probe: the committed positions layout + recorded ranks pin
+    // the adjacency intersect and phrase-BM25 semantics across eras
+    val gotP = rowsOf(graft.ops.InvertedIndex.phraseProbe(spark,
+      s"$tmp/idx", IndexFixtureData.phraseQueries(spark)))
+    val wantP = rowsOf(spark.read.parquet(s"$fixture/expected_bm25_v3_phrase"))
+    assert(wantP.nonEmpty && gotP == wantP,
+      "bm25_v3: phrase probe diverged from the recorded output")
+    // the wrong-order control phrase (query 2, reversed word order) must
+    // match nothing — adjacency is directional
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(s"$fixture/expected_bm25_v3_phrase")
+      .where(col("query_id") === 2).count() == 0,
+      "reversed-order control phrase must not match")
+  }
+
   test("pre-positions BM25 indexes (both committed eras) reject phrase " +
     "probes loudly and keep term-probing") {
     import spark.implicits._

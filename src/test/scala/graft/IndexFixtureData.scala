@@ -44,6 +44,15 @@ object IndexFixtureData {
   /** The frozen quantizer/codebooks: the first 16 base vectors. */
   def base16: Seq[Seq[Float]] = (0L until 16L).map(vecOf)
 
+  /** Phrase queries for the positions-era BM25 fixture: one real
+    * adjacent bigram per duplicate group plus a wrong-order control
+    * (never adjacent — must return nothing). */
+  def phraseQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0L, "group0 alpha0"), (1L, "beta1 gamma1"), (2L, "alpha2 group2"))
+      .toDF("query_id", "phrase")
+  }
+
   /** The committed BPE merge table (q159's row shape): round 0 merges
     * raw fixture tokens, round 1 merges round-0 PRODUCTS — so the
     * cross-generation replay must chain rounds in order to reproduce

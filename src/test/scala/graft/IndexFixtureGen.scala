@@ -98,6 +98,23 @@ object IndexFixtureGen {
         "expected_bm25_v2")
     }
 
+    family("bm25v3") {
+      // r18's positions era gets its OWN committed fixture next to the
+      // r16 (legacy) and r17 (impact-ordered) ones: the positions
+      // sidecar (term, doc_id, pos, dl) under the same (pk, gen)
+      // layout with the stamped `positions` meta flag — the committed
+      // index pins the sidecar layout, and the recorded PHRASE probe
+      // pins the adjacency-intersect and phrase-BM25 semantics across
+      // every future era
+      graft.ops.InvertedIndex.build(docs, s"$out/bm25_v3",
+        graft.ops.InvertedIndex.Config(positions = true))
+      save(graft.ops.InvertedIndex.probeAndAppend(spark, s"$out/bm25_v3",
+        IndexFixtureData.batchDocs(spark), batchId = Some(0L)),
+        "expected_bm25_v3")
+      save(graft.ops.InvertedIndex.phraseProbe(spark, s"$out/bm25_v3",
+        IndexFixtureData.phraseQueries(spark)), "expected_bm25_v3_phrase")
+    }
+
     family("bpe") {
       // a vocab whose round-1 merges consume round-0 PRODUCTS, so the
       // committed artifact exercises the round-chained replay, not just
