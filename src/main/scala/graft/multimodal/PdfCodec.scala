@@ -14,7 +14,9 @@ package graft.multimodal
   * STREAMS (/Type /XRef: /W binary entries, /Index subsections,
   * FlateDecode + the PNG row predictors real writers emit),
   * INCREMENTAL-UPDATE chains (/Prev-linked sections merged newest-first
-  * — a replaced object resolves to its newest body), the trailer
+  * — a replaced object resolves to its newest body), COMPRESSED OBJECT
+  * STREAMS (/Type /ObjStm: xref type-2 entries dereference members out
+  * of the decoded stream, one inflate per stream per doc), the trailer
   * dictionary (classic or in-stream), a recursive-descent object parser
   * (dicts, arrays, names, numbers, literal + hex strings, indirect
   * references, booleans/null), stream objects with direct OR indirect
@@ -27,11 +29,11 @@ package graft.multimodal
   * parens).
   *
   * Out-of-scope shapes fail LOUDLY, never silently mis-parse (the codec
-  * family contract): encrypted files (/Encrypt), compressed OBJECT
-  * streams (xref type-2 entries), hybrid-reference files (/XRefStm),
-  * FDICT/overgrown flate streams, unsupported filters or predictors,
-  * nested page trees, the `'`/`"` show operators, unbalanced BT/ET,
-  * /Prev loops, and any truncated or overrunning slice — each throws
+  * family contract): encrypted files (/Encrypt), chained object streams
+  * (/Extends), hybrid-reference files (/XRefStm), FDICT/overgrown
+  * flate streams, unsupported filters or predictors, nested page
+  * trees, the `'`/`"` show operators, unbalanced BT/ET, /Prev loops,
+  * and any truncated or overrunning slice — each throws
   * `IllegalArgumentException` naming the doc id.
   *
   * Scale shape: parsing is a single driver-free byte walk per blob —
@@ -168,27 +170,38 @@ object PdfCodec {
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val (offsets, fontObj) = writeObjects(out, pages)
     val xrefObj = fontObj + 1
+    val rowsBelow = (0, 0L, 0xffff) +:
+      (1 to fontObj).map(i => (1, offsets(i), 0))
+    writeXrefStreamObj(out, xrefObj, rowsBelow)
+    out.toByteArray
+  }
+
+  /** Write the cross-reference STREAM object for ids `0 until xrefObj`
+    * (`rowsBelow` = (type, field2, field3) per id, in id order) plus
+    * the stream's own type-1 row, W [1 4 2] under the PNG Up predictor,
+    * trailer keys in the stream dict, and the startxref tail. */
+  private def writeXrefStreamObj(out: java.io.ByteArrayOutputStream,
+      xrefObj: Int, rowsBelow: Seq[(Int, Long, Int)]): Unit = {
+    require(rowsBelow.size == xrefObj, "one row per object id below the xref")
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val xrefAt = out.size().toLong
-    val wN = 7 // 1-byte type + 4-byte offset + 2-byte generation
-    val nRows = xrefObj + 1
-    val raw = new Array[Byte](nRows * wN)
-    def putRow(id: Int, tpe: Int, off: Long, gen: Int): Unit = {
+    val rows = rowsBelow :+ ((1, xrefAt, 0))
+    val wN = 7 // 1-byte type + 4-byte field2 + 2-byte field3
+    val raw = new Array[Byte](rows.size * wN)
+    rows.zipWithIndex.foreach { case ((tpe, f2, f3), id) =>
       val b = id * wN
       raw(b) = tpe.toByte
-      raw(b + 1) = ((off >> 24) & 0xff).toByte
-      raw(b + 2) = ((off >> 16) & 0xff).toByte
-      raw(b + 3) = ((off >> 8) & 0xff).toByte
-      raw(b + 4) = (off & 0xff).toByte
-      raw(b + 5) = ((gen >> 8) & 0xff).toByte
-      raw(b + 6) = (gen & 0xff).toByte
+      raw(b + 1) = ((f2 >> 24) & 0xff).toByte
+      raw(b + 2) = ((f2 >> 16) & 0xff).toByte
+      raw(b + 3) = ((f2 >> 8) & 0xff).toByte
+      raw(b + 4) = (f2 & 0xff).toByte
+      raw(b + 5) = ((f3 >> 8) & 0xff).toByte
+      raw(b + 6) = (f3 & 0xff).toByte
     }
-    putRow(0, 0, 0L, 0xffff)
-    (1 to fontObj).foreach(i => putRow(i, 1, offsets(i), 0))
-    putRow(xrefObj, 1, xrefAt, 0)
     // PNG Up predictor: each wN-byte row prefixed by filter byte 2 and
     // delta-coded against the previous row
-    val pred = new Array[Byte](nRows * (wN + 1))
-    (0 until nRows).foreach { r =>
+    val pred = new Array[Byte](rows.size * (wN + 1))
+    rows.indices.foreach { r =>
       pred(r * (wN + 1)) = 2
       (0 until wN).foreach { c =>
         val above = if (r == 0) 0 else raw((r - 1) * wN + c) & 0xff
@@ -203,6 +216,59 @@ object PdfCodec {
     out.write(data, 0, data.length)
     w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
+  }
+
+  /** The same document with its NON-STREAM objects (catalog, pages
+    * node, page dicts, font) packed into a COMPRESSED OBJECT STREAM
+    * (/Type /ObjStm, FlateDecode) referenced by xref type-2 entries —
+    * together with [[encodeXrefStream]] the two shapes virtually every
+    * post-2005 writer emits. Content streams stay top-level (a stream
+    * cannot live inside an object stream, per spec). */
+  def encodeObjectStreams(pages: Seq[PageSpec]): Array[Byte] = {
+    require(pages.nonEmpty, "pdf needs at least one page")
+    pages.foreach(p => require(p.segments.nonEmpty, "page needs text"))
+    val n = pages.size
+    val fontObj = 3 + 2 * n
+    val objStmObj = fontObj + 1
+    val xrefObj = fontObj + 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val contentOff = new Array[Long](n)
+    pages.zipWithIndex.foreach { case (p, i) =>
+      contentOff(i) = out.size().toLong
+      w(s"${3 + n + i} 0 obj\n"); out.write(contentObjBody(p)); w("endobj\n")
+    }
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [ $kids ] /Count $n >>") ++
+        (0 until n).map(i => (3 + i) ->
+          (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
+            s"/Contents ${3 + n + i} 0 R >>")) ++
+        Seq(fontObj ->
+          "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = members.map(_._2 + "\n")
+    val offs = bodies.map(_.length).scanLeft(0)(_ + _)
+    val header = members.map(_._1).zip(offs)
+      .map { case (num, o) => s"$num $o" }.mkString("", " ", "\n")
+    val data = deflateZlib(
+      (header + bodies.mkString).getBytes("ISO-8859-1"))
+    val objStmAt = out.size().toLong
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${data.length} >>\nstream\n")
+    out.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    val memberIdx = members.map(_._1).zipWithIndex.toMap
+    val rowsBelow = (0 until xrefObj).map { id =>
+      if (id == 0) (0, 0L, 0xffff)
+      else if (memberIdx.contains(id)) (2, objStmObj.toLong, memberIdx(id))
+      else if (id == objStmObj) (1, objStmAt, 0)
+      else (1, contentOff(id - 3 - n), 0) // content stream objects
+    }
+    writeXrefStreamObj(out, xrefObj, rowsBelow)
     out.toByteArray
   }
 
@@ -437,6 +503,7 @@ object PdfCodec {
     // rule (a replaced object's old body is unreachable, a freed one
     // never resolves from an older section).
     val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    val compressed = scala.collection.mutable.Map.empty[Int, (Int, Int)]
     val claimed = scala.collection.mutable.Set.empty[Int]
     val trailerDicts = scala.collection.mutable.ArrayBuffer.empty[Map[String, V]]
     val visited = scala.collection.mutable.Set.empty[Long]
@@ -451,7 +518,7 @@ object PdfCodec {
       // cross-reference stream; otherwise the classic `xref` table
       val dict =
         if (cur.peek >= '0' && cur.peek <= '9')
-          readXrefStreamSection(docId, cur, offsets, claimed)
+          readXrefStreamSection(docId, cur, offsets, compressed, claimed)
         else readClassicXrefSection(docId, cur, offsets, claimed)
       trailerDicts += dict
       if (dict.contains("Encrypt"))
@@ -471,34 +538,99 @@ object PdfCodec {
     // single-section files keep the strict census (a truncated table is
     // loud); chained files may legitimately carry freed objects, so only
     // an OVERFULL census is corrupt there
-    if (trailerDicts.size == 1 && offsets.size != size - 1)
-      fail(s"xref holds ${offsets.size} in-use objects, /Size says ${size - 1}")
-    if (offsets.size > size - 1)
-      fail(s"xref chain holds ${offsets.size} in-use objects, /Size says ${size - 1}")
+    val inUse = offsets.size + compressed.size
+    if (trailerDicts.size == 1 && inUse != size - 1)
+      fail(s"xref holds $inUse in-use objects, /Size says ${size - 1}")
+    if (inUse > size - 1)
+      fail(s"xref chain holds $inUse in-use objects, /Size says ${size - 1}")
     val rootRef = trailerDicts.flatMap(_.get("Root")).headOption match {
       case Some(VRef(r)) => r
       case Some(_)       => fail("/Root is not a reference")
       case None          => fail("trailer has no /Root reference")
     }
 
-    /** Parse object `num` expecting a bare NUMBER body (an indirect
-      * /Length target). */
-    def resolveNumber(num: Int, what: String): Double = {
-      val off = offsets.getOrElse(num,
-        fail(s"object $num missing from the xref table ($what)"))
-      val c = new Cursor(docId, bytes, off.toInt)
-      val declared = readInt(c)
-      if (declared != num) fail(s"xref points object $num at object $declared")
-      c.skipWs(); readInt(c)
-      c.expect("obj")
-      c.value() match {
-        case VNum(v) => v
-        case _       => fail(s"object $num is not a number ($what)")
-      }
+    // decoded object-stream cache — one inflate per /ObjStm per doc,
+    // however many members resolve through it
+    val objStmCache =
+      scala.collection.mutable.Map.empty[Int, (Map[Int, Int], Array[Byte])]
+
+    /** Decode object stream `stmNum`: returns (member → absolute byte
+      * offset in the decoded bytes, decoded bytes). */
+    def loadObjStm(stmNum: Int): (Map[Int, Int], Array[Byte]) =
+      objStmCache.getOrElseUpdate(stmNum, {
+        if (compressed.contains(stmNum))
+          fail(s"object stream $stmNum is itself compressed — corrupt xref")
+        val (d, data) = getObj(stmNum)
+        if (d.get("Type") != Some(VName("ObjStm")))
+          fail(s"object $stmNum is not /Type /ObjStm")
+        if (d.contains("Extends"))
+          fail("chained object streams (/Extends) — out of this codec's scope")
+        val nMembers = d.get("N") match {
+          case Some(VNum(v)) => v.toInt
+          case _             => fail(s"object stream $stmNum has no /N")
+        }
+        val first = d.get("First") match {
+          case Some(VNum(v)) => v.toInt
+          case _             => fail(s"object stream $stmNum has no /First")
+        }
+        val raw = data.getOrElse(fail(s"object $stmNum carries no stream"))
+        val dec = d.get("Filter") match {
+          case None                       => raw
+          case Some(VName("FlateDecode")) => inflateZlib(docId, raw)
+          case Some(VArr(Seq(VName("FlateDecode")))) => inflateZlib(docId, raw)
+          case Some(f) => fail(s"unsupported object-stream filter $f")
+        }
+        val hc = new Cursor(docId, dec, 0)
+        val pairs = (0 until nMembers).map(_ => (readInt(hc), readInt(hc)))
+        if (hc.pos > first)
+          fail(s"object stream $stmNum: member table overruns /First")
+        (pairs.map { case (num, off) =>
+          if (first + off > dec.length)
+            fail(s"object stream $stmNum: member $num offset overruns the stream")
+          num -> (first + off)
+        }.toMap, dec)
+      })
+
+    /** A compressed member's parsed value. */
+    def compressedValue(num: Int, stm: Int): V = {
+      val (memberOffs, dec) = loadObjStm(stm)
+      val off = memberOffs.getOrElse(num,
+        fail(s"object $num not listed in object stream $stm"))
+      new Cursor(docId, dec, off).value()
     }
 
-    /** Parse object `num`; a stream object returns (dict, Some(data)). */
+    /** Parse object `num` expecting a bare NUMBER body (an indirect
+      * /Length target). */
+    def resolveNumber(num: Int, what: String): Double =
+      compressed.get(num) match {
+        case Some((stm, _)) => compressedValue(num, stm) match {
+          case VNum(v) => v
+          case _       => fail(s"object $num is not a number ($what)")
+        }
+        case None =>
+          val off = offsets.getOrElse(num,
+            fail(s"object $num missing from the xref table ($what)"))
+          val c = new Cursor(docId, bytes, off.toInt)
+          val declared = readInt(c)
+          if (declared != num) fail(s"xref points object $num at object $declared")
+          c.skipWs(); readInt(c)
+          c.expect("obj")
+          c.value() match {
+            case VNum(v) => v
+            case _       => fail(s"object $num is not a number ($what)")
+          }
+      }
+
+    /** Parse object `num`; a stream object returns (dict, Some(data)).
+      * Compressed members (xref type-2) parse out of their decoded
+      * object stream — they can never carry a stream themselves. */
     def getObj(num: Int): (Map[String, V], Option[Array[Byte]]) = {
+      compressed.get(num).foreach { case (stm, _) =>
+        return compressedValue(num, stm) match {
+          case d: VDict => (d.v, None)
+          case _ => fail(s"object $num (compressed) is not a dictionary")
+        }
+      }
       val off = offsets.getOrElse(num,
         fail(s"object $num missing from the xref table"))
       val c = new Cursor(docId, bytes, off.toInt)
@@ -602,7 +734,7 @@ object PdfCodec {
       val (text, nOps) = extractText(docId, data)
       Page(text, nOps, data.length, flate)
     }
-    PdfMeta(version, offsets.size, pages)
+    PdfMeta(version, inUse, pages)
   }
 
   /** Classic cross-reference TABLE at the cursor: multi-subsection
@@ -648,6 +780,7 @@ object PdfCodec {
     * out of this codec's scope and fail loudly. */
   private def readXrefStreamSection(docId: Long, cur: Cursor,
       offsets: scala.collection.mutable.Map[Int, Long],
+      compressed: scala.collection.mutable.Map[Int, (Int, Int)],
       claimed: scala.collection.mutable.Set[Int]): Map[String, V] = {
     def fail(msg: String): Nothing = cur.fail(msg)
     readInt(cur); cur.skipWs(); readInt(cur)
@@ -740,12 +873,15 @@ object PdfCodec {
       (0 until count).foreach { i =>
         val tpe = field(wArr(0), 1L)
         val f2 = field(wArr(1), 0L)
-        field(wArr(2), 0L)
+        val f3 = field(wArr(2), 0L)
         tpe match {
           case 0 => claimed.add(start + i); ()
           case 1 => if (claimed.add(start + i)) offsets(start + i) = f2
-          case 2 => fail(s"object ${start + i} lives in a compressed " +
-            "object stream — out of this codec's scope")
+          case 2 =>
+            // compressed: the object lives at index f3 of object
+            // stream f2 — dereferenced lazily through loadObjStm
+            if (claimed.add(start + i))
+              compressed(start + i) = (f2.toInt, f3.toInt)
           case t => fail(s"unknown xref entry type $t for object ${start + i}")
         }
       }

@@ -111,6 +111,25 @@ object InvertedIndex {
     * riding the scan as a pushed IN predicate. */
   private val MaxScoreIsinCap = 1024
 
+  /** Session conf gating max-score engagement: the pruning pays one
+    * extra bounded job (the prefix phase), so it engages only when the
+    * scoring volume it can SKIP — (m − m0) · |query-term pairs| rows
+    * that would otherwise enter the scoring join — is at least this
+    * many rows (default 1M ≈ the work one small job costs; the r18
+    * closing bench measured the always-on spelling taxing the sf0.1
+    * gates ~0.7 s per ingest probe for nothing). Set it to 0 to force
+    * the pruned path (the spec spelling), or very high to disable. */
+  val MaxScoreMinSavedConf = "spark.graft.bm25.maxscore.minSavedRows"
+
+  private def maxScoreMinSaved(spark: SparkSession): Long =
+    spark.conf.getOption(MaxScoreMinSavedConf).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$MaxScoreMinSavedConf must be a row count, got '$s'")
+      }
+    }.getOrElse(1L << 20)
+
   def postingsPath(path: String): String = s"$path/postings"
   def termdfPath(path: String): String = s"$path/termdf"
   def positionsPath(path: String): String = s"$path/positions"
@@ -368,12 +387,15 @@ object InvertedIndex {
     // [[maxScoreScored]]. Engages only when exactness is provable;
     // anything else falls back to the plain full-cap scoring below.
     val prunedScored: Option[DataFrame] =
-      if (!singleVisibleGen || localQ.isEmpty) None
+      if (!singleVisibleGen || localQ.isEmpty || tombs.isDefined) None
       else maxPostings.flatMap { m =>
         val m0 = math.max(k, MaxScorePrefix)
-        if (m0 >= m) None
+        // engagement gate: one extra bounded job must be able to pay
+        // for itself in skipped scoring-join volume
+        val saved = (m - m0).toLong * localQ.get.length
+        if (m0 >= m || saved < maxScoreMinSaved(spark)) None
         else maxScoreScored(spark, rawPost, q, localQ.get, touchedTerms,
-          df, stats, tombs, k, m, m0)
+          df, stats, k, m, m0)
       }
     val scored = prunedScored.getOrElse(
       scoredPost.join(broadcast(q), "term")
@@ -418,9 +440,18 @@ object InvertedIndex {
     * EMITTED row carries the exact full-cap score. Queries that fail
     * the safety test (θ undefined, or B_q ≥ θ_q) keep their whole tail.
     *
-    * Engages only when the phase-A prefix localizes (bounded driver
-    * work — the ingest path's batch-sized probes); returns None to fall
-    * back otherwise. The candidate-doc tail filter rides the SCAN as a
+    * Engages only when (a) the skippable scoring volume clears
+    * [[MaxScoreMinSavedConf]] — the pruning pays one extra bounded job,
+    * which must pay for itself — (b) the index carries NO tombstone log
+    * (a tombstoned prefix doc would inflate θ and over-prune alive
+    * docs; tombstones are transient between takedown and compact), and
+    * (c) the phase-A prefix localizes (bounded driver work — the
+    * ingest path's batch-sized probes); returns None to fall back
+    * otherwise. Phase A is ONE job: the localized detail rows carry
+    * both the exact prefix score and the row's term tail bound, and
+    * every tail-bearing term necessarily has prefix rows (irn starts
+    * at 1), so the per-query budget derives driver-side.
+    * The candidate-doc tail filter rides the SCAN as a
     * pushed IN predicate when the list is small (≤ [[MaxScoreIsinCap]],
     * no unsafe queries — on a skewed corpus the tail scan then reads
     * near-zero rows), and joins otherwise. Sum-order caveat: per-doc
@@ -430,7 +461,7 @@ object InvertedIndex {
   private def maxScoreScored(spark: SparkSession, rawPost: DataFrame,
       q: DataFrame, qRows: Array[org.apache.spark.sql.Row],
       touchedTerms: DataFrame, df: DataFrame, stats: DataFrame,
-      tombs: Option[DataFrame], k: Int, m: Int, m0: Int): Option[DataFrame] = {
+      k: Int, m: Int, m0: Int): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
@@ -445,25 +476,22 @@ object InvertedIndex {
     val btf = prefix.groupBy(col("term")).agg(min(col("tf")).as("btf"))
     val tfnUb = (col("btf") * 2.2) /
       (col("btf") + lit(1.2) * (lit(0.25) + lit(0.75) * lit(1.0) / col("avgdl")))
-    // (query, term) tail bounds — only tail-bearing terms (df > m0) rate
-    val qtb = q.join(broadcast(df), "term").join(broadcast(btf), "term")
+    // the single phase-A frame: exact prefix score AND the row's term
+    // tail bound (0 for terms fully inside the prefix — df <= m0 means
+    // no tail exists)
+    val detail = prefix.join(broadcast(q), "term")
+      .join(broadcast(df), "term").join(broadcast(btf), "term")
       .crossJoin(broadcast(stats))
-      .where(col("df") > m0)
-      .select(col("query_id"), col("term"), (idf * tfnUb).as("bmax"))
-    val detail0 = prefix.join(broadcast(q), "term")
-      .join(broadcast(df), "term").crossJoin(broadcast(stats))
-      .select(col("query_id"), col("term"), col("doc_id"), (idf * tfn).as("s"))
-    // tombstoned docs can never be emitted, so they don't rate as
-    // threshold candidates either (df/N/avgdl keep counting them — the
-    // statistics stayed upstream in `df`/`stats`)
-    val detail = tombs.fold(detail0)(t =>
-      detail0.join(t, Seq("doc_id"), "left_anti"))
+      .select(col("query_id"), col("term"), col("doc_id"),
+        (idf * tfn).as("s"),
+        when(col("df") > m0, idf * tfnUb).otherwise(lit(0.0)).as("bmax"))
     val localDetail = Caches.localize(detail, maxRows = 1 << 22)
       .map(_.collect())
-    val localQtb = Caches.localize(qtb, maxRows = 1 << 20).map(_.collect())
-    if (localDetail.isEmpty || localQtb.isEmpty) return None
-    val bmaxByQt = localQtb.get
-      .map(r => (r.get(0), r.getString(1)) -> r.getDouble(2)).toMap
+    if (localDetail.isEmpty) return None
+    // every tail-bearing (query, term) has prefix rows (irn starts at
+    // 1), so the per-query tail budget derives from the detail itself
+    val bmaxByQt = localDetail.get
+      .map(r => (r.get(0), r.getString(1)) -> r.getDouble(4)).toMap
     val bByQ = bmaxByQt.toSeq.groupBy(_._1._1)
       .map { case (qid, rs) => qid -> rs.map(_._2).sum }
     // p (exact prefix partial) and covered-bound per (query, doc)

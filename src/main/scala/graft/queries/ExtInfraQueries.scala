@@ -2159,16 +2159,19 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
             text.drop(p * 7 + 25).take(15)),
             flate = (docId + p) % 2 == 0)
         }
-        // all three real-world cross-reference shapes live in the
+        // all four real-world cross-reference/object shapes live in the
         // fixture: the classic table, the PDF 1.5 xref STREAM (W binary
-        // entries under the PNG Up predictor) and a classic INCREMENTAL
+        // entries under the PNG Up predictor), a classic INCREMENTAL
         // update whose /Prev chain must resolve page 0's replaced
-        // content object — the oracle sees only the final text, so a
-        // mis-walked chain or mis-predicted entry hash-mismatches
-        val bytes = (docId % 3).toInt match {
+        // content object, and COMPRESSED OBJECT STREAMS (catalog/pages/
+        // font dereferenced through type-2 entries) — the oracle sees
+        // only the final text, so a mis-walked chain, mis-predicted
+        // entry or mis-sliced ObjStm member all hash-mismatch
+        val bytes = (docId % 4).toInt match {
           case 0 => PdfCodec.encode(pages)
           case 1 => PdfCodec.encodeXrefStream(pages)
-          case _ => PdfCodec.encodeIncremental(pages, s"PLACEHOLDER $docId")
+          case 2 => PdfCodec.encodeIncremental(pages, s"PLACEHOLDER $docId")
+          case _ => PdfCodec.encodeObjectStreams(pages)
         }
         Multimodal.MediaRecord(docId, bytes, "application/pdf")
       }).toDF()

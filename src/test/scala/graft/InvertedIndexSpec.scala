@@ -400,7 +400,13 @@ class InvertedIndexSpec extends SparkSpecBase {
     }.toDF("doc_id", "text")
     InvertedIndex.build(docs, path)
     val q = Seq((0L, "common")).toDF("query_id", "term")
-    val res = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(64))
+    // force the engagement gate open: a 1-query fixture never clears the
+    // saved-volume threshold that keeps gate-scale probes on the plain
+    // path (the conf is the spec spelling its scaladoc names)
+    spark.conf.set(InvertedIndex.MaxScoreMinSavedConf, "0")
+    val res =
+      try InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(64))
+      finally spark.conf.unset(InvertedIndex.MaxScoreMinSavedConf)
     val got = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
       math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
     // bit-identical to the untruncated from-scratch ranking (the top-3
@@ -491,9 +497,12 @@ class InvertedIndexSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
           math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq.sorted
     }
-    val pruned = InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(m))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+    spark.conf.set(InvertedIndex.MaxScoreMinSavedConf, "0")
+    val pruned =
+      try InvertedIndex.probe(spark, path, q, 3, maxPostings = Some(m))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq.sorted
+      finally spark.conf.unset(InvertedIndex.MaxScoreMinSavedConf)
     assert(pruned == cappedBrute())
   }
 

@@ -149,14 +149,27 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(m.pages.head.nTextOps == 2)
   }
 
-  test("xref type-2 entries (compressed object streams) fail loudly") {
-    // hand-rolled minimal xref STREAM with an uncompressed type-2 row
+  test("compressed object streams (ObjStm + type-2 entries) round-trip") {
+    val b = PdfCodec.encodeObjectStreams(Seq(
+      PdfCodec.PageSpec(Seq("objstm ", "page one"), flate = true),
+      PdfCodec.PageSpec(Seq("page two"), flate = false)))
+    val m = PdfCodec.parse(16L, b)
+    assert(m.pages.map(_.text) == Seq("objstm page one", "page two"))
+    assert(m.pages.map(_.flate) == Seq(true, false))
+    // catalog+pages+2 page dicts+font compressed; 2 contents + ObjStm +
+    // xref stream top-level
+    assert(m.nObjects == 9)
+    // the type-2 indirection is real: the raw bytes hold no top-level
+    // "1 0 obj" catalog — it only exists inside the decoded ObjStm
+    assert(!new String(b, "ISO-8859-1").contains("1 0 obj"))
+  }
+
+  test("a type-2 entry pointing at a missing object stream fails loudly") {
+    // hand-rolled minimal xref STREAM whose obj1 claims to live in
+    // object stream 9, which the xref never lists
     val head = "%PDF-1.5\n"
     val out = new StringBuilder(head)
     val xrefAt = out.length
-    // rows: obj0 free, obj1 type 2 → must be rejected before any deref
-    // (obj2 = the xref stream itself, so /Index's default [0, Size)
-    // row census holds)
     val rows: Array[Byte] = Array[Byte](
       0, 0, 0, 0, 0, 0, 0,
       2, 0, 0, 0, 9, 0, 0,
@@ -168,7 +181,7 @@ class PdfCodecSpec extends AnyFunSuite {
       .getBytes("ISO-8859-1")
     val all = pre ++ rows ++ tail
     val e = intercept[IllegalArgumentException] { PdfCodec.parse(14L, all) }
-    assert(e.getMessage.contains("compressed object stream"),
+    assert(e.getMessage.contains("missing from the xref table"),
       s"got: ${e.getMessage}")
   }
 
