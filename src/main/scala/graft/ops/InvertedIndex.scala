@@ -121,6 +121,16 @@ object InvertedIndex {
     * the pruned path (the spec spelling), or very high to disable. */
   val MaxScoreMinSavedConf = "spark.graft.bm25.maxscore.minSavedRows"
 
+  /** Upper bound on phase A itself (|query-term pairs| · m0 rows):
+    * phase A localizes its detail to the driver and ships the partial
+    * scores back as a LocalRelation, so past a few hundred thousand
+    * rows the round-trip costs more than the skipped join (measured:
+    * a 12.5k-doc ingest batch at sf1 ran 18.9 s pruned vs ~11 s plain).
+    * Together with [[MaxScoreMinSavedConf]] this brackets the regime
+    * the pruning genuinely wins: moderate query batches against
+    * hot-term-heavy postings, where the tail dwarfs the prefix. */
+  private val MaxScorePhaseACap = 1L << 18
+
   private def maxScoreMinSaved(spark: SparkSession): Long =
     spark.conf.getOption(MaxScoreMinSavedConf).map { s =>
       try s.trim.toLong
@@ -390,10 +400,13 @@ object InvertedIndex {
       if (!singleVisibleGen || localQ.isEmpty || tombs.isDefined) None
       else maxPostings.flatMap { m =>
         val m0 = math.max(k, MaxScorePrefix)
-        // engagement gate: one extra bounded job must be able to pay
-        // for itself in skipped scoring-join volume
+        // engagement gate, both sides: the one extra job must pay for
+        // itself in skipped scoring-join volume, AND phase A's driver
+        // round-trip must stay small (see MaxScorePhaseACap)
         val saved = (m - m0).toLong * localQ.get.length
-        if (m0 >= m || saved < maxScoreMinSaved(spark)) None
+        val phaseA = m0.toLong * localQ.get.length
+        if (m0 >= m || saved < maxScoreMinSaved(spark) ||
+            phaseA > MaxScorePhaseACap) None
         else maxScoreScored(spark, rawPost, q, localQ.get, touchedTerms,
           df, stats, k, m, m0)
       }
