@@ -223,7 +223,7 @@ object Multimodal {
 
     def decodeOne(r: MediaRecord): AudioMeta = {
       val fmt =
-        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        try SoundIO.getAudioFileFormat(
           new java.io.ByteArrayInputStream(r.content))
         catch {
           case e: javax.sound.sampled.UnsupportedAudioFileException =>
@@ -304,7 +304,7 @@ object Multimodal {
 
     private def wavSamples(r: MediaRecord): (Int, Array[Int]) = {
       val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        try SoundIO.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.content))
         catch {
           case e: javax.sound.sampled.UnsupportedAudioFileException =>
@@ -409,7 +409,7 @@ object Multimodal {
       val fmt = new javax.sound.sampled.AudioFormat(
         targetRate.toFloat, 16, 1, true, false)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
+      SoundIO.write(
         new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, nOut.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)

@@ -254,7 +254,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
           rate.toFloat, 16, channels, true, false)
         val pcm = new Array[Byte](ns * 2 * channels) // silence; content is
         val out = new java.io.ByteArrayOutputStream() // not the contract
-        javax.sound.sampled.AudioSystem.write(
+        graft.multimodal.SoundIO.write(
           new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
@@ -456,7 +456,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         }
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        graft.multimodal.SoundIO.write(
           new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
@@ -514,7 +514,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         }
         val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 1, true, false)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        graft.multimodal.SoundIO.write(
           new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
@@ -1260,7 +1260,7 @@ private[queries] trait ExtInfraQueries extends ExtQueryHelpers {
         }
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        graft.multimodal.SoundIO.write(
           new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
