@@ -18,6 +18,22 @@ object TextOps {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
+  /** Evaluate `v` once per row and hand it to `f` as a bound lambda
+    * variable. Whole-stage codegen eliminates common subexpressions, but
+    * higher-order-function lambdas evaluate INTERPRETED, where every
+    * textual occurrence of an argument expression re-evaluates — so
+    * `slice(split(text), i, n)` inside a `transform` lambda re-split the
+    * document at every gram position, O(words²) splits per doc (JFR on
+    * the round-18 baseline: `UTF8String.split` was the single hottest
+    * frame across the gram/shingle queries). A one-element
+    * `transform(array(v), f)` binds `v` as a lambda variable instead:
+    * computed once per row, referenced many times. `element_at(_, 1)` is
+    * safe under ANSI — the array always has exactly one element — and no
+    * optimizer rule rewrites GetArrayItem through ArrayTransform, so the
+    * binding survives to execution. */
+  def bound(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Character trigrams as an array column (empty when < 3 chars) — the
     * classic content-derived language-ID feature (Cavnar & Trenkle 1994's
     * n-gram profiles, the fastText lang-id feature family): one gram per
@@ -29,14 +45,16 @@ object TextOps {
         i => text.substr(i, lit(3))))
       .otherwise(array())
 
-  /** Word n-gram shingles as an array column (empty when < n words). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles as an array column (empty when < n words).
+    * The token array is [[bound]] once per row — unbound, the transform
+    * lambda re-split the text at every gram position. */
+  def wordShingles(text: Column, n: Int): Column =
+    bound(words(text)) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Character k-gram array (for rolling-hash-style fingerprints). */
   def charShingles(text: Column, k: Int): Column =
@@ -260,18 +278,22 @@ object TextOps {
     * `j % 4` of md5 hex char `j / 4 + 1`; integer vote sums are
     * order-independent, so the value is deterministic under any
     * partitioning. */
-  def simhash63InRow(distinctWords: Column): Column = {
-    val bits = (0 until 63).map { j =>
-      val h = j / 4 + 1
-      val s = j % 4
-      val voteSum = aggregate(distinctWords, lit(0), (acc, w) => {
-        val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
-        acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
-      })
-      when(voteSum >= 0, lit(1L << j)).otherwise(lit(0L))
+  def simhash63InRow(distinctWords: Column): Column =
+    // 63 independent aggregate() trees each re-evaluate their argument
+    // when it is a computed expression (array_distinct∘split at the q21 /
+    // SimHashIndex call sites) — bind it once per row instead.
+    bound(distinctWords) { dw =>
+      val bits = (0 until 63).map { j =>
+        val h = j / 4 + 1
+        val s = j % 4
+        val voteSum = aggregate(dw, lit(0), (acc, w) => {
+          val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
+          acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+        })
+        when(voteSum >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
     }
-    bits.reduce(_ + _)
-  }
 
   /** Rolling-hash document fingerprint: minimum md5 over character
     * k-gram shingles (winnowing with window = whole doc). Computed fully

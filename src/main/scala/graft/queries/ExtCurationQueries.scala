@@ -332,12 +332,15 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     * inside the row; no explode, no shuffle beyond the output sort. */
   private[queries] def q70(spark: SparkSession, dir: String): DataFrame = {
     val w = TextOps.words(col("text"))
-    val grams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", slice(w, i, lit(2))))
+    // bind the bigram list once per row (TextOps.bound): both aggregates
+    // reference it, and the unbound lambda re-split the text per position
+    val counts = TextOps.bound(TextOps.wordShingles(col("text"), 2)) { g =>
+      struct(size(g).as("total"), size(array_distinct(g)).as("uniq"))
+    }
     Tables.spread(Tables.documents(spark, dir))
       .where(size(w) >= 2)
-      .select(col("doc_id"), size(grams).as("total_bigrams"),
-        size(array_distinct(grams)).as("uniq_bigrams"))
+      .select(col("doc_id"), counts.getField("total").as("total_bigrams"),
+        counts.getField("uniq").as("uniq_bigrams"))
       .withColumn("rep_ratio",
         round(lit(1.0) - col("uniq_bigrams").cast("double") / col("total_bigrams"), 4))
       .orderBy(col("doc_id"))
@@ -739,13 +742,17 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
         concat(lit("src"), pmod(col("doc_id") + 7, lit(20))).as("source"),
         col("text"))
     val w = TextOps.words(col("text"))
-    val gramHashes = transform(sequence(lit(1), size(w) - 7),
-      i => md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")))
+    // bind the token array once per row (TextOps.bound) — unbound, the
+    // gram lambda re-split the text at every position (q73's fix)
+    val gramFps = TextOps.bound(w) { wb =>
+      array_distinct(filter(
+        transform(sequence(lit(1), size(wb) - 7),
+          i => md5(concat_ws(" ", slice(wb, i, lit(8))).cast("binary"))),
+        h => substring(h, 32, 1).isin("0", "4", "8", "c")))
+    }
     val fps = Tables.spread(docs.unionByName(mirrors))
       .where(size(w) >= 8)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(filter(gramHashes,
-          h => substring(h, 32, 1).isin("0", "4", "8", "c")))).as("fp"))
+      .select(col("doc_id"), col("source"), explode(gramFps).as("fp"))
     val common = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
     val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
@@ -1840,10 +1847,13 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     // size(w) < 2 would make sequence(1, 0) DESCENDING and element_at(w, 0)
     // throw — guard like TextOps.wordShingles (DuckDB's range(1, len) is
     // already empty there, so the guarded form keeps oracle parity).
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = TextOps.bound(w) { wb =>
+      // bound: the element_at lambda re-split the text twice per position
+      when(size(wb) >= 2,
+        transform(sequence(lit(1), size(wb) - 1),
+          i => concat(element_at(wb, i), lit(" "), element_at(wb, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
     val held = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val uniCnt = held
       .select(explode(TextOps.words(col("text"))).as("term"))

@@ -708,13 +708,17 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", slice(w0, 3, 25)).as("text"))
     val w = TextOps.words(col("text"))
-    val gramHashes = transform(sequence(lit(1), size(w) - 7),
-      i => md5(concat_ws(" ", slice(w, i, lit(8))).cast("binary")))
+    // the gram transform binds the token array once per row (TextOps.bound)
+    // — unbound, the lambda re-split the text at every gram position
+    val gramFps = TextOps.bound(w) { wb =>
+      array_distinct(filter(
+        transform(sequence(lit(1), size(wb) - 7),
+          i => md5(concat_ws(" ", slice(wb, i, lit(8))).cast("binary"))),
+        h => substring(h, 32, 1).isin("0", "4", "8", "c")))
+    }
     val fps = Tables.spread(docs.unionByName(excerpts))
       .where(size(w) >= 8)
-      .select(col("doc_id"),
-        explode(array_distinct(filter(gramHashes,
-          h => substring(h, 32, 1).isin("0", "4", "8", "c")))).as("fp"))
+      .select(col("doc_id"), explode(gramFps).as("fp"))
     val common = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
     val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")

@@ -66,7 +66,12 @@ object StageProfile {
           starts.put(s.jobId, System.nanoTime())
           if (verbose) {
             val site = Option(s.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(s.stageInfos.lastOption.flatMap(
+                _.details.linesIterator.find(l =>
+                  l.contains("graft.") && !l.contains("StageProfile"))))
+              .orElse(Option(s.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
               .getOrElse("?")
             println(s"[profile]     job ${s.jobId} start: $site (${s.stageInfos.size} stages)")
           }
