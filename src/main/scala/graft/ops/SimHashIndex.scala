@@ -83,13 +83,20 @@ object SimHashIndex {
       struct(lit(b).as("band"),
         shiftright(col("sh"), cfg.bandBits * b)
           .bitwiseAND(lit((1L << cfg.bandBits) - 1)).as("key"))): _*)
-    val fp = hashCol match {
-      case Some(c) => col(c).cast("bigint")
-      case None =>
-        TextOps.simhash63InRow(array_distinct(TextOps.words(col(text))))
+    // the distinct-word array is projected in its own select so the 63
+    // aggregate() leaves of the fingerprint read an attribute — the
+    // simhash63InRow caller contract (a computed argument re-splits the
+    // text 63× per row; CollapseProject keeps the two selects separate
+    // because the alias is non-cheap and referenced 63×)
+    val fingerprinted = hashCol match {
+      case Some(c) => graft.sources.Tables.spread(docs)
+        .select(col(id).as("doc_id"), col(c).cast("bigint").as("sh"))
+      case None => graft.sources.Tables.spread(docs)
+        .select(col(id).as("doc_id"),
+          array_distinct(TextOps.words(col(text))).as("dw"))
+        .select(col("doc_id"), TextOps.simhash63InRow(col("dw")).as("sh"))
     }
-    graft.sources.Tables.spread(docs)
-      .select(col(id).as("doc_id"), fp.as("sh"))
+    fingerprinted
       .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.key").as("key"))

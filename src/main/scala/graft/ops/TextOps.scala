@@ -278,22 +278,28 @@ object TextOps {
     * `j % 4` of md5 hex char `j / 4 + 1`; integer vote sums are
     * order-independent, so the value is deterministic under any
     * partitioning. */
-  def simhash63InRow(distinctWords: Column): Column =
-    // 63 independent aggregate() trees each re-evaluate their argument
-    // when it is a computed expression (array_distinct∘split at the q21 /
-    // SimHashIndex call sites) — bind it once per row instead.
-    bound(distinctWords) { dw =>
-      val bits = (0 until 63).map { j =>
-        val h = j / 4 + 1
-        val s = j % 4
-        val voteSum = aggregate(dw, lit(0), (acc, w) => {
-          val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
-          acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
-        })
-        when(voteSum >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
+  def simhash63InRow(distinctWords: Column): Column = {
+    // Caller contract: pass an ATTRIBUTE (project the distinct-word array
+    // in its own select first), not a computed expression — the 63
+    // aggregate() leaves each re-evaluate their argument, so a computed
+    // array_distinct∘split argument is split 63× per row. Do NOT wrap
+    // the whole tree in [[bound]] instead: that forces the bit-sum/when
+    // layer (codegen'd, with only the aggregate() leaves falling back)
+    // into one interpreted HOF evaluation per row — the r18 q107/q108
+    // regression (q107 2.47 → 8.88 s). A two-step projection keeps the
+    // argument evaluated once (CollapseProject never inlines a non-cheap
+    // alias referenced 63×) AND the outer layer codegen'd.
+    val bits = (0 until 63).map { j =>
+      val h = j / 4 + 1
+      val s = j % 4
+      val voteSum = aggregate(distinctWords, lit(0), (acc, w) => {
+        val v = conv(substring(md5(w), h, 1), 16, 10).cast("int")
+        acc + when(shiftright(v, s).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+      })
+      when(voteSum >= 0, lit(1L << j)).otherwise(lit(0L))
     }
+    bits.reduce(_ + _)
+  }
 
   /** Rolling-hash document fingerprint: minimum md5 over character
     * k-gram shingles (winnowing with window = whole doc). Computed fully

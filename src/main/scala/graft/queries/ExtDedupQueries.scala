@@ -432,9 +432,17 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     val bandArr = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), 16 * b).bitwiseAND(lit(65535L)).as("key"))): _*)
-    val bands = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        TextOps.simhash63InRow(array_distinct(TextOps.words(col("text")))).as("sh"))
+    // fingerprints persisted: 16 bytes/doc, and the plan below consumes
+    // them THREE times (bucket-size agg + both self-join sides) — without
+    // the cache each consumer re-runs the 63-aggregate simhash over the
+    // corpus. The dw projection is a separate select so the 63 aggregate()
+    // leaves read an attribute, not 63 re-splits (TextOps.simhash63InRow's
+    // caller contract).
+    val h = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextOps.words(col("text"))).as("dw"))
+      .select(col("doc_id"), TextOps.simhash63InRow(col("dw")).as("sh"))
+      .persist()
+    val bands = h
       .select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -444,7 +452,7 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       col("doc_id").as("doc_a"), col("sh").as("ha"))
     val b = kept.select(col("band"), col("key"),
       col("doc_id").as("doc_b"), col("sh").as("hb"))
-    a.join(b, Seq("band", "key"))
+    val out = a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
       .withColumn("hamming",
@@ -452,6 +460,11 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+    // materialize (driver-local when bounded, cached otherwise) so the
+    // fingerprint cache can be released before returning — q72's rule
+    try Caches.localize(out, maxRows = 1 << 22).getOrElse {
+      val p = out.persist(); p.count(); p
+    } finally h.unpersist()
   }
   /** The 63-bit SimHash fingerprint as one DuckDB expression over a
     * per-doc `word` stream — shared by q107's and q112's oracles. LAZY:

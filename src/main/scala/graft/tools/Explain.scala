@@ -4,10 +4,18 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("q20_minhash_lsh_neardup").split(",")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // extra confs for plan experiments, StageProfile's knob verbatim —
+    // e.g. GRAFT_PROFILE_CONF=spark.graft.localize.maxRows=0 exposes the
+    // pre-localization plan of queries that collect driver-side
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.entry(spark).count() // warmup
     names.foreach { name =>
