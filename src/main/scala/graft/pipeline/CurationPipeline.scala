@@ -100,11 +100,17 @@ object CurationPipeline {
       .drop("__n_kept", "__clean")
   }
 
-  /** Stage 2: quality gate on per-row signals. */
+  /** Stage 2: quality gate on per-row signals. The token array is bound
+    * once per row (TextOps.bound): the word count and the stopword ratio
+    * previously each split the text — the codegen'd `size(split)` pair
+    * CSE'd, but the stopword `filter()` HOF re-split interpreted. */
   def qualityGate(docs: DataFrame, cfg: Config, text: String = "text"): DataFrame = {
-    val nWords = size(TextOps.words(col(text)))
-    val sw = TextOps.stopwordRatio(col(text), cfg.stopwords)
-    docs.where(nWords >= cfg.minWords && sw <= cfg.maxStopwordRatio)
+    val keep = TextOps.bound(TextOps.words(col(text))) { w =>
+      val hits = size(filter(w, x => x.isInCollection(cfg.stopwords)))
+      size(w) >= cfg.minWords &&
+        hits.cast("double") / size(w) <= cfg.maxStopwordRatio
+    }
+    docs.where(keep)
   }
 
   /** Stage 3: MinHash+LSH near-dup removal — drops the higher-id doc of
@@ -195,12 +201,18 @@ object CurationPipeline {
     * pass (ratio undefined — the quality gate owns short docs). */
   def repetitionGate(docs: DataFrame, maxRepetition: Double = 0.2,
       text: String = "text"): DataFrame = {
-    val w = TextOps.words(col(text))
-    val grams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", slice(w, i, lit(2))))
-    docs.where(size(w) < 2 ||
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
-        <= maxRepetition)
+    // the bigram array comes from wordShingles (token array bound
+    // internally — the bare transform re-split the text at every gram
+    // position) and is itself bound once per row for its two references
+    // (distinct size / total size). An under-2-word doc has an EMPTY
+    // shingle array — same pass-through as the old size(w) < 2 branch,
+    // and the Or short-circuits before the 0-denominator division.
+    val keep = TextOps.bound(TextOps.wordShingles(col(text), 2)) { g =>
+      size(g) < 1 ||
+        (lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+          <= maxRepetition)
+    }
+    docs.where(keep)
   }
 
   /** Stage 2c: PII scrub (TextOps.redactPii) — rewrite the text column in

@@ -337,10 +337,17 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     val counts = TextOps.bound(TextOps.wordShingles(col("text"), 2)) { g =>
       struct(size(g).as("total"), size(array_distinct(g)).as("uniq"))
     }
+    // `counts` is projected ONCE as a named column, then getField'd from
+    // the attribute in a second select: referencing the struct twice in
+    // one projection ran the whole shingle/transform tree twice per row —
+    // codegen subexpression elimination skips trees containing lambda
+    // variables (SPARK-35410), and CollapseProject keeps the two selects
+    // apart (non-cheap alias, two references).
     Tables.spread(Tables.documents(spark, dir))
       .where(size(w) >= 2)
-      .select(col("doc_id"), counts.getField("total").as("total_bigrams"),
-        counts.getField("uniq").as("uniq_bigrams"))
+      .select(col("doc_id"), counts.as("counts"))
+      .select(col("doc_id"), col("counts").getField("total").as("total_bigrams"),
+        col("counts").getField("uniq").as("uniq_bigrams"))
       .withColumn("rep_ratio",
         round(lit(1.0) - col("uniq_bigrams").cast("double") / col("total_bigrams"), 4))
       .orderBy(col("doc_id"))
