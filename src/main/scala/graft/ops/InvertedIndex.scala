@@ -853,31 +853,14 @@ object InvertedIndex {
     Layout.healSwap(spark, postStaged, postingsPath(path))
     val all = spark.read.parquet(postingsPath(path))
     val dataCols = Seq("term", "doc_id", "tf", "dl").map(col)
-    val folded = dropTombstoned(
-      keepGen.fold(all)(g => all.where(col("gen") =!= g)).select(dataCols: _*))
-    writePartitioned(folded, postStaged, upgraded, "overwrite", "base")
     val kept = keepGen.map(g =>
       g -> dropTombstoned(all.where(col("gen") === g).select(dataCols: _*)))
-    kept.foreach { case (g, rows) =>
-      writePartitioned(rows, postStaged, upgraded, "append", g)
-    }
-    // termdf + stats recomputed from the STAGED rewrite (the committed
-    // bytes, not the plan), then all tables swap
-    val stagedRows = spark.read.parquet(postStaged)
-    val termdfStaged = s"${termdfPath(path)}.compacting"
-    Layout.healSwap(spark, termdfStaged, termdfPath(path))
-    writeTermDf(stagedRows.where(col("gen") === "base"), termdfStaged,
-      upgraded, "overwrite", "base")
-    kept.foreach { case (g, _) =>
-      writeTermDf(stagedRows.where(col("gen") === g), termdfStaged,
-        upgraded, "append", g)
-    }
     // positions fold mirrors the postings fold verbatim (tombstoned docs
     // drop, keepGen rewritten as its own generation) — the sidecar only
     // exists on positions-enabled indexes; a positions-less index stays
     // positions-less (there is nothing to derive them from).
     val posStaged = s"${positionsPath(path)}.compacting"
-    if (cfg.positions) {
+    val positionsFold: () => Unit = () => if (cfg.positions) {
       Layout.healSwap(spark, posStaged, positionsPath(path))
       val allPos = spark.read.parquet(positionsPath(path))
       val posCols = Seq("term", "doc_id", "pos", "dl").map(col)
@@ -891,14 +874,46 @@ object InvertedIndex {
           posStaged, upgraded, "append", g)
       }
     }
+    // the postings fold and the positions fold read and write DISJOINT
+    // tables — one concurrent round instead of two serial rewrites (the
+    // LshIndex.compact bands∥sigs rule; on the in-stream lag-1 cadence
+    // this is the dominant per-firing cost)
+    Par.all(
+      () => {
+        val folded = dropTombstoned(keepGen.fold(all)(g =>
+          all.where(col("gen") =!= g)).select(dataCols: _*))
+        writePartitioned(folded, postStaged, upgraded, "overwrite", "base")
+        kept.foreach { case (g, rows) =>
+          writePartitioned(rows, postStaged, upgraded, "append", g)
+        }
+      },
+      positionsFold)
+    // termdf + stats recomputed from the STAGED rewrite (the committed
+    // bytes, not the plan) — independent target tables over the same
+    // read-only staged rows, so the two derivations share one round too;
+    // then all tables swap
+    val stagedRows = spark.read.parquet(postStaged)
+    val termdfStaged = s"${termdfPath(path)}.compacting"
     val statsStaged = s"${statsPath(path)}.compacting"
-    Layout.healSwap(spark, statsStaged, statsPath(path))
-    writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
-      statsStaged, "overwrite", "base")
-    kept.foreach { case (g, _) =>
-      writeStats(statsFromPostings(stagedRows.where(col("gen") === g)),
-        statsStaged, "append", g)
-    }
+    Par.all(
+      () => {
+        Layout.healSwap(spark, termdfStaged, termdfPath(path))
+        writeTermDf(stagedRows.where(col("gen") === "base"), termdfStaged,
+          upgraded, "overwrite", "base")
+        kept.foreach { case (g, _) =>
+          writeTermDf(stagedRows.where(col("gen") === g), termdfStaged,
+            upgraded, "append", g)
+        }
+      },
+      () => {
+        Layout.healSwap(spark, statsStaged, statsPath(path))
+        writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
+          statsStaged, "overwrite", "base")
+        kept.foreach { case (g, _) =>
+          writeStats(statsFromPostings(stagedRows.where(col("gen") === g)),
+            statsStaged, "append", g)
+        }
+      })
     Layout.swapInto(spark, postStaged, postingsPath(path))
     swapOrPlace(spark, termdfStaged, termdfPath(path))
     if (cfg.positions) Layout.swapInto(spark, posStaged, positionsPath(path))

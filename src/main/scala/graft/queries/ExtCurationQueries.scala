@@ -924,6 +924,11 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     import spark.implicits._
     var docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text")).persist()
+    // the previous round's cache — released only once the CURRENT round's
+    // shingle-count action has materialized `docs` through it (one fused
+    // job per round: the old shape paid a separate next.count() pass —
+    // a full rewrite fold + cache fill — before every round's count)
+    var parent: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     try {
       for (r <- 0 until q139Rounds) {
@@ -935,18 +940,20 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
           .select(substring_index(col("sh"), " ", 1),
             substring_index(col("sh"), " ", -1), col("c"))
           .as[(String, String, Long)].collect().head
+        // that action scanned (and so cached) every partition of `docs` —
+        // the parent cache it was computed from can go now
+        parent.foreach(_.unpersist()); parent = None
         merges += ((r, mt1, mt2, c))
         if (r < q139Rounds - 1) {
           val next = docs.select(col("doc_id"),
             concat_ws(" ", TextOps.bpeApplyMerge(
               TextOps.words(col("text")), lit(mt1), lit(mt2))).as("text"))
             .persist()
-          next.count() // materialize before releasing the parent cache
-          docs.unpersist()
+          parent = Some(docs)
           docs = next
         }
       }
-    } finally docs.unpersist()
+    } finally { docs.unpersist(); parent.foreach(_.unpersist()) }
     merges.toSeq.toDF("round", "mt1", "mt2", "pair_count")
       .orderBy(col("round"))
   }
@@ -1030,6 +1037,10 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     import spark.implicits._
     var docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text")).persist()
+    // the previous round's cache — released once this round's first pick
+    // job has materialized `docs` through it (q139's fused-round rule:
+    // the old shape paid a separate next.count() rewrite pass per round)
+    var parent: Option[DataFrame] = None
     val learned =
       scala.collection.mutable.ArrayBuffer[(Int, Int, String, String, Long)]()
     try {
@@ -1064,20 +1075,31 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
             }
           }
         } finally counts.unpersist()
+        // the pick jobs above scanned (and so cached) `docs` — its parent
+        // cache can go now
+        parent.foreach(_.unpersist()); parent = None
         if (r < q159Rounds - 1 || applyLast) {
           val merges = learned.filter(_._1 == r).map(x => (x._3, x._4)).toSeq
           val next = docs.select(col("doc_id"),
             concat_ws(" ", TextOps.bpeApplyMergeSet(
               TextOps.words(col("text")), merges)).as("text"))
             .persist()
-          next.count() // materialize before releasing the parent cache
-          docs.unpersist()
+          if (r < q159Rounds - 1) {
+            // next round's pick jobs materialize `next`; defer the release
+            parent = Some(docs)
+          } else {
+            // final applyLast rewrite: no later job follows — materialize
+            // eagerly so the parent cache can be released here
+            next.count()
+            docs.unpersist()
+          }
           docs = next
         }
       }
       (learned.toSeq, docs)
     } catch {
-      case t: Throwable => docs.unpersist(); throw t
+      case t: Throwable =>
+        docs.unpersist(); parent.foreach(_.unpersist()); throw t
     }
   }
 

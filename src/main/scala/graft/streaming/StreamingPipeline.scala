@@ -470,12 +470,15 @@ object StreamingPipeline {
             fusedDir, sideK, fuseK, rrfC, queryTerms, nprobe)
         // evaluated outside the isEmpty guard (the startVectorIngest rule)
         compactEvery.foreach { n =>
-          if (n > 0 && batchId % n == (n - 1)) {
-            graft.ops.InvertedIndex.compact(
-              batch.sparkSession, bm25Path, keepBatch = Some(batchId))
-            graft.ops.IvfIndex.compactCorpus(
-              batch.sparkSession, ivfPath, keepBatch = Some(batchId))
-          }
+          if (n > 0 && batchId % n == (n - 1))
+            // the two indexes live at different paths under independent
+            // locks — fold them in ONE concurrent round, not two serial
+            // rewrites (the Par rule the probe legs already follow)
+            graft.ops.Par.all(
+              () => graft.ops.InvertedIndex.compact(
+                batch.sparkSession, bm25Path, keepBatch = Some(batchId)),
+              () => graft.ops.IvfIndex.compactCorpus(
+                batch.sparkSession, ivfPath, keepBatch = Some(batchId)))
         }
       }
       .option("checkpointLocation", checkpointDir)
