@@ -289,24 +289,52 @@ object CurationPipeline {
     * iteration one job over the persisted sparse feature table; the
     * scoring pass is the same feature table joined once — corpus text
     * never shuffles beyond the trigram aggregation. */
-  def langIdAnnotate(docs: DataFrame, dims: Int = 32, iters: Int = 2,
-      targetLang: String = "en", id: String = "doc_id",
-      text: String = "text", lang: String = "lang"): DataFrame = {
+  /** The persisted sparse feature table (doc_id, j, x) both audits train
+    * and score on, computed in ONE corpus pass: the per-(doc, bucket)
+    * counts aggregate first, and the per-doc trigram total `n` — which
+    * used to come from a SECOND explode scan joined back on — is just
+    * Σc over the doc's ≤ dims bucket rows, a window over the
+    * already-aggregated (docs × ≤ dims)-sized table. Halves the
+    * corpus-side work: the trigram explode and the per-term md5
+    * bucketing run once, and the doc_id join shuffle disappears
+    * (guide §2.4 — remove shuffles/passes outright). x is bit-identical:
+    * same c, same n, same division. Caller unpersists. */
+  private def trigramFeatures(docs: DataFrame, dims: Int, id: String,
+      text: String): DataFrame = {
     import graft.ops.LogReg
-    val grams = graft.sources.Tables.spread(docs)
+    graft.sources.Tables.spread(docs)
       .select(col(id).as("doc_id"),
         explode(TextOps.charTrigrams(col(text))).as("term"))
-    val nt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val feat = grams
       .select(col("doc_id"), LogReg.bucketOf(col("term"), dims).as("j"))
       .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
-      .join(nt, "doc_id")
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("j"),
         (col("c").cast("double") / col("n")).as("x"))
       .persist()
-    try {
-      val labels = docs.select(col(id).as("doc_id"),
-        when(col(lang) === targetLang, 1.0).otherwise(0.0).as("y"))
+  }
+
+  def langIdAnnotate(docs: DataFrame, dims: Int = 32, iters: Int = 2,
+      targetLang: String = "en", id: String = "doc_id",
+      text: String = "text", lang: String = "lang"): DataFrame = {
+    val (annotated, release) =
+      langIdAnnotateStaged(docs, dims, iters, targetLang, id, text, lang)
+    release() // self-cleaning form: the returned plan recomputes features
+    annotated
+  }
+
+  /** [[langIdAnnotate]] with the feature cache left ALIVE — the returned
+    * cleanup releases it (the nearDupEdges staging rule). Callers that
+    * materialize the annotated output (aggregate + localize, persist +
+    * count) before releasing avoid re-deriving the trigram features a
+    * second time at action time. */
+  def langIdAnnotateStaged(docs: DataFrame, dims: Int = 32, iters: Int = 2,
+      targetLang: String = "en", id: String = "doc_id",
+      text: String = "text", lang: String = "lang"): (DataFrame, () => Unit) = {
+    import graft.ops.LogReg
+    val feat = trigramFeatures(docs, dims, id, text)
+    val labels = docs.select(col(id).as("doc_id"),
+      when(col(lang) === targetLang, 1.0).otherwise(0.0).as("y"))
+    locally {
       val w = LogReg.train(feat, labels, dims, iters)
       val wLit = array(w.map(lit): _*)
       val z = feat
@@ -316,14 +344,15 @@ object CurationPipeline {
       // featureless docs (< 3 chars) score z = 0 → predicted target:
       // sigmoid(0) = 0.5 sits ON the boundary and >= breaks toward the
       // positive class, the same closed form the oracle replays
-      docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
+      val annotated = docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
         .withColumn("lang_pred",
           when(round(coalesce(col("__z"), lit(0.0)), 6) >= 0,
             lit(targetLang)).otherwise(lit("other")))
         .withColumn("lang_agree",
           (col(lang) === targetLang) === (col("lang_pred") === targetLang))
         .drop("__z")
-    } finally { feat.unpersist(); () }
+      (annotated, () => { feat.unpersist(); () })
+    }
   }
 
   /** MULTICLASS content-derived language ID — [[langIdAnnotate]]
@@ -347,22 +376,23 @@ object CurationPipeline {
   def langIdAnnotateMulti(docs: DataFrame, dims: Int = 32, iters: Int = 2,
       id: String = "doc_id", text: String = "text",
       lang: String = "lang"): DataFrame = {
+    val (annotated, release) =
+      langIdAnnotateMultiStaged(docs, dims, iters, id, text, lang)
+    release() // self-cleaning form: the returned plan recomputes features
+    annotated
+  }
+
+  /** [[langIdAnnotateMulti]] with the feature cache left ALIVE — the
+    * returned cleanup releases it (the [[langIdAnnotateStaged]] rule). */
+  def langIdAnnotateMultiStaged(docs: DataFrame, dims: Int = 32,
+      iters: Int = 2, id: String = "doc_id", text: String = "text",
+      lang: String = "lang"): (DataFrame, () => Unit) = {
     import graft.ops.LogReg
     val classes = docs.select(col(lang)).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(classes.nonEmpty, "langIdAnnotateMulti: no languages to train on")
-    val grams = graft.sources.Tables.spread(docs)
-      .select(col(id).as("doc_id"),
-        explode(TextOps.charTrigrams(col(text))).as("term"))
-    val nt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val feat = grams
-      .select(col("doc_id"), LogReg.bucketOf(col("term"), dims).as("j"))
-      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
-      .join(nt, "doc_id")
-      .select(col("doc_id"), col("j"),
-        (col("c").cast("double") / col("n")).as("x"))
-      .persist()
-    try {
+    val feat = trigramFeatures(docs, dims, id, text)
+    locally {
       val labels = docs.select(col(id).as("doc_id"), col(lang).as("label"))
       val w = LogReg.trainMulti(feat, labels, classes, dims, iters)
       val wLits = w.map(wc => array(wc.map(lit): _*))
@@ -387,11 +417,12 @@ object CurationPipeline {
               acc.when(zCols(k) === zMax, classes(k))
             }
         }
-      docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
+      val annotated = docs.join(z.withColumnRenamed("doc_id", id), Seq(id), "left")
         .withColumn("lang_pred", pred)
         .withColumn("lang_agree", col(lang) === col("lang_pred"))
         .drop(classes.indices.map(k => s"__z$k"): _*)
-    } finally { feat.unpersist(); () }
+      (annotated, () => { feat.unpersist(); () })
+    }
   }
 
   def withTokenCounts(docs: DataFrame, text: String = "text"): DataFrame =
@@ -415,10 +446,14 @@ object CurationPipeline {
     // over every declared language — against the declaration, so a doc
     // mislabeled between two non-target languages is caught too (the
     // binary target-vs-rest form could not see it).
-    val quality = (if (cfg.langIdAudit)
-      langIdAnnotateMulti(qualityOnly)
-        .where(col("lang_agree")).drop("lang_pred", "lang_agree")
-    else qualityOnly).persist()
+    val (audited, auditCleanup) = if (cfg.langIdAudit) {
+      // staged form: the trigram-feature cache stays alive until the
+      // funnel report below materializes every stage, so the audit's
+      // scoring pass reads the cache instead of re-deriving features
+      val (ann, rel) = langIdAnnotateMultiStaged(qualityOnly)
+      (ann.where(col("lang_agree")).drop("lang_pred", "lang_agree"), rel)
+    } else (qualityOnly, () => ())
+    val quality = audited.persist()
     val (near, nearCleanup) = nearDedupStaged(quality, cfg)
     val curated = withTokenCounts(near).persist()
     try {
@@ -434,7 +469,7 @@ object CurationPipeline {
         .getOrElse(sys.error("funnel report must be one row"))
       (curated, localReport)
     } finally {
-      exact.unpersist(); quality.unpersist(); nearCleanup()
+      exact.unpersist(); quality.unpersist(); nearCleanup(); auditCleanup()
     }
   }
 }

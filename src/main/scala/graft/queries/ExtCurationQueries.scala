@@ -1437,11 +1437,14 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
     val D = 16
     val docs = Tables.spread(Tables.documents(spark, dir))
     val tok = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
-    val nt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // one corpus pass (the trigramFeatures rule): the per-doc token total
+    // is Σc over the doc's ≤ D bucket rows — a window over the
+    // (docs × ≤ D)-sized aggregate, not a second explode scan + join
     val feat = tok
       .select(col("doc_id"), LogReg.bucketOf(col("term"), D).as("j"))
       .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
-      .join(nt, "doc_id")
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("j"),
         (col("c").cast("double") / col("n")).as("x"))
       .persist()
@@ -1502,14 +1505,20 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   private[queries] def q183(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    CurationPipeline.langIdAnnotate(docs)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
-        sum(when(col("lang_agree"), 1L).otherwise(0L)).as("n_agree"))
-      .withColumn("acc_r",
-        round(col("n_agree").cast("double") / col("n_docs"), 4))
-      .orderBy(col("lang"))
+    // staged form + localize: the per-language summary is ≤ |langs| rows,
+    // so collecting it while the trigram-feature cache is still alive
+    // means the scoring pass reads the cache the trainer built instead of
+    // re-deriving the features at action time (the nearDupPairs rule)
+    val (annotated, release) = CurationPipeline.langIdAnnotateStaged(docs)
+    try localizeRows(
+      annotated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+          sum(when(col("lang_agree"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("acc_r",
+          round(col("n_agree").cast("double") / col("n_docs"), 4)),
+      Seq("lang"))
+    finally release()
   }
   private[queries] val q183Sql =
     """WITH d AS MATERIALIZED (SELECT doc_id, lang, text FROM documents),
@@ -1579,10 +1588,14 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
   private[queries] def q190(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    CurationPipeline.langIdAnnotateMulti(docs)
-      .groupBy(col("lang"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("lang_pred"))
+    // staged + localize — q183's rule: the confusion matrix is
+    // ≤ |langs|² rows, collected while the feature cache is alive
+    val (annotated, release) = CurationPipeline.langIdAnnotateMultiStaged(docs)
+    try localizeRows(
+      annotated.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs")),
+      Seq("lang", "lang_pred"))
+    finally release()
   }
   private[queries] val q190Sql =
     """WITH d AS MATERIALIZED (SELECT doc_id, lang, text FROM documents),
