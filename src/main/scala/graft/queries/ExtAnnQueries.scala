@@ -305,7 +305,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       val base = emb.where(!isStream)
       val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(K)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
-      IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
+      // memoized deterministic base build (the lshBaseInto rule; q191's
+      // dense leg shares the same base corpus + first-16 quantizer)
+      GraphFixtures.cloneIntoFor("ivfbase", dir, s"$tmp/corpus")(p =>
+        IvfIndex.buildCorpus(base, p, cents))
       // stream feed: 2 micro-batches in vec_id order (q100's chunking)
       val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
@@ -381,7 +384,10 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
         .orderBy(col("vec_id")).limit(K)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
       val path = s"$tmp/corpus"
-      IvfIndex.buildCorpus(emb.where(!isBatch), path, cents, files = 4)
+      // memoized deterministic base build shared with q105/q191 (same
+      // split, same quantizer, same files=4 layout — the lshBaseInto rule)
+      GraphFixtures.cloneIntoFor("ivfbase", dir, path)(p =>
+        IvfIndex.buildCorpus(emb.where(!isBatch), p, cents, files = 4))
       // one production ingest generation (its ANN log is not this query's
       // contract; the lifecycle below is)
       IvfIndex.probeAndAppend(spark, path,
@@ -747,14 +753,30 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
           .select(col("doc_id").as("vec_id"), col("grid").as("embedding"))
       val ids = Tables.documents(spark, dir).select(col("doc_id"))
       val baseIds = ids.where(pmod(col("doc_id"), lit(4)) =!= 0)
-      val K = math.max(16, math.sqrt(baseIds.count().toDouble).toInt)
-      val base = featsOf(baseIds.as[Long])
-      // centroids: first K base docs by id — only K docs decode here
-      val cents: Seq[Seq[Float]] =
-        featsOf(baseIds.orderBy(col("doc_id")).limit(K).as[Long])
+      // memoized deterministic base build (the lshBaseInto rule): the
+      // base split's fabricate → decode → pool pass and its first-√n
+      // quantizer are bit-identical per corpus, so the decode-heavy
+      // indexing runs once per JVM and the centroids persist next to the
+      // corpus (the ivfFullDir layout); the STREAM batches still decode
+      // inside the stream — the per-batch contract under test
+      GraphFixtures.cloneIntoFor("mediaivfbase", dir, tmp) { p =>
+        val K = math.max(16, math.sqrt(baseIds.count().toDouble).toInt)
+        val base = featsOf(baseIds.as[Long])
+        // centroids: first K base docs by id — only K docs decode here
+        val centFeats = featsOf(baseIds.orderBy(col("doc_id")).limit(K).as[Long])
           .orderBy(col("vec_id"))
-          .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
-      IvfIndex.buildCorpus(base, s"$tmp/corpus", cents)
+        val centRows = centFeats.collect()
+        IvfIndex.writeCentroids(
+          spark.createDataFrame(java.util.Arrays.asList(centRows: _*),
+              centFeats.schema)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding")),
+          s"$p/centroids")
+        IvfIndex.buildCorpus(base, s"$p/corpus",
+          centRows.map(_.getSeq[Float](1).toSeq).toSeq)
+      }
+      val cents: Seq[Seq[Float]] =
+        IvfIndex.loadCentroids(spark, s"$tmp/centroids")
       // stream feed: 2 micro-batches of doc ids in doc_id order
       val streamIds = ids.where(pmod(col("doc_id"), lit(4)) === 0)
         .as[Long].collect().sorted
@@ -1175,8 +1197,11 @@ private[queries] trait ExtAnnQueries extends ExtQueryHelpers {
       // ADC stream ingest is probes × corpus and measured 33×/decade
       // at sf1, the pruned probe restores ≤ nprobe/K of that.
       val prune = Some((base, 2))
-      graft.ops.PqIndex.buildCodes(baseCorpus, s"$tmp/codes", base,
-        cellCents = Some(base))
+      // memoized deterministic base build (the lshBaseInto rule): codes
+      // under the frozen codebooks are bit-identical per corpus
+      GraphFixtures.cloneIntoFor("pqbase", dir, s"$tmp/codes")(p =>
+        graft.ops.PqIndex.buildCodes(baseCorpus, p, base,
+          cellCents = Some(base)))
       val rows = fixtureSlice(emb.where(isStream).as[(Long, Seq[Float])]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 2.0).toInt)
       val chunks = rows.grouped(per).toArray

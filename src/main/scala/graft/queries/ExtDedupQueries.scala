@@ -244,7 +244,12 @@ private[queries] trait ExtDedupQueries extends ExtQueryHelpers {
     try {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val isStream = pmod(col("doc_id"), lit(4)) === 0
-      graft.ops.SimHashIndex.build(docs.where(!isStream), s"$tmp/idx")
+      // memoized deterministic base build (the lshBaseInto rule): the
+      // in-row fingerprints are bit-identical per (corpus, layout), so
+      // five-ish seconds of base indexing amortize across the gates that
+      // share this split while each still mutates its own clone
+      GraphFixtures.cloneIntoFor("simhashbase", dir, s"$tmp/idx")(p =>
+        graft.ops.SimHashIndex.build(docs.where(!isStream), p))
       val rows = fixtureSlice(docs.where(isStream).as[(Long, String)]).sortBy(_._1)
       val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
       val chunks = rows.grouped(per).toArray

@@ -571,7 +571,10 @@ private[queries] trait ExtRetrievalQueries extends ExtQueryHelpers {
       val base = emb.where(pmod(col("vec_id"), lit(4)) =!= 0)
       val cents: Seq[Seq[Float]] = base.orderBy(col("vec_id")).limit(16)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
-      IvfIndex.buildCorpus(base, s"$tmp/ivf", cents)
+      // memoized deterministic base build shared with q105 (same split,
+      // same first-16 quantizer, same layout — the lshBaseInto rule)
+      GraphFixtures.cloneIntoFor("ivfbase", dir, s"$tmp/ivf")(p =>
+        IvfIndex.buildCorpus(base, p, cents))
       val rows = fixtureSlice(
         docs.where(pmod(col("doc_id"), lit(4)) === 0)
           .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")

@@ -49,6 +49,17 @@ private[queries] object GraphFixtures {
     copyTree(new java.io.File(sharedDir(key)(build)),
       new java.io.File(destPath))
 
+  /** [[cloneInto]] with the memo key derived from (family, canonical
+    * data dir) — the generic entry point for gate-local deterministic
+    * base builds whose build lambda lives at the call site (e.g. the
+    * dHash/media fingerprint stages defined in the query traits). Same
+    * amortization contract as every named helper below: the build is
+    * bit-identical per (family, dir) by construction, each gate mutates
+    * its own clone. */
+  def cloneIntoFor(family: String, dir: String, destPath: String)(
+      build: String => Unit): Unit =
+    cloneInto(s"$family|${canon(dir)}", destPath)(build)
+
   // ----------------------------------------------------- graph family
 
   /** The graph family's base split — embeddings NOT reserved as ingest
