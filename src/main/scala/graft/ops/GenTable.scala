@@ -36,6 +36,25 @@ private[ops] object GenTable {
     }).parquet(path)
   }
 
+  /** Multi-generation STATIC-overwrite write for the compaction paths:
+    * `gen` comes from the per-row `__gen` column, so a keepBatch fold
+    * lands its folded `base` AND the kept in-flight generation in ONE
+    * shuffle + write job instead of two serial table writes (the
+    * overwrite-then-append spelling — the dominant fixed cost of a
+    * short-cadence in-stream compaction, guide §2.4). Output shape is
+    * identical: a task holds every row of its pk bucket (hash shuffle
+    * on `__part` alone), rows sort (pk, gen, cluster…) so the writer
+    * emits one cluster-sorted file per (pk, gen) directory without an
+    * extra writer-side sort. */
+  def writeGens(df: DataFrame, path: String, files: Int,
+      cluster: Column*): Unit =
+    df.repartition(files, col("__part"))
+      .sortWithinPartitions(col("__part") +: col("__gen") +: cluster: _*)
+      .withColumnRenamed("__part", "pk")
+      .withColumnRenamed("__gen", "gen")
+      .write.partitionBy("pk", "gen")
+      .mode("overwrite").parquet(path)
+
   /** The generation partition values present on disk — ONE driver-side
     * glob over the hive layout (no Spark job): `gen` is the leaf
     * partition level, nested under `pk=*` for the bucketed tables

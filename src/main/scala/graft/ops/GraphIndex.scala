@@ -181,6 +181,17 @@ object GraphIndex {
       case m => w.mode(m).parquet(path)
     }
   }
+  /** Multi-generation static write for the compaction fold: `gen` is a
+    * per-row column, so base + kept land in one shuffle + write job
+    * (GenTable.writeGens' rule for the range-clustered families). The
+    * (gen, cluster) task sort keeps each output file cluster-sorted
+    * within its generation. */
+  private def writeGensBy(df: DataFrame, path: String, files: Int,
+      cluster: Column): Unit =
+    df.repartitionByRange(files, cluster)
+      .sortWithinPartitions(col("gen"), cluster)
+      .write.partitionBy("gen").mode("overwrite").parquet(path)
+
   private def writeNodesGen(nodes: DataFrame, path: String, files: Int,
       mode: String, gen: String): Unit =
     writeGen(nodes.select(col("vec_id"), col("embedding")),
@@ -486,19 +497,28 @@ object GraphIndex {
       val foldEdges =
         if (keepGen.isDefined) foldEdgesRaw else topPerSrc(foldEdgesRaw, maxDeg)
       // nodes and edges are independent targets: fold them concurrently
-      // (Par) so the compaction pays one job-floor, not two
+      // (Par) so the compaction pays one job-floor, not two; with a kept
+      // generation each table additionally lands base + kept in ONE
+      // shuffle + write job (gen derived in-row — the LshIndex.compact
+      // rule) instead of two serial writes
+      def target(g: String): Column =
+        when(col("gen") === g, col("gen")).otherwise("base")
       Par.all(
-        () => {
-          writeNodesGen(foldNodes, staged, files, "overwrite", "base")
-          keepGen.foreach(g => writeNodesGen(
-            nodesAll.where(col("gen") === g).drop("gen"), staged, files,
-            "append", g))
+        () => keepGen match {
+          case Some(g) =>
+            writeGensBy(nodesAll.select(col("vec_id"), col("embedding"),
+                target(g).as("gen")),
+              nodesPath(staged), files, col("vec_id"))
+          case None =>
+            writeNodesGen(foldNodes, staged, files, "overwrite", "base")
         },
-        () => {
-          writeEdgesGen(foldEdges, staged, files, "overwrite", "base")
-          keepGen.foreach(g => writeEdgesGen(
-            edgesAll.where(col("gen") === g).drop("gen"), staged, files,
-            "append", g))
+        () => keepGen match {
+          case Some(g) =>
+            writeGensBy(edgesAll.select(col("src"), col("dst"), col("cos"),
+                target(g).as("gen")),
+              edgesPath(staged), files, col("src"))
+          case None =>
+            writeEdgesGen(foldEdges, staged, files, "overwrite", "base")
         })
       Layout.swapInto(spark, staged, path)
       if (retained.nonEmpty) markDeleted(spark, path, retained)

@@ -838,12 +838,10 @@ object InvertedIndex {
     }
     def dropTombstoned(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
-    // one gen's stats row, recomputed from its REWRITTEN postings (one
-    // row per doc survives as distinct (doc_id, dl) — every doc has ≥ 1
-    // token under string_split semantics, so no doc is lost here)
-    def statsFromPostings(rows: DataFrame): DataFrame =
-      rows.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // stats recompute below derives each gen's row from its REWRITTEN
+    // postings: one row per doc survives as distinct (doc_id, dl) —
+    // every doc has ≥ 1 token under string_split semantics, so no doc
+    // is lost there
     // Every compact rewrites into the impact-ordered era (the LSM merge
     // is where a pre-era index upgrades: irn materialized, termdf
     // sidecar created, meta stamped) — probes adopt the new layout from
@@ -853,8 +851,13 @@ object InvertedIndex {
     Layout.healSwap(spark, postStaged, postingsPath(path))
     val all = spark.read.parquet(postingsPath(path))
     val dataCols = Seq("term", "doc_id", "tf", "dl").map(col)
-    val kept = keepGen.map(g =>
-      g -> dropTombstoned(all.where(col("gen") === g).select(dataCols: _*)))
+    // every surviving row maps to its target generation in-row (kept
+    // batch stays itself, everything else folds to base) and each table
+    // lands base + kept in ONE shuffle + write job via GenTable.writeGens
+    // — the overwrite-then-append spelling paid two serial writes per
+    // table per compaction (the LshIndex.compact rule)
+    def target: Column = keepGen.fold(lit("base"))(g =>
+      when(col("gen") === g, col("gen")).otherwise("base"))
     // positions fold mirrors the postings fold verbatim (tombstoned docs
     // drop, keepGen rewritten as its own generation) — the sidecar only
     // exists on positions-enabled indexes; a positions-less index stays
@@ -864,15 +867,12 @@ object InvertedIndex {
       Layout.healSwap(spark, posStaged, positionsPath(path))
       val allPos = spark.read.parquet(positionsPath(path))
       val posCols = Seq("term", "doc_id", "pos", "dl").map(col)
-      writePositions(
-        dropTombstoned(keepGen.fold(allPos)(g => allPos.where(col("gen") =!= g))
-          .select(posCols: _*)),
-        posStaged, upgraded, "overwrite", "base")
-      keepGen.foreach { g =>
-        writePositions(
-          dropTombstoned(allPos.where(col("gen") === g).select(posCols: _*)),
-          posStaged, upgraded, "append", g)
-      }
+      GenTable.writeGens(
+        dropTombstoned(allPos)
+          .select(posCols :+ target.as("__gen"): _*)
+          .withColumn("__part", termPk(upgraded)),
+        posStaged, upgraded.postFiles,
+        col("term"), col("doc_id"), col("pos"))
     }
     // the postings fold and the positions fold read and write DISJOINT
     // tables — one concurrent round instead of two serial rewrites (the
@@ -880,39 +880,46 @@ object InvertedIndex {
     // this is the dominant per-firing cost)
     Par.all(
       () => {
-        val folded = dropTombstoned(keepGen.fold(all)(g =>
-          all.where(col("gen") =!= g)).select(dataCols: _*))
-        writePartitioned(folded, postStaged, upgraded, "overwrite", "base")
-        kept.foreach { case (g, rows) =>
-          writePartitioned(rows, postStaged, upgraded, "append", g)
-        }
+        val folded = dropTombstoned(all)
+          .select(dataCols :+ target.as("__gen"): _*)
+        // the impact rank is a per-(term, GENERATION) property — the
+        // multi-gen write ranks within __gen so each generation's prefix
+        // is exactly what its own writePartitioned would have produced
+        val wImp = Window.partitionBy(col("term"), col("__gen"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        GenTable.writeGens(
+          folded.withColumn("irn", row_number().over(wImp))
+            .withColumn("__part", termPk(upgraded)),
+          postStaged, upgraded.postFiles, col("term"), col("irn"))
       },
       positionsFold)
     // termdf + stats recomputed from the STAGED rewrite (the committed
     // bytes, not the plan) — independent target tables over the same
-    // read-only staged rows, so the two derivations share one round too;
-    // then all tables swap
+    // read-only staged rows, so the two derivations share one round too
+    // (each now a single multi-gen write); then all tables swap
     val stagedRows = spark.read.parquet(postStaged)
     val termdfStaged = s"${termdfPath(path)}.compacting"
     val statsStaged = s"${statsPath(path)}.compacting"
     Par.all(
       () => {
         Layout.healSwap(spark, termdfStaged, termdfPath(path))
-        writeTermDf(stagedRows.where(col("gen") === "base"), termdfStaged,
-          upgraded, "overwrite", "base")
-        kept.foreach { case (g, _) =>
-          writeTermDf(stagedRows.where(col("gen") === g), termdfStaged,
-            upgraded, "append", g)
-        }
+        GenTable.writeGens(
+          stagedRows.groupBy(col("term"), col("gen").as("__gen"))
+            .agg(count(lit(1)).as("df"))
+            .withColumn("__part", termPk(upgraded)),
+          termdfStaged, upgraded.postFiles, col("term"))
       },
       () => {
         Layout.healSwap(spark, statsStaged, statsPath(path))
-        writeStats(statsFromPostings(stagedRows.where(col("gen") === "base")),
-          statsStaged, "overwrite", "base")
-        kept.foreach { case (g, _) =>
-          writeStats(statsFromPostings(stagedRows.where(col("gen") === g)),
-            statsStaged, "append", g)
-        }
+        // one distinct + one grouped agg across all generations — a doc
+        // lives in exactly one, so the per-gen rows equal the serial
+        // statsFromPostings spelling
+        stagedRows.select(col("doc_id"), col("dl"), col("gen")).distinct()
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .select(col("n_docs"), col("sum_dl"), col("gen"))
+          .coalesce(1).write.partitionBy("gen")
+          .mode("overwrite").parquet(statsStaged)
       })
     Layout.swapInto(spark, postStaged, postingsPath(path))
     swapOrPlace(spark, termdfStaged, termdfPath(path))

@@ -342,13 +342,20 @@ object IvfIndex {
     }
     val all = tombs.fold(raw)(t =>
       raw.join(t, Seq("vec_id"), "left_anti"))
-    writeGen(
-      keepGen.fold(all)(g => all.where(col("gen") =!= g))
-        .drop("gen"),
-      staged, files, "overwrite", "base")
-    keepGen.foreach { g =>
-      writeGen(all.where(col("gen") === g).drop("gen"),
-        staged, files, "append", g)
+    keepGen match {
+      case Some(g) =>
+        // one pass, one write (the LshIndex.compact rule): the target
+        // generation derives in-row, base + kept land in a single
+        // shuffle + write job instead of two serial table writes; the
+        // (gen, cell) task sort keeps every output file cell-sorted
+        // within its generation, so min/max cell pruning is unchanged
+        all.select(col("vec_id"), col("embedding"), col("cell"),
+            when(col("gen") === g, col("gen")).otherwise("base").as("gen"))
+          .repartitionByRange(files, col("cell"))
+          .sortWithinPartitions(col("gen"), col("cell"))
+          .write.partitionBy("gen").mode("overwrite").parquet(staged)
+      case None =>
+        writeGen(all.drop("gen"), staged, files, "overwrite", "base")
     }
     Layout.swapInto(spark, staged, path)
     if (retained.nonEmpty) markDeleted(spark, path, retained)

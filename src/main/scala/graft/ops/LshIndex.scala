@@ -221,7 +221,7 @@ object LshIndex {
     * are the partition-pruned index reads, `pairs` the verified result. */
   private[graft] case class Probe(
       pairs: DataFrame, bandScan: DataFrame, sigScan: DataFrame,
-      caches: Seq[DataFrame]) {
+      caches: Seq[DataFrame], pairsUnordered: DataFrame) {
     /** Unpersist every frame the probe cached. Call once the probe's
       * result frames are materialized (or abandoned) — probeAndAppend
       * does this in its finally; probePlan callers (the specs) must. */
@@ -341,10 +341,14 @@ object LshIndex {
       df.join(t, df("doc_a") === t("doc_id"), "left_anti")
         .join(t, df("doc_b") === t("doc_id"), "left_anti")
     }
+    // unordered: the global (doc_a, doc_b) sort — a sampling job + range
+    // exchange per probe — is applied only where row order is part of the
+    // contract (Probe.pairs, the returning API); the streaming log sink
+    // writes unordered and its consumers sort on read
     val pairs = dropTombstoned(withSets.where(j >= cfg.jaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard")))
-      .orderBy(col("doc_a"), col("doc_b"))
-    (Probe(pairs, indexBands, indexSets, caches.toSeq), newBands, cfg)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard")))
+    (Probe(pairs.orderBy(col("doc_a"), col("doc_b")), indexBands, indexSets,
+      caches.toSeq, pairsUnordered = pairs), newBands, cfg)
   }
 
   /** The tombstone log as a (doc_id) frame, or None when no doc was ever
@@ -422,7 +426,7 @@ object LshIndex {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(pairsDir)
         spark.emptyDataFrame
-      })
+      }, needOrdered = false)
     ()
   }
 
@@ -432,7 +436,8 @@ object LshIndex {
   private def probeAppendCore(spark: SparkSession, path: String,
       newDocs: DataFrame, cfg: Config, id: String, text: String,
       batchId: Option[Long],
-      materialize: DataFrame => DataFrame): DataFrame =
+      materialize: DataFrame => DataFrame,
+      needOrdered: Boolean = true): DataFrame =
       IndexLock.withWriter(path) {
     val sig = signatures(newDocs, cfg, id, text).persist()
     var probeCaches: Seq[DataFrame] = Seq(sig)
@@ -440,6 +445,7 @@ object LshIndex {
       val (probe, newBands, layout) = probePairs(spark, path, sig, cfg, id,
         extraCaches = Seq(sig), excludeGen = batchId.map(b => genOf(Some(b))))
       probeCaches = probe.caches
+      val pairsOut = if (needOrdered) probe.pairs else probe.pairsUnordered
       val mode = if (batchId.isDefined) "replace-gen" else "append"
       val gen = genOf(batchId)
       // independent targets (bands vs sigs), shared input persisted
@@ -462,13 +468,13 @@ object LshIndex {
         // instead of two, the last streaming-floor cut). Retries
         // converge in either order: every sink is dynamic partition
         // overwrite keyed on the same batch id.
-        Par.all((Seq(() => { result = materialize(probe.pairs); () })
+        Par.all((Seq(() => { result = materialize(pairsOut); () })
           ++ appendJobs): _*)
       } else {
         // ad-hoc appends land in the shared `adhoc` generation the probe
         // does NOT exclude — keep the strict materialize-then-append
         // order there
-        result = materialize(probe.pairs)
+        result = materialize(pairsOut)
         Par.all(appendJobs: _*)
       }
       result
@@ -575,15 +581,16 @@ object LshIndex {
       def keyed(rows: DataFrame): DataFrame =
         if (dataCols.contains("band")) rows.withColumn("__part", bandPk(cfg))
         else rows.withColumn("__part", sigPs(cfg, col("doc_id")))
-      val folded = dropTombstoned(
-        keepGen.fold(all)(g => all.where(col("gen") =!= g))
-          .select(dataCols.map(col): _*))
-      writePartitioned(keyed(folded), staged, files, "overwrite", "base", cluster: _*)
-      keepGen.foreach { g =>
-        val kept = dropTombstoned(
-          all.where(col("gen") === g).select(dataCols.map(col): _*))
-        writePartitioned(keyed(kept), staged, files, "append", g, cluster: _*)
-      }
+      // ONE pass, one write: every surviving row maps to its target
+      // generation in-row (kept batch stays itself, everything else
+      // folds to base) and GenTable.writeGens lands both partitions in
+      // a single shuffle + write job — the overwrite-then-append
+      // spelling paid two serial table writes per compaction.
+      val target = keepGen.fold(lit("base"))(g =>
+        when(col("gen") === g, col("gen")).otherwise("base"))
+      val out = dropTombstoned(all)
+        .select(dataCols.map(col) :+ target.as("__gen"): _*)
+      GenTable.writeGens(keyed(out), staged, files, cluster: _*)
       Layout.swapInto(spark, staged, tablePath)
     }
     // the two tables are independent targets: their fold jobs run

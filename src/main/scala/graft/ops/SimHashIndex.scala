@@ -143,7 +143,7 @@ object SimHashIndex {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(pairsDir)
         spark.emptyDataFrame
-      })
+      }, needOrdered = false)
     ()
   }
 
@@ -152,7 +152,8 @@ object SimHashIndex {
   private def probeAppendCore(spark: SparkSession, path: String,
       newDocs: DataFrame, cfg: Config, id: String, text: String,
       batchId: Option[Long], hashCol: Option[String],
-      materialize: DataFrame => DataFrame): DataFrame = IndexLock.withWriter(path) {
+      materialize: DataFrame => DataFrame,
+      needOrdered: Boolean = true): DataFrame = IndexLock.withWriter(path) {
     val layout = adoptMeta(spark, path, cfg)
     val bandsPlan = bandRows(newDocs, layout, id, text, hashCol)
     // One bounded job instead of two (LshIndex.probePairs' r15 rule):
@@ -210,14 +211,19 @@ object SimHashIndex {
         df.join(t, df("doc_a") === t("doc_id"), "left_anti")
           .join(t, df("doc_b") === t("doc_id"), "left_anti")
       }
-      val pairs = dropTombstoned(a.join(b, Seq("band", "key"))
+      // unordered here; the global sort — a sampling job + range exchange
+      // per probe — applies only on the returning API below (the LshIndex
+      // probePairs rule; the streaming log sink's consumers sort on read)
+      val pairsUnordered = dropTombstoned(a.join(b, Seq("band", "key"))
         .where(col("doc_a") < col("doc_b") && (col("na") || col("nb")))
         .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
         .where(col("hamming") <= layout.maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming")))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val pairs = if (needOrdered)
+        pairsUnordered.orderBy(col("doc_a"), col("doc_b"))
+      else pairsUnordered
       val appendJob: () => Unit = () => GenTable.writePartitioned(
         newBands.withColumn("__part", bandPk(layout)),
         bandsPath(path), layout.bandFiles,
@@ -282,17 +288,17 @@ object SimHashIndex {
       tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     val staged = s"$tablePath.compacting"
     Layout.healSwap(spark, staged, tablePath)
-    def keyed(rows: DataFrame): DataFrame =
-      rows.select(col("doc_id"), col("sh"), col("band"), col("key"))
-        .withColumn("__part", bandPk(cfg))
-    GenTable.writePartitioned(
-      keyed(dropTombstoned(keepGen.fold(all)(g => all.where(col("gen") =!= g)))),
-      staged, cfg.bandFiles, "overwrite", "base", col("band"), col("key"))
-    keepGen.foreach { g =>
-      GenTable.writePartitioned(
-        keyed(dropTombstoned(all.where(col("gen") === g))),
-        staged, cfg.bandFiles, "append", g, col("band"), col("key"))
-    }
+    // one pass, one write (the LshIndex.compact rule): the target
+    // generation derives in-row, GenTable.writeGens lands base + kept
+    // in a single shuffle + write job
+    val target = keepGen.fold(lit("base"))(g =>
+      when(col("gen") === g, col("gen")).otherwise("base"))
+    GenTable.writeGens(
+      dropTombstoned(all)
+        .select(col("doc_id"), col("sh"), col("band"), col("key"),
+          target.as("__gen"))
+        .withColumn("__part", bandPk(cfg)),
+      staged, cfg.bandFiles, col("band"), col("key"))
     Layout.swapInto(spark, staged, tablePath)
     if (retained.nonEmpty) markDeleted(spark, path, retained)
     TombstoneLog.deleteSnapshot(spark, tombsPath(path), tombSnap)
