@@ -25,6 +25,15 @@ import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
   * stateless by SPI contract, so sharing them across threads is safe.
   */
 object SoundIO {
+  // JDK-PROVIDERS-ONLY assumption, on purpose: loading against
+  // AudioSystem's (platform) classloader resolves exactly the JDK's
+  // built-in codecs, while AudioSystem/JDK13Services itself resolves via
+  // the thread context classloader — an application-classpath SPI codec
+  // (e.g. an mp3/vorbis provider jar) would be visible to AudioSystem
+  // but NOT here. No such provider ships in this build, so dispatch is
+  // bit-identical; if one is ever added, switch to
+  // Thread.currentThread().getContextClassLoader (falling back to the
+  // platform loader) and re-pin SoundIOSpec's provider-set assertion.
   private def providers[T](cls: Class[T]): List[T] = {
     val it = java.util.ServiceLoader
       .load(cls, classOf[javax.sound.sampled.AudioSystem].getClassLoader)

@@ -757,18 +757,29 @@ private[queries] trait ExtCurationQueries extends ExtQueryHelpers {
           i => md5(concat_ws(" ", slice(wb, i, lit(8))).cast("binary"))),
         h => substring(h, 32, 1).isin("0", "4", "8", "c")))
     }
+    // persist the exploded fingerprints: the boilerplate-cap aggregate
+    // and the anti-join's probe side are both consumers, and unpersisted
+    // each re-ran the md5-gram extraction — the query's dominant compute
+    // — over the full corpus (guide §5 cache-vs-recompute). The output
+    // is ≤ |sources|²/2 rows: localize it, then release the cache.
     val fps = Tables.spread(docs.unionByName(mirrors))
       .where(size(w) >= 8)
       .select(col("doc_id"), col("source"), explode(gramFps).as("fp"))
-    val common = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
-    val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
-      .select(col("source"), col("fp")).distinct()
-    rare.as("a").join(rare.as("b"), Seq("fp"))
-      .where(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    try {
+      val common = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs")).where(col("n_docs") > 64)
+      val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
+        .select(col("source"), col("fp")).distinct()
+      val out = rare.as("a").join(rare.as("b"), Seq("fp"))
+        .where(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .orderBy(col("src_a"), col("src_b"))
+      Caches.localize(out, maxRows = 1 << 20).getOrElse {
+        val p = out.persist(); p.count(); p
+      }
+    } finally { fps.unpersist(); () }
   }
   private[queries] val q81Sql =
     """WITH corpus AS (
